@@ -1,0 +1,111 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk` — brute-force exact top-k: one broadcast of the
+  query vector, dot/norms via F.aggregate/zip_with (JVM-side, no
+  Python), global top-k via orderBy+limit. At cluster scale Spark
+  runs this as per-partition top-k + a single-reduce merge (TakeOrdered),
+  so no full sort materializes.
+
+- :func:`srp_buckets` / :func:`srp_topk` — signed-random-projection
+  LSH: K pseudo-random ±1 hyperplanes derived from a portable hash of
+  (plane, dim) so the DuckDB oracle can rebuild them; bucket = K sign
+  bits. Candidate search touches only the query's bucket — the scale
+  path (a groupBy/bucket-pruned scan instead of a full corpus sweep).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double"))
+    )
+
+
+def cosine_scores(embeddings: DataFrame, query_vec: list[float],
+                  vec_col: str = "embedding") -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col(vec_col)
+    return embeddings.withColumn(
+        "cosine",
+        F.round(_dot(v, q) / (_norm(v) * _norm(q)), 4),
+    )
+
+
+def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    return (
+        cosine_scores(embeddings, query_vec, vec_col)
+        .select(id_col, "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))  # deterministic ties
+        .limit(k)
+    )
+
+
+def srp_plane_sign(plane: int, dim: int):
+    """±1 entry of pseudo-random hyperplane ``plane`` at dimension
+    ``dim`` — parity of a portable hash, reproducible in SQL."""
+    from flyscrape_spark.functions.hashing import portable_hash64
+
+    h = portable_hash64(F.concat_ws(":", F.lit(plane), F.lit(dim)))
+    return F.when(F.pmod(h, F.lit(2)) == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def srp_buckets(embeddings: DataFrame, num_planes: int = 8,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """LSH bucket id per vector: bit p = sign(v · plane_p)."""
+    from flyscrape_spark.functions.hashing import portable_hash64
+
+    v = F.col(vec_col)
+    dim_idx = F.sequence(F.lit(0), F.size(v) - 1)
+    bits = []
+    for p in range(num_planes):
+        # dot(v, plane_p) with ±1 entries: sum over dims of v[i] * sign(h(p,i))
+        proj = F.aggregate(
+            F.zip_with(
+                v, dim_idx,
+                lambda x, i: (
+                    x.cast("double")
+                    * F.when(
+                        F.pmod(
+                            portable_hash64(
+                                F.concat_ws(":", F.lit(p), i.cast("string"))
+                            ),
+                            F.lit(2),
+                        ) == 0,
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0))
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return embeddings.select(id_col, vec_col).withColumn("bucket", bucket.cast("bigint"))
+
+
+def srp_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+             num_planes: int = 8, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """ANN top-k restricted to the query's SRP bucket (scale path:
+    bucket is a partition-prunable key in the stored table)."""
+    bucketed = srp_buckets(embeddings, num_planes, vec_col, id_col)
+    qdf = bucketed.sparkSession.createDataFrame(
+        [(list(map(float, query_vec)),)], f"{vec_col}: array<float>"
+    )
+    qbucket = srp_buckets(qdf, num_planes, vec_col, id_col=vec_col).select("bucket")
+    candidates = bucketed.join(F.broadcast(qbucket), "bucket")
+    return cosine_topk(candidates, query_vec, k, vec_col, id_col)

@@ -1,0 +1,183 @@
+"""Document deduplication operators for large-scale training-data
+pipelines — exact, MinHash+LSH, SimHash and n-gram Jaccard.
+
+All pure DataFrame + built-in functions (no Python UDFs): hashes use
+the md5-derived :func:`portable_hash64` so the driver's DuckDB oracle
+reproduces every value bit-for-bit, and every operator is
+shuffle-shaped for scale:
+
+- exact dedup: one groupBy on a 64-bit content hash (map-side partial
+  aggregation, AQE-coalesced);
+- minhash: explode(shingles) -> groupBy(doc) min per hash seed — the
+  explode fans out but the agg is partial-combinable; LSH banding then
+  buckets signatures so candidate generation is a groupBy on band
+  values, NOT an O(n^2) self-join;
+- ngram-jaccard: shingle-inverted-index self-join — joins only on
+  shared shingles (the standard sparse-similarity-join shape), with a
+  frequency cap to drop stop-shingles that would create skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from flyscrape_spark.functions.hashing import portable_hash64
+
+
+def normalized_text(col="text"):
+    """lower + collapse whitespace — the canonical content key."""
+    return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact-duplicate groups: one row per distinct normalized text,
+    representative = min doc_id, with the duplicate count."""
+    return (
+        documents.select(
+            F.col("doc_id"), portable_hash64(normalized_text()).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("representative"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def word_shingles(col="text", n: int = 3):
+    """Word n-gram shingles as an array column (distinct, JVM-side)."""
+    words = F.split(normalized_text(col), " ")
+    # sliding n-gram via transform over index range
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )
+    )
+
+
+def shingle_index(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle_hash) inverted index, exploded."""
+    return documents.select(
+        "doc_id", F.explode(word_shingles(n=n)).alias("shingle")
+    ).select("doc_id", portable_hash64(F.col("shingle")).alias("shingle_hash"))
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 100,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard >= threshold.
+
+    Sparse similarity join: self-join the shingle inverted index on
+    shingle_hash (docs sharing no shingle never meet), drop shingles
+    shared by more than ``max_shingle_freq`` docs (stop-shingle skew
+    guard — at web scale one hot shingle would otherwise create a
+    quadratic partition).
+    """
+    idx = shingle_index(documents, n)
+    sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    freq = idx.groupBy("shingle_hash").agg(F.count("*").alias("df"))
+    filtered = idx.join(
+        freq.filter(F.col("df") <= max_shingle_freq), "shingle_hash"
+    ).select("doc_id", "shingle_hash")
+
+    a = filtered.alias("a")
+    b = filtered.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle_hash") == F.col("b.shingle_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("intersection"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "size_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_shingles": "size_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("intersection")
+                / (F.col("size_a") + F.col("size_b") - F.col("intersection")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(documents: DataFrame, num_hashes: int = 16, n: int = 3) -> DataFrame:
+    """MinHash signature per doc: h_i = min over shingles of
+    portable_hash64(i || ':' || shingle), i in [0, num_hashes)."""
+    exploded = documents.select(
+        "doc_id", F.explode(word_shingles(n=n)).alias("shingle")
+    )
+    aggs = [
+        F.min(
+            portable_hash64(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    documents: DataFrame, num_hashes: int = 16, bands: int = 4, n: int = 3
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of the minhash
+    signature. Banding makes candidate generation a groupBy on the
+    band hash — linear shuffle, no O(n^2) compare."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(documents, num_hashes, n)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"),
+                     portable_hash64(F.concat_ws("_", *[c.cast("string") for c in cols])
+                                     ).alias("bucket"))
+        )
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint over word tokens: bit j of the fingerprint
+    is set iff sum over tokens of (+1 if bit j of token-hash else -1)
+    is positive. Pure explode + groupBy + bit arithmetic."""
+    tokens = documents.select(
+        "doc_id", F.explode(F.split(normalized_text(), " ")).alias("token")
+    ).withColumn("th", portable_hash64(F.col("token")))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    per_bit = (
+        tokens.select("doc_id", "th", bit)
+        .withColumn(
+            "vote",
+            F.when(F.shiftright(F.col("th"), F.col("bit")).bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1)).otherwise(F.lit(-1)),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("votes"))
+    )
+    return (
+        per_bit.withColumn(
+            "bitval",
+            F.when(F.col("votes") > 0,
+                   F.shiftleft(F.lit(1).cast("bigint"), F.col("bit"))).otherwise(F.lit(0)),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )

