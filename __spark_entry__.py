@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship crawl (full engine BFS over the
+synthetic web derived from sf0.001 documents). ``queries()`` /
+``oracle_sql()`` expose every implemented operator with a DuckDB twin
+where SQL-expressible (HTML parsing and LSH-bucketed ANN are
+rows-only; their semantics are pinned by pytest instead).
 """
 
 from __future__ import annotations
@@ -13,26 +13,59 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from flyscrape_spark import queries as Q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: crawl the sf0.001 synthetic web with the real engine
+    (fetch-by-join, span/link UDFs, seen anti-join, generation loop)."""
+    return Q.q_crawl_bfs(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # crawl engine (SURVEY §2.1 #1-8)
+        "crawl_bfs": Q.q_crawl_bfs,
+        "seen_antijoin": Q.q_seen_antijoin,
+        "url_canonicalize": Q.q_url_canonicalize,
+        "host_counts": Q.q_host_counts,
+        "interleaved_spans": Q.q_interleaved_spans,
+        # dedup suite
+        "dedup_exact": Q.q_dedup_exact,
+        "minhash_signatures": Q.q_minhash_signatures,
+        "simhash": Q.q_simhash,
+        "ngram_jaccard": Q.q_ngram_jaccard,
+        # text analysis
+        "fingerprint": Q.q_fingerprint,
+        "text_quality": Q.q_text_quality,
+        "lang_id": Q.q_lang_id,
+        # similarity search
+        "ann_cosine_topk": Q.q_ann_cosine_topk,
+        "srp_ann_topk": Q.q_srp_ann_topk,
+        # events / relational
+        "events_sessionize": Q.q_events_sessionize,
+        "pricing_summary": Q.q_pricing_summary,
+        "segment_revenue": Q.q_segment_revenue,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "crawl_bfs": Q.sql_crawl_bfs(),
+        "seen_antijoin": Q.sql_seen_antijoin(),
+        "url_canonicalize": Q.sql_url_canonicalize(),
+        "host_counts": Q.sql_host_counts(),
+        # interleaved_spans: rows-only (HTML parse UDF; pytest-pinned)
+        "dedup_exact": Q.sql_dedup_exact(),
+        "minhash_signatures": Q.sql_minhash_signatures(),
+        "simhash": Q.sql_simhash(),
+        "ngram_jaccard": Q.sql_ngram_jaccard(),
+        "fingerprint": Q.sql_fingerprint(),
+        "text_quality": Q.sql_text_quality(),
+        "lang_id": Q.sql_lang_id(),
+        "ann_cosine_topk": Q.sql_ann_cosine_topk(),
+        # srp_ann_topk: rows-only (bucket pruning; pytest-pinned)
+        "events_sessionize": Q.sql_events_sessionize(),
+        "pricing_summary": Q.sql_pricing_summary(),
+        "segment_revenue": Q.sql_segment_revenue(),
+    }

@@ -1,0 +1,147 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec}, "sf": ..., "frontier_urls_per_sec": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_FRONTIER_URLS (default 2_000_000).
+
+Modes:
+  python bench.py            # driver mode: the one-line JSON
+  python bench.py --scaling  # run the frontier kernel at local[8] and
+                             # local[32] in fresh JVMs; report
+                             # throughput + scaling efficiency (the
+                             # BASELINE.json N->4N evidence) to stdout
+                             # and BENCH.md
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# 20M keeps every core busy past AQE coalescing; 2M is overhead-bound
+# at 32 threads and inverts the scaling signal
+N_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "20000000"))
+
+HEADLINE_QUERIES = [
+    "crawl_bfs",
+    "dedup_exact",
+    "minhash_signatures",
+    "ngram_jaccard",
+    "text_quality",
+    "ann_cosine_topk",
+    "events_sessionize",
+    "pricing_summary",
+]
+
+
+def frontier_kernel(spark, n_urls: int) -> dict:
+    """The headline metric's hot path: canonicalize + hash + exact
+    anti-join dedup of a synthetic frontier against a seen set
+    (URLs 'fetched+deduped'/sec, BASELINE.json "metric")."""
+    from pyspark.sql import functions as F
+
+    from flyscrape_spark.functions.urls import canonicalize
+    from flyscrape_spark.sources.synth import synthetic_frontier
+
+    frontier = synthetic_frontier(spark, n_urls, n_hosts=10_000, skew=3.0)
+    # seen set: half of the URL space, materialized like a prior
+    # generation's snapshot would be
+    seen = (
+        frontier.filter(F.col("id") % 2 == 0)
+        .select(F.xxhash64(canonicalize(F.col("url"))).alias("seen_key"),
+                F.col("url").alias("seen_url"))
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.time()
+    cand = frontier.withColumn("url", F.trim("url")).withColumn(
+        "url_key", F.xxhash64(canonicalize(F.col("url")))
+    )
+    new = cand.join(
+        seen,
+        (cand["url_key"] == seen["seen_key"]) & (cand["url"] == seen["seen_url"]),
+        "left_anti",
+    )
+    n_new = new.count()
+    dt = time.time() - t0
+    return {"n_urls": n_urls, "n_new": n_new, "sec": round(dt, 3),
+            "urls_per_sec": round(n_urls / dt)}
+
+
+def run_bench(cpus: int, include_queries: bool = True) -> dict:
+    from flyscrape_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="flyscrape-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    out: dict = {"cpus": cpus, "sf": SF_DIR}
+    out["frontier"] = frontier_kernel(spark, N_URLS)
+
+    if include_queries:
+        import __spark_entry__ as entrymod
+
+        queries = entrymod.queries()
+        qtimes = {}
+        for name in HEADLINE_QUERIES:
+            t0 = time.time()
+            queries[name](spark, SF_DIR).count()
+            qtimes[name] = round(time.time() - t0, 3)
+        out["queries"] = qtimes
+    spark.stop()
+    return out
+
+
+def main():
+    if "--worker" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--worker") + 1])
+        result = run_bench(cpus, include_queries=False)
+        print("WORKER_JSON:" + json.dumps(result))
+        return
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for cpus in (8, 32):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--worker", str(cpus)],
+                capture_output=True, text=True, timeout=1800,
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("WORKER_JSON:")]
+            results[cpus] = json.loads(line[0][len("WORKER_JSON:"):])
+        tp8 = results[8]["frontier"]["urls_per_sec"]
+        tp32 = results[32]["frontier"]["urls_per_sec"]
+        eff = (tp32 / tp8) / 4.0
+        report = {
+            "local8_urls_per_sec": tp8,
+            "local32_urls_per_sec": tp32,
+            "speedup_8_to_32": round(tp32 / tp8, 3),
+            "scaling_efficiency_Nto4N": round(eff, 3),
+            "n_urls": N_URLS,
+        }
+        print(json.dumps(report, indent=2))
+        return
+
+    t0 = time.time()
+    result = run_bench(CPUS, include_queries=True)
+    total = round(time.time() - t0, 3)
+    qsum = round(sum(result.get("queries", {}).values()), 3)
+    print(json.dumps({
+        "metric": "frontier dedup throughput + headline query latency",
+        "value": qsum,
+        "unit": "sec",
+        "queries": result.get("queries", {}),
+        "sf": SF_DIR,
+        "frontier_urls_per_sec": result["frontier"]["urls_per_sec"],
+        "frontier_n_urls": result["frontier"]["n_urls"],
+        "cpus": CPUS,
+        "total_wall_sec": total,
+    }))
+
+
+if __name__ == "__main__":
+    main()

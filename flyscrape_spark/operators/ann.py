@@ -19,8 +19,10 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _dot(a, b):
+    # cast BEFORE multiplying: float*float would round in fp32 and
+    # diverge from the double-precision DuckDB oracle
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -28,7 +30,9 @@ def _dot(a, b):
 
 def _norm(a):
     return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double"))
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
     )
 
 

@@ -166,8 +166,7 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
         tokens.select("doc_id", "th", bit)
         .withColumn(
             "vote",
-            F.when(F.shiftright(F.col("th"), F.col("bit")).bitwiseAND(F.lit(1)) == 1,
-                   F.lit(1)).otherwise(F.lit(-1)),
+            F.when(F.expr("(th >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
         )
         .groupBy("doc_id", "bit")
         .agg(F.sum("vote").alias("votes"))
@@ -175,8 +174,8 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     return (
         per_bit.withColumn(
             "bitval",
-            F.when(F.col("votes") > 0,
-                   F.shiftleft(F.lit(1).cast("bigint"), F.col("bit"))).otherwise(F.lit(0)),
+            F.when(F.col("votes") > 0, F.expr("CAST(1 AS BIGINT) << bit"))
+            .otherwise(F.lit(0).cast("bigint")),
         )
         .groupBy("doc_id")
         .agg(F.sum("bitval").alias("simhash"))

@@ -1,0 +1,123 @@
+"""Per-host politeness: salted host partitioning + token-bucket
+pacing.
+
+The reference rate-limits *globally* — one ticker for the whole
+process (/root/reference/modules/ratelimit/ratelimit.go:36-75). At
+cluster scale the budget must be enforced per host, locally to a task,
+with no cross-executor coordination (north_rule). The construction:
+
+1. ``host_fanout`` — from the generation's host histogram, give each
+   hot host k shards (k = ceil(count / shard_target), capped), so the
+   heaviest host's partitions stay under 2x the median partition
+   (north_star skew bound). Cold hosts get k=1.
+2. ``with_shards`` — shard assignment is ``xxhash64(url) % k``:
+   deterministic, uniform within a host.
+3. ``schedule`` — repartition by (host, shard); each task owns a host
+   shard exclusively, so a local token bucket at rate/k per shard
+   enforces the global per-host rate without coordination. The
+   scheduler emits a virtual ``fetch_time`` (seconds into the
+   generation) per row; a real HTTP transport awaits these offsets, a
+   test transport asserts the spacing.
+
+Everything except the per-group pacing is built-in DataFrame ops; the
+pacing itself is an applyInPandas over (host, shard) groups — Arrow
+batched, one Python call per host shard.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def host_fanout(
+    frontier: DataFrame, shard_target: int | None = None, max_fanout: int = 64
+) -> DataFrame:
+    """(host, fanout): shards per host from this generation's counts.
+
+    With ``shard_target=None`` the target rows-per-shard is the MEDIAN
+    host size of the generation, which is what makes the north_star
+    skew bound hold by construction: every hot host splits into shards
+    of ~median rows, so max-partition/median-partition ~ 1. At
+    10^10-URL scale the histogram comes from the previous generation's
+    lineage metrics (SnapshotStore manifests) rather than a live count.
+    """
+    counts = frontier.groupBy("host").agg(F.count("*").alias("n"))
+    if shard_target is None:
+        med = counts.agg(
+            F.greatest(F.expr("percentile_approx(n, 0.5)"), F.lit(1)).alias("target")
+        )
+        counts = counts.crossJoin(F.broadcast(med))
+    else:
+        counts = counts.withColumn("target", F.lit(shard_target))
+    return counts.select(
+        "host",
+        F.least(
+            F.ceil(F.col("n") / F.col("target")).cast("int"), F.lit(max_fanout)
+        ).alias("fanout"),
+        F.col("n").alias("host_rows"),
+    )
+
+
+def with_shards(frontier: DataFrame, fanout: DataFrame) -> DataFrame:
+    """Attach (fanout, shard) — shard = xxhash64(url) % fanout.
+    The fanout table is one row per distinct host: broadcast it."""
+    return frontier.join(F.broadcast(fanout), "host").withColumn(
+        "shard", F.pmod(F.xxhash64("url"), F.col("fanout")).cast("int")
+    )
+
+
+def schedule(
+    frontier: DataFrame,
+    rate_per_min: float,
+    shard_target: int | None = None,
+    max_fanout: int = 64,
+) -> DataFrame:
+    """Assign a virtual fetch_time (sec) per row such that requests to
+    any single host are spaced >= 60/rate seconds globally, even though
+    the host's rows span ``fanout`` independent tasks: each shard paces
+    at rate/fanout and offsets its start by shard/(rate) so shards
+    interleave instead of colliding."""
+    fan = host_fanout(frontier, shard_target, max_fanout)
+    sharded = with_shards(frontier, fan)
+    out_schema = sharded.schema.add("fetch_time", "double")
+    interval_global = 60.0 / rate_per_min
+
+    def pace(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        _, shard = key
+        fanout = int(pdf["fanout"].iloc[0])
+        interval = interval_global * fanout  # this shard's budget share
+        offset = interval_global * shard     # interleave shards
+        pdf = pdf.sort_values("discovery_order") if "discovery_order" in pdf else pdf
+        pdf = pdf.reset_index(drop=True)
+        pdf["fetch_time"] = offset + pdf.index.to_series() * interval
+        return pdf
+
+    return (
+        sharded.repartition(F.col("host"), F.col("shard"))
+        .groupBy("host", "shard")
+        .applyInPandas(pace, schema=out_schema)
+    )
+
+
+def partition_skew(frontier_with_shards: DataFrame) -> dict:
+    """max/median rows across (host, shard) partitions — the
+    north_star bound is max < 2x median for the heaviest host."""
+    sizes = [
+        r["n"]
+        for r in frontier_with_shards.groupBy("host", "shard")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    sizes.sort()
+    if not sizes:
+        return {"max": 0, "median": 0, "ratio": 0.0}
+    median = sizes[len(sizes) // 2]
+    return {
+        "max": sizes[-1],
+        "median": median,
+        "ratio": round(sizes[-1] / max(median, 1), 3),
+        "n_partitions": len(sizes),
+    }

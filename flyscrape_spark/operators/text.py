@@ -52,10 +52,13 @@ def lang_id(documents: DataFrame) -> DataFrame:
     set; argmax with fixed tie order (de > en > es > fr alphabetical).
     Deterministic and SQL-twinnable."""
     toks = F.split(normalized_text(), " ")
-    scores = {
-        lang: F.size(F.filter(toks, lambda t, m=markers: t.isin(m)))
-        for lang, markers in LANG_MARKERS.items()
-    }
+
+    def _hits(markers):
+        m = list(markers)  # bind by closure; a 2-arg lambda would make
+        # F.filter pass the element index as the second parameter
+        return F.size(F.filter(toks, lambda t: t.isin(m)))
+
+    scores = {lang: _hits(markers) for lang, markers in LANG_MARKERS.items()}
     langs = sorted(scores)  # alphabetical tie-break
     pred = F.lit("unknown")
     best = F.lit(0)

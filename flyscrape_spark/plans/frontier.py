@@ -140,7 +140,7 @@ class CrawlEngine:
         valid = validators(config, seed_urls, seed_hosts)
 
         start_gen = 0
-        seen = spark.createDataFrame([], SEEN_SCHEMA)
+        seen_frames: list[DataFrame] = []
         result_frames: list[DataFrame] = []
         metrics: list[dict] = []
         next_order = 0
@@ -148,7 +148,20 @@ class CrawlEngine:
         if self.checkpoint is not None:
             resumed = self.checkpoint.resume(spark)
             if resumed is not None:
-                seen, candidates, result_frames, metrics, start_gen, next_order = resumed
+                (seen_frames, resumed_cands, result_frames,
+                 metrics, start_gen, next_order) = resumed
+                candidates = (
+                    resumed_cands if resumed_cands is not None
+                    else spark.createDataFrame([], CAND_SCHEMA)
+                )
+
+        def current_seen() -> DataFrame:
+            if not seen_frames:
+                return spark.createDataFrame([], SEEN_SCHEMA)
+            out = seen_frames[0]
+            for frame in seen_frames[1:]:
+                out = out.unionByName(frame)
+            return out
 
         gen = start_gen
         while gen < self.max_generations:
@@ -176,6 +189,7 @@ class CrawlEngine:
             # 3. global dedup: anti-join the accumulated seen set.
             #    Runtime bloom-filter pruning (session.py) prefilters;
             #    (url_key, url) equality keeps it collision-exact.
+            seen = current_seen()
             seen_keys = seen.select(
                 F.col("url_key").alias("seen_key"), F.col("url").alias("seen_url")
             )
@@ -206,8 +220,11 @@ class CrawlEngine:
                 break
             next_order += n_enqueued
 
-            # 5. mark seen AT ENQUEUE (scrape.go:276-285) — before validators
-            seen = self._materialize(seen.unionByName(enqueued), "seen", gen)
+            # 5. mark seen AT ENQUEUE (scrape.go:276-285) — before
+            # validators. The seen set accumulates as per-generation
+            # frontier increments (never rewritten); the anti-join
+            # above scans their union.
+            seen_frames.append(enqueued)
 
             # 6. validators run at fetch time (scrape.go:162-168);
             #    depth is generation-constant (modules/depth/depth.go:26-28)
@@ -257,6 +274,9 @@ class CrawlEngine:
             }
             metrics.append(gen_metrics)
             if self.checkpoint is not None:
+                # publish the generation atomically: frontier + fetched
+                # + next-gen links all committed, then the manifest
+                links = self.checkpoint.commit(links, "links", gen)
                 self.checkpoint.commit_meta(gen, gen_metrics, next_order)
 
             candidates = links
@@ -269,7 +289,12 @@ class CrawlEngine:
         if results is None:
             results = spark.createDataFrame([], self._empty_results_schema())
 
-        return CrawlResult(seen=seen, results=results, generations=gen, metrics=metrics)
+        # current_seen(), not the loop-local binding: when the loop
+        # exits via max_generations the in-loop `seen` predates the
+        # final generation's append
+        return CrawlResult(
+            seen=current_seen(), results=results, generations=gen, metrics=metrics
+        )
 
     def _empty_results_schema(self) -> StructType:
         fields = [

@@ -1,0 +1,493 @@
+"""Driver-contract queries: every implemented operator exposed as
+``(spark, sf_dir) -> DataFrame`` with (where SQL-expressible) a DuckDB
+oracle that reproduces it bit-for-bit.
+
+The crawl queries run over a deterministic synthetic web derived from
+the ``documents`` testdata table (TESTDATA.md): doc i lives at
+``http://h{i%13}.example/d/{i}`` and links to docs ``(2i+1)%N`` and
+``(3i+2)%N`` — so the BFS frontier, host distribution and dedup
+behavior are all reproducible in pure SQL (recursive CTE) while the
+Spark side exercises the REAL engine end-to-end: fetch-by-join, HTML
+parsing UDF, link resolution, anti-join dedup, generation loop.
+
+Cross-engine exactness rules used throughout:
+- hashes: portable md5-prefix hash (functions/hashing.py)
+- floats: cast to double BEFORE arithmetic, round(…, 4) at the end
+- every computed column aliased identically on both sides
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flyscrape_spark.config import CrawlConfig
+from flyscrape_spark.functions.hashing import portable_hash64, portable_hash64_sql
+from flyscrape_spark.functions.urls import canonicalize, canonicalize_sql, host_of
+from flyscrape_spark.operators import ann, dedup, text as text_ops
+from flyscrape_spark.plans.frontier import CrawlEngine
+from flyscrape_spark.sources.transport import JoinTransport
+
+GRAPH_HOSTS = 13
+BFS_DEPTH = 6
+STOPWORDS_SQL = "['" + "', '".join(text_ops.STOPWORDS_EN) + "']"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ------------------------------------------------------- synthetic web
+
+def _doc_url(c) -> F.Column:
+    return F.concat(
+        F.lit("http://h"), (c % GRAPH_HOSTS).cast("string"),
+        F.lit(".example/d/"), c.cast("string"),
+    )
+
+
+def _doc_url_sql(expr: str) -> str:
+    return f"'http://h' || ({expr} % {GRAPH_HOSTS}) || '.example/d/' || {expr}"
+
+
+def synthetic_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> pages(url, host, status, html): each page embeds
+    its text and two outlinks (2i+1)%N, (3i+2)%N."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    i = F.col("doc_id")
+    return docs.select(
+        _doc_url(i).alias("url"),
+        F.concat(F.lit("h"), (i % GRAPH_HOSTS).cast("string"), F.lit(".example")).alias("host"),
+        F.lit(200).alias("status"),
+        F.concat(
+            F.lit("<html><body><p>"), F.col("text"),
+            F.lit('</p><a href="'), _doc_url((2 * i + 1) % n),
+            F.lit('">a</a><a href="'), _doc_url((3 * i + 2) % n),
+            F.lit('">b</a></body></html>'),
+        ).alias("html"),
+    )
+
+
+# ------------------------------------------------------- crawl queries
+
+def q_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine BFS from doc 0 to depth 6: the flagship crawl.
+    Output = fetched URL set with first-discovery (=min) depth."""
+    config = CrawlConfig(depth=BFS_DEPTH, domain_filter=False)
+    pages = synthetic_pages(spark, sf_dir)
+    engine = CrawlEngine(spark, config, JoinTransport(pages, config))
+    result = engine.run([f"http://h0.example/d/0"])
+    return (
+        result.seen.filter(F.col("depth") <= BFS_DEPTH)
+        .select("url", F.col("depth").cast("int").alias("depth"))
+    )
+
+
+def sql_crawl_bfs() -> str:
+    return f"""
+WITH RECURSIVE n AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (2*doc_id+1) % n.n AS dst FROM documents, n
+  UNION ALL
+  SELECT doc_id, (3*doc_id+2) % n.n FROM documents, n
+),
+bfs(id, depth) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, b.depth+1 FROM bfs b JOIN edges e ON e.src = b.id
+  WHERE b.depth < {BFS_DEPTH}
+)
+SELECT {_doc_url_sql('id')} AS url, CAST(min(depth) AS INT) AS depth
+FROM bfs GROUP BY id
+"""
+
+
+def q_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host URL counts over the synthetic frontier — the skew /
+    politeness statistic (host extracted JVM-side via parse_url)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(host_of(_doc_url(F.col("doc_id"))).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_urls"))
+    )
+
+
+def sql_host_counts() -> str:
+    return (
+        f"SELECT 'h' || (doc_id % {GRAPH_HOSTS}) || '.example' AS host, "
+        "count(*) AS n_urls FROM documents GROUP BY 1"
+    )
+
+
+def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One frontier expansion step in isolation: seeds = docs with
+    doc_id%97==0; candidates = their outlinks; new = candidates not in
+    the seed set (the URL-seen anti-join with the portable hash key)."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    i = F.col("doc_id")
+    seeds = docs.filter(i % 97 == 0).select(_doc_url(i).alias("url"))
+    cands = (
+        docs.filter(i % 97 == 0)
+        .select(F.explode(F.array(_doc_url((2 * i + 1) % n),
+                                  _doc_url((3 * i + 2) % n))).alias("url"))
+        .distinct()
+    )
+    return (
+        cands.join(seeds, "url", "left_anti")
+        .select("url", portable_hash64(F.col("url")).alias("url_key"))
+    )
+
+
+def sql_seen_antijoin() -> str:
+    u1 = _doc_url_sql("(2*doc_id+1) % n.n")
+    u2 = _doc_url_sql("(3*doc_id+2) % n.n")
+    return f"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+seeds AS (SELECT {_doc_url_sql('doc_id')} AS url FROM documents WHERE doc_id % 97 = 0),
+cands AS (
+  SELECT DISTINCT url FROM (
+    SELECT {u1} AS url FROM documents, n WHERE doc_id % 97 = 0
+    UNION ALL
+    SELECT {u2} FROM documents, n WHERE doc_id % 97 = 0
+  )
+)
+SELECT url, {portable_hash64_sql('url')} AS url_key
+FROM cands WHERE url NOT IN (SELECT url FROM seeds)
+"""
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-3986-lite canonicalization of deterministically messy URLs
+    (uppercase scheme/host, default port, fragments, whitespace)."""
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    messy = F.concat(
+        F.lit("  HTTP://H"), (i % GRAPH_HOSTS).cast("string"),
+        F.lit(".EXAMPLE:80/d/"), i.cast("string"),
+        F.when(i % 5 == 0, F.concat(F.lit("?q="), i.cast("string"))).otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        F.lit(" "),
+    )
+    return docs.select("doc_id", canonicalize(messy).alias("canonical_url"))
+
+
+def sql_url_canonicalize() -> str:
+    messy = (
+        f"'  HTTP://H' || (doc_id % {GRAPH_HOSTS}) || '.EXAMPLE:80/d/' || doc_id "
+        "|| (CASE WHEN doc_id % 5 = 0 THEN '?q=' || doc_id ELSE '' END) "
+        "|| (CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END) || ' '"
+    )
+    return (
+        f"SELECT doc_id, {canonicalize_sql(messy)} AS canonical_url FROM documents"
+    )
+
+
+# ------------------------------------------------------- dedup / text
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+def sql_dedup_exact() -> str:
+    return f"""
+SELECT {portable_hash64_sql(_NORM_SQL)} AS content_hash,
+       min(doc_id) AS representative, count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.fingerprint(load(spark, sf_dir, "documents"))
+
+
+def sql_fingerprint() -> str:
+    return (
+        f"SELECT doc_id, {portable_hash64_sql(_NORM_SQL)} AS fingerprint FROM documents"
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.text_quality(load(spark, sf_dir, "documents"))
+
+
+def sql_text_quality() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, string_split({_NORM_SQL}, ' ') AS toks,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+  CAST(CASE WHEN trim(text) = '' THEN 0
+       ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+  round(n_chars / greatest(CAST(len(toks) AS DOUBLE), 1.0), 4) AS mean_token_len,
+  round((n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+        / greatest(n_chars, 1.0), 4) AS punct_ratio,
+  round(CAST(len(list_filter(toks, t -> list_contains({STOPWORDS_SQL}, t))) AS DOUBLE)
+        / greatest(CAST(len(toks) AS DOUBLE), 1.0), 4) AS stopword_ratio
+FROM base
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.lang_id(load(spark, sf_dir, "documents"))
+
+
+def sql_lang_id() -> str:
+    score = {
+        lang: (
+            "len(list_filter(toks, t -> list_contains(['"
+            + "', '".join(markers) + "'], t)))"
+        )
+        for lang, markers in text_ops.LANG_MARKERS.items()
+    }
+    pred, best = "'unknown'", "0"
+    for lang in sorted(score):
+        s = score[lang]
+        pred = f"CASE WHEN {s} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"CASE WHEN {s} > {best} THEN {s} ELSE {best} END"
+    return f"""
+WITH base AS (SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS toks FROM documents)
+SELECT doc_id, lang AS lang_true, {pred} AS lang_pred FROM base
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(load(spark, sf_dir, "documents"), num_hashes=16, n=3)
+
+
+def sql_minhash_signatures(num_hashes: int = 16, n: int = 3) -> str:
+    aggs = []
+    for i in range(num_hashes):
+        h = portable_hash64_sql(f"'{i}:' || shingle")
+        aggs.append(f"min({h}) AS mh_{i}")
+    agg_sql = ",\n  ".join(aggs)
+    return f"""
+WITH words AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_transform(
+      range(0, greatest(len(w)-{n}, 0)+1),
+      i -> array_to_string(w[i+1:i+{n}], ' ')))) AS shingle
+  FROM words
+)
+SELECT doc_id, {agg_sql} FROM sh GROUP BY doc_id
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load(spark, sf_dir, "documents"), bits=16)
+
+
+def sql_simhash(bits: int = 16) -> str:
+    h = portable_hash64_sql("token")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token FROM documents
+),
+hashed AS (SELECT doc_id, {h} AS th FROM toks),
+per_bit AS (
+  SELECT doc_id, t.bit,
+         sum(CASE WHEN ((th >> t.bit) & 1) = 1 THEN 1 ELSE -1 END) AS votes
+  FROM hashed, range(0, {bits}) t(bit)
+  GROUP BY doc_id, t.bit
+)
+SELECT doc_id,
+       sum(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS simhash
+FROM per_bit GROUP BY doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.2, max_shingle_freq=100
+    )
+
+
+def sql_ngram_jaccard(n: int = 3, threshold: float = 0.2, max_freq: int = 100) -> str:
+    h = portable_hash64_sql("shingle")
+    return f"""
+WITH words AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+idx0 AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_transform(
+      range(0, greatest(len(w)-{n}, 0)+1),
+      i -> array_to_string(w[i+1:i+{n}], ' ')))) AS shingle
+  FROM words
+),
+idx AS (SELECT doc_id, {h} AS shingle_hash FROM idx0),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM idx GROUP BY doc_id),
+freq AS (SELECT shingle_hash FROM idx GROUP BY shingle_hash HAVING count(*) <= {max_freq}),
+filtered AS (SELECT i.doc_id, i.shingle_hash FROM idx i JOIN freq USING (shingle_hash)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersection
+  FROM filtered a JOIN filtered b
+    ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  round(CAST(intersection AS DOUBLE)
+        / (sa.n_shingles + sb.n_shingles - intersection), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(intersection AS DOUBLE)
+      / (sa.n_shingles + sb.n_shingles - intersection) >= {threshold}
+"""
+
+
+# ------------------------------------------------------- similarity
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    joined = emb.crossJoin(F.broadcast(qv))
+    return (
+        joined.select(
+            "vec_id",
+            F.round(
+                ann._dot(F.col("embedding"), F.col("qv"))
+                / (ann._norm(F.col("embedding")) * ann._norm(F.col("qv"))),
+                4,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def sql_ann_cosine_topk() -> str:
+    return """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+z AS (
+  SELECT e.vec_id, unnest(e.embedding) AS ev, unnest(q.qv) AS qe
+  FROM embeddings e, q
+),
+parts AS (
+  SELECT vec_id,
+    sum(CAST(ev AS DOUBLE) * CAST(qe AS DOUBLE)) AS dot,
+    sum(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS na,
+    sum(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE)) AS nb
+  FROM z GROUP BY vec_id
+)
+SELECT vec_id, round(dot/(sqrt(na)*sqrt(nb)), 4) AS cosine FROM parts
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+# ------------------------------------------------------- events / tpch
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_new = events.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return with_new.groupBy("user_id").agg(
+        F.sum("is_new").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+def sql_events_sessionize() -> str:
+    return """
+WITH g AS (
+  SELECT user_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, sum(is_new) AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation over lineitem."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def sql_pricing_summary() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(avg(l_discount), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join orders->customer, revenue per market segment."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer),
+                    orders["o_custkey"] == customer["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def sql_segment_revenue() -> str:
+    return """
+SELECT c_mktsegment,
+  round(sum(o_totalprice), 2) AS total_revenue,
+  count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------- rows-only (non-SQL) ops
+
+def q_interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-parse the synthetic pages with the production UDF and
+    explode to one row per span — the input_hint payload shape.
+    (HTML parsing is not SQL-expressible; pinned instead by pytest
+    span-equality tests against the sequential oracle.)"""
+    from flyscrape_spark.parse.udfs import parse_spans_udf
+
+    pages = synthetic_pages(spark, sf_dir)
+    return (
+        pages.select(F.col("url").alias("doc_id"), parse_spans_udf("html").alias("spans"))
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id", F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"), F.col("s.offset").alias("offset"),
+        )
+    )
+
+
+def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH (signed-random-projection) bucketed ANN — the scale path
+    for similarity search; candidates restricted to the query bucket."""
+    emb = load(spark, sf_dir, "embeddings")
+    query_vec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    return ann.srp_topk(emb, list(query_vec), k=10, num_planes=8)

@@ -1,0 +1,158 @@
+"""Operator tests: sinks, multimodal plumbing, nested scrape, and the
+dedup/text/ann operator family (semantics pinned here; cross-engine
+value equality is pinned by tools/check_oracles.py against DuckDB)."""
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from flyscrape_spark.config import CrawlConfig
+from flyscrape_spark.plans.frontier import CrawlEngine
+from flyscrape_spark.sources.fixtures import SCENARIOS
+from flyscrape_spark.sources.transport import JoinTransport
+
+
+# ------------------------------------------------------------------ sinks
+
+def test_json_sinks(spark, tmp_path):
+    from flyscrape_spark.operators.sinks import to_json_array, write_ndjson
+    from flyscrape_spark.parse.udfs import make_extract_udf
+
+    scenario = SCENARIOS["extract_basic"]
+    udf = make_extract_udf({"headline": ("h1", "text")})
+    result = CrawlEngine(
+        spark, scenario.config, scenario.transport(spark), extract_udf=udf
+    ).run(scenario.seeds)
+
+    arr = json.loads(to_json_array(result.results))
+    assert len(arr) == 1
+    assert arr[0]["url"] == "https://localhost/"
+    assert arr[0]["data"]["headline"] == "headline"
+    assert arr[0]["error"] is None and arr[0]["timestamp"]
+
+    out = str(tmp_path / "ndjson")
+    write_ndjson(result.results, out)
+    back = spark.read.json(out)
+    assert back.count() == 1
+    assert set(back.columns) >= {"url", "data"}
+
+
+def test_sink_skips_empty_rows(spark):
+    # json.go:67-69: rows with neither data nor error are skipped
+    from flyscrape_spark.operators.sinks import to_json_array
+
+    scenario = SCENARIOS["extract_basic"]
+    result = CrawlEngine(
+        spark, scenario.config, scenario.transport(spark)  # no extract udf
+    ).run(scenario.seeds)
+    assert json.loads(to_json_array(result.results)) == []
+
+
+# ------------------------------------------------------------- multimodal
+
+def test_media_pipeline(spark):
+    from flyscrape_spark.operators.multimodal import (
+        extract_features,
+        media_from_results,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("http://m.test/", "m.test", 200,
+             '<img src="/a.png"><img src="/b.png"><a href="/p2">n</a>'),
+            ("http://m.test/p2", "m.test", 200, '<img src="/a.png">'),
+        ],
+        "url string, host string, status int, html string",
+    )
+    config = CrawlConfig(depth=1)
+    result = CrawlEngine(spark, config, JoinTransport(pages, config)).run(
+        ["http://m.test/"]
+    )
+    media = media_from_results(result.results)
+    refs = sorted(r["media_ref"] for r in media.collect())
+    assert refs == ["/a.png", "/b.png"]  # deduped across pages
+
+    feats = extract_features(media)
+    rows = {r["media_ref"]: r for r in feats.collect()}
+    assert rows["/a.png"]["byte_len"] > 0
+    assert rows["/a.png"]["width"] >= 16 and rows["/a.png"]["height"] >= 16
+    # deterministic
+    rows2 = {r["media_ref"]: r for r in extract_features(media).collect()}
+    assert rows == rows2
+
+
+# ----------------------------------------------------------- nested scrape
+
+def test_nested_scrape(spark):
+    """js_test.go:205-261: child fetched+extracted inline, resolved
+    against the parent URL; child NOT in seen/frontier."""
+    from flyscrape_spark.parse.udfs import make_extract_udf
+    from flyscrape_spark.plans.nested import scrape_children
+
+    pages = spark.createDataFrame(
+        [
+            ("http://localhost/", "localhost", 200,
+             '<h1>parent</h1><span class="ref">/foo</span>'),
+            ("http://localhost/foo", "localhost", 200, "<h1>child</h1>"),
+        ],
+        "url string, host string, status int, html string",
+    )
+    config = CrawlConfig(depth=0, domain_filter=False)
+    transport = JoinTransport(pages, config)
+    result = CrawlEngine(spark, config, transport).run(["http://localhost/"])
+
+    # child never entered seen/frontier (scrape.go:224-268 skips
+    # ReceiveResponse for processImmediate)
+    assert {r["url"] for r in result.seen.collect()} == {"http://localhost/"}
+
+    parents = result.results.withColumn("child_ref", F.lit("/foo"))
+    child_udf = make_extract_udf({"title": ("h1", "text")})
+    nested = scrape_children(parents, "child_ref", transport, child_udf)
+    row = nested.collect()[0]
+    assert row["child_url"] == "http://localhost/foo"
+    assert json.loads(row["child_data"])["title"] == "child"
+    assert row["child_error"] is None
+
+
+# ------------------------------------------------------ dedup/ann behavior
+
+def test_exact_dedup_groups(spark):
+    from flyscrape_spark.operators.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    groups = {r["representative"]: r["dup_count"] for r in exact_dedup(docs).collect()}
+    assert groups == {1: 2, 3: 1}  # normalization folds case+whitespace
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from flyscrape_spark.operators.dedup import minhash_lsh_candidates
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra tail"),      # near-dup of 1
+            (3, "completely different content about spark shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_candidates(docs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_srp_topk_contains_query(spark):
+    from flyscrape_spark.operators.ann import srp_topk
+
+    import math
+
+    vecs = [(i, [math.sin(i * d + 1) for d in range(8)]) for i in range(50)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    qv = vecs[7][1]
+    top = srp_topk(emb, qv, k=5, num_planes=4)
+    rows = top.collect()
+    assert rows[0]["vec_id"] == 7 and rows[0]["cosine"] == 1.0
