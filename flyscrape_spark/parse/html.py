@@ -224,7 +224,10 @@ def extract_spans(html: str) -> list[dict]:
     belongs to its link span (not duplicated as text spans); media
     inside anchors still emit their own span.
     """
-    root = parse_html(html)
+    return spans_from_root(parse_html(html))
+
+
+def spans_from_root(root: Node) -> list[dict]:
     spans: list[dict] = []
 
     def walk(node: Node, inside_link: bool) -> None:
@@ -269,7 +272,10 @@ def extract_links(html: str, origin: str, selectors: list[str]) -> list[str]:
     (RFC 3986), keep only http/https(/empty-scheme) results, dedup
     first-seen across ALL selectors preserving order.
     """
-    root = parse_html(html)
+    return links_from_root(parse_html(html), origin, selectors)
+
+
+def links_from_root(root: Node, origin: str, selectors: list[str]) -> list[str]:
     seen: set[str] = set()
     links: list[str] = []
     for selector in selectors:

@@ -62,6 +62,40 @@ def make_link_udf(selectors: list[str]):
     return link_udf
 
 
+def make_page_udf(selectors: list[str]):
+    """Parse-once page UDF: one HTML parse yields BOTH the interleaved
+    span payload and the followed links (struct<spans, links>). The
+    generation loop materializes this struct at the per-generation
+    checkpoint, so each page body is parsed exactly once per crawl —
+    the reference parses once per page too (a single goquery document
+    feeds both the scrape function and followlinks,
+    /root/reference/scrape.go:170-221)."""
+    from flyscrape_spark.parse.html import links_from_root, parse_html, spans_from_root
+
+    sels = list(selectors)
+    page_type = StructType(
+        [
+            StructField("spans", SPAN_TYPE),
+            StructField("links", ArrayType(StringType())),
+        ]
+    )
+
+    @F.pandas_udf(page_type)
+    def page_udf(body: pd.Series, url: pd.Series) -> pd.DataFrame:
+        spans_out, links_out = [], []
+        for html, origin in zip(body, url):
+            if not html:
+                spans_out.append([])
+                links_out.append([])
+                continue
+            root = parse_html(html)
+            spans_out.append(spans_from_root(root))
+            links_out.append(links_from_root(root, origin, sels) if sels else [])
+        return pd.DataFrame({"spans": spans_out, "links": links_out})
+
+    return page_udf
+
+
 def make_extract_udf(spec: dict[str, tuple[str, str]]):
     """User-extraction analog of the reference's scrape script
     (js.go:155-246): ``spec`` maps field -> (selector, accessor) where

@@ -34,6 +34,7 @@ Scale design notes (100 TB / 10^10-URL frontier):
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field as dc_field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -48,7 +49,7 @@ from pyspark.sql.types import (
 
 from flyscrape_spark.config import CrawlConfig
 from flyscrape_spark.functions.urls import canonicalize, host_of
-from flyscrape_spark.parse.udfs import make_link_udf, parse_spans_udf
+from flyscrape_spark.parse.udfs import make_page_udf
 from flyscrape_spark.plans.filters import validators
 from flyscrape_spark.sources.transport import Transport
 from urllib.parse import urlparse
@@ -91,6 +92,7 @@ class CrawlEngine:
         keep_body: bool = False,
         checkpoint=None,  # optional SnapshotStore for resumable crawls
         max_generations: int = 1000,
+        small_generation_rows: int = 50_000,
     ):
         self.spark = spark
         self.config = config
@@ -100,7 +102,28 @@ class CrawlEngine:
         self.keep_body = keep_body
         self.checkpoint = checkpoint
         self.max_generations = max_generations
-        self.link_udf = make_link_udf(config.follow_selectors())
+        self.small_generation_rows = small_generation_rows
+        self.page_udf = make_page_udf(config.follow_selectors())
+
+    def _set_generation_mode(self, est_rows: int) -> None:
+        """Per-generation execution mode. BFS frontiers span 6+ orders
+        of magnitude across one crawl (1 seed -> millions of URLs); a
+        fixed physical config is wrong at one end or the other. Small
+        generations run latency-mode: AQE off (its stage-materialization
+        barriers cost ~1s/generation and buy nothing at these sizes)
+        and a handful of shuffle partitions. Large generations run
+        throughput-mode: AQE on (runtime coalescing, skew-join
+        splitting) with the session's full partition count. Both confs
+        are runtime-settable per Spark docs, so the engine flips them
+        between generations as the measured frontier size crosses the
+        threshold."""
+        conf = self.spark.conf
+        if est_rows < self.small_generation_rows:
+            conf.set("spark.sql.adaptive.enabled", "false")
+            conf.set("spark.sql.shuffle.partitions", "4")
+        else:
+            conf.set("spark.sql.adaptive.enabled", self._base_aqe)
+            conf.set("spark.sql.shuffle.partitions", self._base_parts)
 
     # -- helpers ----------------------------------------------------------
 
@@ -121,6 +144,15 @@ class CrawlEngine:
     # -- the loop ----------------------------------------------------------
 
     def run(self, seeds: list[str]) -> CrawlResult:
+        self._base_aqe = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        self._base_parts = self.spark.conf.get("spark.sql.shuffle.partitions", "32")
+        try:
+            return self._run(seeds)
+        finally:
+            self.spark.conf.set("spark.sql.adaptive.enabled", self._base_aqe)
+            self.spark.conf.set("spark.sql.shuffle.partitions", self._base_parts)
+
+    def _run(self, seeds: list[str]) -> CrawlResult:
         spark = self.spark
         config = self.config
 
@@ -164,7 +196,12 @@ class CrawlEngine:
             return out
 
         gen = start_gen
+        prev_enqueued = len(seed_rows)
         while gen < self.max_generations:
+            gen_t0 = time.time()
+            # candidate estimate = last generation's frontier x a
+            # conservative link fan-out bound; gen 0 = the seed list
+            self._set_generation_mode(max(prev_enqueued, 1) * 32)
             # 1. trim + drop empties (enqueueJob, scrape.go:270-274)
             cand = (
                 candidates.withColumn("url", F.trim("url"))
@@ -219,6 +256,7 @@ class CrawlEngine:
             if n_enqueued == 0:
                 break
             next_order += n_enqueued
+            prev_enqueued = n_enqueued
 
             # 5. mark seen AT ENQUEUE (scrape.go:276-285) — before
             # validators. The seen set accumulates as per-generation
@@ -234,11 +272,17 @@ class CrawlEngine:
                 fetchable = enqueued.filter(valid)
             fetchable = fetchable.withColumn("host", host_of("url"))
 
-            # 7-9. fetch + extract
+            # 7-9. fetch + parse-once extract: ONE HTML parse per page
+            # yields spans + links together (struct column), pinned by
+            # the generation checkpoint so the link fan-out below reads
+            # the materialized struct instead of re-parsing.
             fetched = self.transport.fetch(fetchable)
             fetched = fetched.withColumn(
-                "spans",
-                F.when(F.col("body").isNotNull(), parse_spans_udf("body")),
+                "parsed",
+                F.when(
+                    F.col("body").isNotNull(),
+                    self.page_udf(F.col("body"), F.col("url")),
+                ),
             )
             if self.extract_udf is not None:
                 fetched = fetched.withColumn(
@@ -259,9 +303,7 @@ class CrawlEngine:
                 fetched.filter(F.col("body").isNotNull())
                 .select(
                     F.col("discovery_order").alias("parent_order"),
-                    F.posexplode(self.link_udf(F.col("body"), F.col("url"))).alias(
-                        "pos", "url"
-                    ),
+                    F.posexplode("parsed.links").alias("pos", "url"),
                 )
                 .select("url", F.lit(gen + 1).cast("int").alias("depth"),
                         "parent_order", F.col("pos").cast("int"))
@@ -271,6 +313,7 @@ class CrawlEngine:
                 "generation": gen,
                 "enqueued": n_enqueued,
                 "fetched": fetched.count(),
+                "sec": round(time.time() - gen_t0, 3),
             }
             metrics.append(gen_metrics)
             if self.checkpoint is not None:
@@ -284,6 +327,8 @@ class CrawlEngine:
 
         results = None
         for frame in result_frames:
+            if "parsed" in frame.columns:
+                frame = frame.withColumn("spans", F.col("parsed.spans")).drop("parsed")
             frame = frame if self.keep_body else frame.drop("body")
             results = frame if results is None else results.unionByName(frame)
         if results is None:
@@ -309,7 +354,7 @@ class CrawlEngine:
         ]
         from flyscrape_spark.parse.udfs import SPAN_TYPE
 
-        fields.append(StructField("spans", SPAN_TYPE))
         if self.extract_udf is not None:
             fields.append(StructField("data", StringType()))
+        fields.append(StructField("spans", SPAN_TYPE))
         return StructType(fields)

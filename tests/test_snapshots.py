@@ -33,7 +33,8 @@ def test_checkpointed_equals_plain(spark, scenario, tmp_path):
         spark, scenario.config, scenario.transport(spark), checkpoint=store
     ).run(scenario.seeds)
     assert canonical(ck) == canonical(plain)
-    assert ck.metrics == plain.metrics
+    strip = lambda ms: [{k: v for k, v in m.items() if k != "sec"} for m in ms]
+    assert strip(ck.metrics) == strip(plain.metrics)
 
 
 def test_kill_and_resume_zero_refetch(spark, scenario, tmp_path):
@@ -60,7 +61,8 @@ def test_kill_and_resume_zero_refetch(spark, scenario, tmp_path):
     assert canonical(resumed) == canonical(full)
     # metrics = 2 replayed-from-manifest + only the NEW generations;
     # fetch work re-done is exactly the post-kill generations
-    assert resumed.metrics[:2] == full.metrics[:2]
+    strip = lambda ms: [{k: v for k, v in m.items() if k != "sec"} for m in ms]
+    assert strip(resumed.metrics[:2]) == strip(full.metrics[:2])
     new_gens = resumed.metrics[2:]
     assert [m["generation"] for m in new_gens] == [
         m["generation"] for m in full.metrics[2:]
