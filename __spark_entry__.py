@@ -29,6 +29,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seen_antijoin": Q.q_seen_antijoin,
         "url_canonicalize": Q.q_url_canonicalize,
         "host_counts": Q.q_host_counts,
+        "robots_filter": Q.q_robots_filter,
         "interleaved_spans": Q.q_interleaved_spans,
         # dedup suite
         "dedup_exact": Q.q_dedup_exact,
@@ -55,6 +56,7 @@ def oracle_sql() -> dict[str, str]:
         "seen_antijoin": Q.sql_seen_antijoin(),
         "url_canonicalize": Q.sql_url_canonicalize(),
         "host_counts": Q.sql_host_counts(),
+        "robots_filter": Q.sql_robots_filter(),
         # interleaved_spans: rows-only (HTML parse UDF; pytest-pinned)
         "dedup_exact": Q.sql_dedup_exact(),
         "minhash_signatures": Q.sql_minhash_signatures(),

@@ -46,6 +46,13 @@ class CrawlConfig:
     canonicalize: bool = False
     # max salt shards for a single hot host (politeness fan-out)
     max_host_fanout: int = 8
+    # RFC 9309 robots.txt compliance (north_rule; the reference has no
+    # robots support — engine-only capability). When on, each new host
+    # costs one robots.txt fetch and disallowed URLs are dropped at
+    # fetch time (they still enter the seen set, like any
+    # validator-dropped URL, scrape.go:276-285 semantics).
+    respect_robots: bool = False
+    user_agent: str = "flyscrape"
 
     def follow_selectors(self) -> list[str]:
         if self.follow is None:

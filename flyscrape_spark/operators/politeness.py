@@ -74,22 +74,36 @@ def schedule(
     rate_per_min: float,
     shard_target: int | None = None,
     max_fanout: int = 64,
+    host_delays: DataFrame | None = None,
 ) -> DataFrame:
     """Assign a virtual fetch_time (sec) per row such that requests to
     any single host are spaced >= 60/rate seconds globally, even though
     the host's rows span ``fanout`` independent tasks: each shard paces
     at rate/fanout and offsets its start by shard/(rate) so shards
-    interleave instead of colliding."""
+    interleave instead of colliding.
+
+    ``host_delays`` — optional (host, crawl_delay) table (e.g. the
+    robots.txt Crawl-delay cache from operators/robots.py); a host's
+    effective interval is max(60/rate, crawl_delay). Broadcast: one
+    row per distinct host."""
     fan = host_fanout(frontier, shard_target, max_fanout)
     sharded = with_shards(frontier, fan)
-    out_schema = sharded.schema.add("fetch_time", "double")
     interval_global = 60.0 / rate_per_min
+    if host_delays is not None:
+        sharded = sharded.join(
+            F.broadcast(host_delays.select("host", "crawl_delay")), "host", "left"
+        )
+    else:
+        sharded = sharded.withColumn("crawl_delay", F.lit(None).cast("double"))
+    out_schema = sharded.schema.add("fetch_time", "double")
 
     def pace(key, pdf: pd.DataFrame) -> pd.DataFrame:
         _, shard = key
         fanout = int(pdf["fanout"].iloc[0])
-        interval = interval_global * fanout  # this shard's budget share
-        offset = interval_global * shard     # interleave shards
+        delay = pdf["crawl_delay"].iloc[0]
+        base = max(interval_global, float(delay)) if pd.notna(delay) else interval_global
+        interval = base * fanout             # this shard's budget share
+        offset = base * shard                # interleave shards
         pdf = pdf.sort_values("discovery_order") if "discovery_order" in pdf else pdf
         pdf = pdf.reset_index(drop=True)
         pdf["fetch_time"] = offset + pdf.index.to_series() * interval

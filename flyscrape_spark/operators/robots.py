@@ -1,0 +1,209 @@
+"""robots.txt politeness (RFC 9309) — the north_rule's "politeness,
+robots" leg.
+
+The reference has NO robots.txt support (no module under
+/root/reference/modules/ touches robots); this engine adds it because
+a 10^10-URL crawl without robots compliance is not shippable. Design:
+
+- :func:`parse_robots` — pure-Python RFC 9309 group parser: the most
+  specific matching user-agent group wins ('*' fallback), Allow /
+  Disallow rules with ``*`` wildcards and ``$`` end anchors,
+  longest-pattern-match precedence, Allow wins length ties
+  (RFC 9309 §2.2.2). ``Crawl-delay`` (de-facto extension) is surfaced
+  so the politeness scheduler can tighten a host's budget.
+- :func:`robots_table` — hosts -> fetch ``/robots.txt`` through the
+  engine's Transport -> one (host, rules, crawl_delay) row per host.
+  Missing/error robots (4xx/no page) = allow-all, per RFC 9309 §2.3.1
+  ("unavailable" status); rules are pre-sorted by specificity at parse
+  time so the matcher is a first-match scan.
+- :func:`allowed_filter` — frontier x robots broadcast join + one
+  vectorized match UDF -> boolean ``robots_allowed`` column. Rules
+  ride as an array<struct<allow,pattern>> column; hosts without a
+  robots row pass.
+
+Scale shape: the robots table is one row per *host* (millions of rows
+at 10^10 URLs, still tiny next to the frontier) — broadcast when under
+the autoBroadcast threshold, shuffle-join on host otherwise; the match
+UDF is Arrow-batched, one regex-compile per distinct pattern per batch
+(LRU-cached process-wide).
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RULE_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("allow", BooleanType()),
+            StructField("pattern", StringType()),
+        ]
+    )
+)
+
+ROBOTS_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("rules", RULE_TYPE),
+        StructField("crawl_delay", DoubleType()),
+    ]
+)
+
+
+def parse_robots(body: str | None, agent: str = "*") -> tuple[list[dict], float | None]:
+    """Parse a robots.txt body for ``agent``.
+
+    Returns (rules, crawl_delay). Rules are dicts {allow, pattern},
+    sorted longest-pattern-first with Allow before Disallow on equal
+    length (RFC 9309 §2.2.2 precedence), so evaluation is first-match.
+    An unparseable / empty body yields ([], None) = allow-all.
+    """
+    if not body:
+        return [], None
+    agent = agent.lower()
+
+    # group lines by user-agent blocks
+    groups: list[tuple[list[str], list[tuple[str, str]]]] = []  # (agents, directives)
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, str]] = []
+    agents_open = False  # consecutive user-agent lines share one group
+
+    def flush():
+        nonlocal cur_agents, cur_rules
+        if cur_agents:
+            groups.append((cur_agents, cur_rules))
+        cur_agents, cur_rules = [], []
+
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if not agents_open:
+                flush()
+                agents_open = True
+            cur_agents.append(value.lower())
+        else:
+            agents_open = False
+            cur_rules.append((key, value))
+    flush()
+
+    # most specific agent group: longest user-agent token that is a
+    # prefix of ours (product-token match), else the '*' group
+    best: tuple[int, list[tuple[str, str]]] | None = None
+    star: list[tuple[str, str]] | None = None
+    for agents, directives in groups:
+        for a in agents:
+            if a == "*":
+                if star is None:
+                    star = directives
+            elif agent.startswith(a) and (best is None or len(a) > best[0]):
+                best = (len(a), directives)
+    directives = best[1] if best else (star if star is not None else [])
+
+    rules: list[dict] = []
+    crawl_delay: float | None = None
+    for key, value in directives:
+        if key in ("allow", "disallow"):
+            if value:
+                rules.append({"allow": key == "allow", "pattern": value})
+            # empty Disallow == allow-all (emit nothing)
+        elif key == "crawl-delay":
+            try:
+                crawl_delay = float(value)
+            except ValueError:
+                pass
+    rules.sort(key=lambda r: (-len(r["pattern"]), not r["allow"]))
+    return rules, crawl_delay
+
+
+@lru_cache(maxsize=4096)
+def _compile(pattern: str) -> re.Pattern:
+    """robots pattern -> anchored regex: '*' matches any run, a
+    trailing '$' anchors the end; everything else is literal."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    parts = [re.escape(p) for p in pattern.split("*")]
+    return re.compile("^" + ".*".join(parts) + ("$" if anchored else ""))
+
+
+def is_allowed(rules: list, path: str) -> bool:
+    """First (= most specific) matching rule decides; no match = allow.
+    Accepts dicts or Row-likes with .allow/.pattern."""
+    if not path:
+        path = "/"
+    for r in rules or []:
+        allow = r["allow"] if isinstance(r, dict) else r.allow
+        pattern = r["pattern"] if isinstance(r, dict) else r.pattern
+        if _compile(pattern).match(path):
+            return bool(allow)
+    return True
+
+
+@F.pandas_udf(ROBOTS_SCHEMA["rules"].dataType)
+def parse_rules_udf(body: pd.Series) -> pd.Series:
+    return body.map(lambda b: parse_robots(b)[0])
+
+
+@F.pandas_udf(DoubleType())
+def parse_delay_udf(body: pd.Series) -> pd.Series:
+    return body.map(lambda b: parse_robots(b)[1])
+
+
+def robots_table(hosts: DataFrame, transport, scheme: str = "http") -> DataFrame:
+    """hosts(host) -> (host, rules, crawl_delay) via one robots.txt
+    fetch per distinct host through the engine Transport."""
+    robots_frontier = hosts.select(
+        F.concat(F.lit(f"{scheme}://"), F.col("host"), F.lit("/robots.txt")).alias("url"),
+        F.col("host"),
+    )
+    fetched = transport.fetch(robots_frontier)
+    ok_body = F.when(
+        (F.col("status") >= 200) & (F.col("status") < 300), F.col("body")
+    )
+    return fetched.select(
+        "host",
+        parse_rules_udf(ok_body).alias("rules"),
+        parse_delay_udf(ok_body).alias("crawl_delay"),
+    )
+
+
+def allowed_filter(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """Add ``robots_allowed`` to a frontier that has (url, host)."""
+
+    @F.pandas_udf(BooleanType())
+    def match_udf(url: pd.Series, rules: pd.Series) -> pd.Series:
+        out = []
+        for u, rs in zip(url, rules):
+            if rs is None or len(rs) == 0:
+                out.append(True)
+                continue
+            # path+query, per RFC 9309 matching scope
+            m = re.match(r"^[a-z][a-z0-9+.-]*://[^/]*(.*)$", u, re.I)
+            path = m.group(1) if m else u
+            out.append(is_allowed(list(rs), path or "/"))
+        return pd.Series(out)
+
+    joined = frontier.join(
+        F.broadcast(robots.select("host", "rules")), "host", "left"
+    )
+    return joined.withColumn(
+        "robots_allowed", match_udf(F.col("url"), F.col("rules"))
+    ).drop("rules")

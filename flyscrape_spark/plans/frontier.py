@@ -49,6 +49,7 @@ from pyspark.sql.types import (
 
 from flyscrape_spark.config import CrawlConfig
 from flyscrape_spark.functions.urls import canonicalize, host_of
+from flyscrape_spark.operators.robots import allowed_filter, robots_table
 from flyscrape_spark.parse.udfs import make_page_udf
 from flyscrape_spark.plans.filters import validators
 from flyscrape_spark.sources.transport import Transport
@@ -79,6 +80,7 @@ class CrawlResult:
     results: DataFrame       # every fetched URL + spans/data/error
     generations: int
     metrics: list[dict] = dc_field(default_factory=list)
+    robots: DataFrame | None = None  # (host, rules, crawl_delay) cache, respect_robots mode
 
 
 class CrawlEngine:
@@ -173,6 +175,7 @@ class CrawlEngine:
 
         start_gen = 0
         seen_frames: list[DataFrame] = []
+        robots_frames: list[DataFrame] = []
         result_frames: list[DataFrame] = []
         metrics: list[dict] = []
         next_order = 0
@@ -272,6 +275,36 @@ class CrawlEngine:
                 fetchable = enqueued.filter(valid)
             fetchable = fetchable.withColumn("host", host_of("url"))
 
+            # 6b. robots.txt (RFC 9309, engine-only — north_rule): one
+            # robots fetch per NEWLY seen host, accumulated like the
+            # seen set; disallowed URLs are dropped here, at fetch
+            # time, exactly like any other validator.
+            if config.respect_robots:
+                hosts = fetchable.select("host").distinct()
+                if robots_frames:
+                    known = robots_frames[0]
+                    for rf in robots_frames[1:]:
+                        known = known.unionByName(rf)
+                    new_hosts = hosts.join(
+                        known.select("host"), "host", "left_anti"
+                    )
+                else:
+                    known = None
+                    new_hosts = hosts
+                fetched_robots = self._materialize(
+                    robots_table(new_hosts, self.transport), "robots", gen
+                )
+                robots_frames.append(fetched_robots)
+                robots_all = (
+                    known.unionByName(fetched_robots)
+                    if known is not None else fetched_robots
+                )
+                fetchable = (
+                    allowed_filter(fetchable, robots_all)
+                    .filter(F.col("robots_allowed"))
+                    .drop("robots_allowed")
+                )
+
             # 7-9. fetch + parse-once extract: ONE HTML parse per page
             # yields spans + links together (struct column), pinned by
             # the generation checkpoint so the link fan-out below reads
@@ -334,11 +367,16 @@ class CrawlEngine:
         if results is None:
             results = spark.createDataFrame([], self._empty_results_schema())
 
+        robots_all = None
+        for rf in robots_frames:
+            robots_all = rf if robots_all is None else robots_all.unionByName(rf)
+
         # current_seen(), not the loop-local binding: when the loop
         # exits via max_generations the in-loop `seen` predates the
         # final generation's append
         return CrawlResult(
-            seen=current_seen(), results=results, generations=gen, metrics=metrics
+            seen=current_seen(), results=results, generations=gen,
+            metrics=metrics, robots=robots_all,
         )
 
     def _empty_results_schema(self) -> StructType:

@@ -185,6 +185,40 @@ def sql_url_canonicalize() -> str:
     )
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots filtering over the synthetic frontier: host
+    h{k} publishes ``Disallow: /d/{k}`` (a prefix rule), so doc i on
+    host k is blocked iff str(i) starts with str(k). Runs the REAL
+    parse + match path (parse_rules_udf -> allowed_filter); the oracle
+    reproduces the prefix-match subset in SQL. Wildcard/$ rules are
+    pinned by tests/test_robots.py instead."""
+    from flyscrape_spark.operators.robots import allowed_filter, parse_rules_udf
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    host = F.concat(F.lit("h"), (i % GRAPH_HOSTS).cast("string"), F.lit(".example"))
+    frontier = docs.select(_doc_url(i).alias("url"), host.alias("host"))
+    robots = (
+        spark.range(GRAPH_HOSTS)
+        .select(
+            F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example")).alias("host"),
+            parse_rules_udf(
+                F.concat(F.lit("User-agent: *\nDisallow: /d/"), F.col("id").cast("string"))
+            ).alias("rules"),
+        )
+    )
+    return allowed_filter(frontier, robots).select("url", "robots_allowed")
+
+
+def sql_robots_filter() -> str:
+    return f"""
+SELECT {_doc_url_sql('doc_id')} AS url,
+       NOT starts_with(CAST(doc_id AS VARCHAR), CAST(doc_id % {GRAPH_HOSTS} AS VARCHAR))
+       AS robots_allowed
+FROM documents
+"""
+
+
 # ------------------------------------------------------- dedup / text
 
 _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
