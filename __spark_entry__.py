@@ -34,15 +34,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup suite
         "dedup_exact": Q.q_dedup_exact,
         "minhash_signatures": Q.q_minhash_signatures,
+        "lsh_near_dup": Q.q_lsh_near_dup,
         "simhash": Q.q_simhash,
         "ngram_jaccard": Q.q_ngram_jaccard,
+        "embedding_near_dup": Q.q_embedding_near_dup,
         # text analysis
         "fingerprint": Q.q_fingerprint,
         "text_quality": Q.q_text_quality,
+        "token_counts": Q.q_token_counts,
         "lang_id": Q.q_lang_id,
         # similarity search
         "ann_cosine_topk": Q.q_ann_cosine_topk,
         "srp_ann_topk": Q.q_srp_ann_topk,
+        # multimodal
+        "media_dedup": Q.q_media_dedup,
+        "media_features": Q.q_media_features,
         # events / relational
         "events_sessionize": Q.q_events_sessionize,
         "pricing_summary": Q.q_pricing_summary,
@@ -60,13 +66,18 @@ def oracle_sql() -> dict[str, str]:
         # interleaved_spans: rows-only (HTML parse UDF; pytest-pinned)
         "dedup_exact": Q.sql_dedup_exact(),
         "minhash_signatures": Q.sql_minhash_signatures(),
+        "lsh_near_dup": Q.sql_lsh_near_dup(),
         "simhash": Q.sql_simhash(),
         "ngram_jaccard": Q.sql_ngram_jaccard(),
+        "embedding_near_dup": Q.sql_embedding_near_dup(),
         "fingerprint": Q.sql_fingerprint(),
         "text_quality": Q.sql_text_quality(),
+        "token_counts": Q.sql_token_counts(),
         "lang_id": Q.sql_lang_id(),
         "ann_cosine_topk": Q.sql_ann_cosine_topk(),
         # srp_ann_topk: rows-only (bucket pruning; pytest-pinned)
+        "media_dedup": Q.sql_media_dedup(),
+        # media_features: rows-only (xxhash64/md5-bytes payloads; pytest-pinned)
         "events_sessionize": Q.sql_events_sessionize(),
         "pricing_summary": Q.sql_pricing_summary(),
         "segment_revenue": Q.sql_segment_revenue(),

@@ -101,6 +101,93 @@ def srp_buckets(embeddings: DataFrame, num_planes: int = 8,
     return embeddings.select(id_col, vec_col).withColumn("bucket", bucket.cast("bigint"))
 
 
+def srp_banded_buckets(
+    embeddings: DataFrame, planes_per_band: int = 8, bands: int = 2,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, band, bucket) rows: plane p of band b is global plane
+    b*planes_per_band + p, so one plane family serves all bands.
+    Banding trades precision for recall exactly like MinHash banding:
+    near-dup candidates need agree on only ONE band's full sign
+    vector, not all planes."""
+    from flyscrape_spark.functions.hashing import portable_hash64
+
+    v = F.col(vec_col)
+    dim_idx = F.sequence(F.lit(0), F.size(v) - 1)
+
+    def proj(p: int):
+        return F.aggregate(
+            F.zip_with(
+                v, dim_idx,
+                lambda x, i: (
+                    x.cast("double")
+                    * F.when(
+                        F.pmod(
+                            portable_hash64(
+                                F.concat_ws(":", F.lit(p), i.cast("string"))
+                            ),
+                            F.lit(2),
+                        ) == 0,
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0))
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    band_structs = []
+    for b in range(bands):
+        bucket = None
+        for r in range(planes_per_band):
+            bit = F.when(
+                proj(b * planes_per_band + r) > 0, F.lit(1 << r)
+            ).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), bucket.cast("bigint").alias("bucket"))
+        )
+    return embeddings.select(
+        id_col, F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def embedding_near_dup(
+    embeddings: DataFrame, threshold: float = 0.15,
+    planes_per_band: int = 8, bands: int = 2,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, the training-data dedup
+    scale path: banded-SRP LSH candidates (linear shuffle on (band,
+    bucket) — never an O(n^2) cross join), then EXACT cosine on the
+    candidate set. Deterministic: the bucketing planes are hash-derived
+    (srp_plane_sign), so the DuckDB oracle rebuilds identical buckets
+    and identical pairs."""
+    banded = srp_banded_buckets(embeddings, planes_per_band, bands, vec_col, id_col)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("vec_a"), F.col(f"b.{id_col}").alias("vec_b"))
+        .distinct()
+    )
+    ea = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a"))
+    eb = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("emb_b"))
+    return (
+        cand.join(ea, "vec_a").join(eb, "vec_b")
+        .select(
+            "vec_a", "vec_b",
+            F.round(
+                _dot(F.col("emb_a"), F.col("emb_b"))
+                / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))),
+                4,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def srp_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
              num_planes: int = 8, vec_col: str = "embedding",
              id_col: str = "vec_id") -> DataFrame:

@@ -154,6 +154,32 @@ def minhash_lsh_candidates(
     )
 
 
+def lsh_near_dup(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """The full MinHash+LSH near-duplicate pipeline: shingle ->
+    minhash -> band -> bucket-join candidates -> EXACT Jaccard verify
+    on candidates only. This is the training-data dedup shape that
+    scales: candidate generation is a linear shuffle on band buckets;
+    the quadratic verify runs only within buckets (at web scale,
+    ~1% of all pairs)."""
+    cand = minhash_lsh_candidates(documents, num_hashes, bands, n)
+    shingles = documents.select("doc_id", word_shingles(n=n).alias("s"))
+    sa = shingles.withColumnsRenamed({"doc_id": "doc_a", "s": "s_a"})
+    sb = shingles.withColumnsRenamed({"doc_id": "doc_b", "s": "s_b"})
+    inter = F.size(F.array_intersect(F.col("s_a"), F.col("s_b"))).cast("double")
+    union = F.size("s_a") + F.size("s_b") - F.size(F.array_intersect(F.col("s_a"), F.col("s_b")))
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash fingerprint over word tokens: bit j of the fingerprint
     is set iff sum over tokens of (+1 if bit j of token-hash else -1)

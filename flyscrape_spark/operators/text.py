@@ -27,6 +27,24 @@ def token_count(col="text"):
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("bigint")
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+# marks — the GPT-2-style regex split shape (public pattern family),
+# without unicode categories this sandbox's regex engines both lack.
+BPEISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Token counting two ways per doc: whitespace words and BPE-ish
+    pre-tokens (regexp_extract_all, fully JVM-side). The standard
+    training-data budget statistic."""
+    bpeish = F.regexp_extract_all(F.col("text"), F.lit(BPEISH_PATTERN), 0)
+    return documents.select(
+        "doc_id",
+        token_count().alias("n_words"),
+        F.size(bpeish).cast("bigint").alias("n_bpeish_tokens"),
+    )
+
+
 def text_quality(documents: DataFrame) -> DataFrame:
     """Per-doc quality features: token count, mean token length,
     punctuation ratio, stopword ratio (rounded for cross-engine

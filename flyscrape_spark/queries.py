@@ -52,10 +52,18 @@ def _doc_url_sql(expr: str) -> str:
 
 def synthetic_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> pages(url, host, status, html): each page embeds
-    its text and two outlinks (2i+1)%N, (3i+2)%N."""
+    its text and two outlinks (2i+1)%N, (3i+2)%N; every 4th page also
+    an <img> whose ref is (3i)%max(N/4,1) — interleaved text+media
+    with deliberate media_ref collisions so dedup is non-trivial."""
     docs = load(spark, sf_dir, "documents")
     n = docs.count()
+    n_media = max(n // 4, 1)
     i = F.col("doc_id")
+    img = F.when(
+        i % 4 == 0,
+        F.concat(F.lit('<img src="/media/m'),
+                 ((3 * i) % n_media).cast("string"), F.lit('.png">')),
+    ).otherwise(F.lit(""))
     return docs.select(
         _doc_url(i).alias("url"),
         F.concat(F.lit("h"), (i % GRAPH_HOSTS).cast("string"), F.lit(".example")).alias("host"),
@@ -63,7 +71,7 @@ def synthetic_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.lit("<html><body><p>"), F.col("text"),
             F.lit('</p><a href="'), _doc_url((2 * i + 1) % n),
-            F.lit('">a</a><a href="'), _doc_url((3 * i + 2) % n),
+            F.lit('">a</a>'), img, F.lit('<a href="'), _doc_url((3 * i + 2) % n),
             F.lit('">b</a></body></html>'),
         ).alias("html"),
     )
@@ -376,6 +384,74 @@ WHERE CAST(intersection AS DOUBLE)
 """
 
 
+def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash+LSH near-dup: shingle -> 16 minhashes -> 4 bands
+    -> bucket-join candidates -> exact Jaccard >= 0.2 verify."""
+    return dedup.lsh_near_dup(
+        load(spark, sf_dir, "documents"), num_hashes=16, bands=4, n=3, threshold=0.2
+    )
+
+
+def sql_lsh_near_dup(num_hashes: int = 16, bands: int = 4, n: int = 3,
+                     threshold: float = 0.2) -> str:
+    rows = num_hashes // bands
+    mh = ",\n  ".join(
+        f"min({portable_hash64_sql(chr(39) + str(i) + ':' + chr(39) + ' || shingle')}) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+
+    def bandcat(b: int) -> str:
+        parts = []
+        for r in range(rows):
+            c = f"CAST(mh_{b * rows + r} AS VARCHAR)"
+            parts.append(c if r == 0 else f"'_' || {c}")
+        return portable_hash64_sql(" || ".join(parts))
+
+    banded = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {bandcat(b)} AS bucket FROM sigs"
+        for b in range(bands)
+    )
+    shingle_list = (
+        f"list_distinct(list_transform(range(0, greatest(len(w)-{n}, 0)+1), "
+        f"i -> array_to_string(w[i+1:i+{n}], ' ')))"
+    )
+    return f"""
+WITH words AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+sh AS (SELECT doc_id, unnest({shingle_list}) AS shingle FROM words),
+sigs AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+shl AS (SELECT doc_id, {shingle_list} AS s FROM words)
+SELECT c.doc_a, c.doc_b,
+  round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) AS jaccard
+FROM cand c
+JOIN shl sa ON sa.doc_id = c.doc_a
+JOIN shl sb ON sb.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= {threshold}
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.token_counts(load(spark, sf_dir, "documents"))
+
+
+def sql_token_counts() -> str:
+    return f"""
+SELECT doc_id,
+  CAST(CASE WHEN trim(text) = '' THEN 0
+       ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_words,
+  CAST(len(regexp_extract_all(text, '{text_ops.BPEISH_PATTERN}')) AS BIGINT)
+    AS n_bpeish_tokens
+FROM documents
+"""
+
+
 # ------------------------------------------------------- similarity
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -413,6 +489,104 @@ parts AS (
 SELECT vec_id, round(dot/(sqrt(na)*sqrt(nb)), 4) AS cosine FROM parts
 ORDER BY cosine DESC, vec_id LIMIT 10
 """
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: banded SRP-LSH candidates
+    (2 bands x 8 hash-derived planes), exact cosine >= 0.15 on the
+    candidate set only — the linear-shuffle scale path."""
+    return ann.embedding_near_dup(
+        load(spark, sf_dir, "embeddings"),
+        threshold=0.15, planes_per_band=8, bands=2,
+    )
+
+
+def sql_embedding_near_dup(threshold: float = 0.15, planes_per_band: int = 8,
+                           bands: int = 2, dims: int = 64) -> str:
+    n_planes = planes_per_band * bands
+    sign = (
+        "(CASE WHEN "
+        + portable_hash64_sql("(p.p)::VARCHAR || ':' || (i)::VARCHAR")
+        + " % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+    )
+    return f"""
+WITH dims AS (
+  SELECT vec_id, t.i AS i, CAST(embedding[t.i + 1] AS DOUBLE) AS x
+  FROM embeddings, range({dims}) t(i)
+),
+proj AS (
+  SELECT vec_id, p.p AS p, sum(x * {sign}) AS proj
+  FROM dims, range({n_planes}) p(p)
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id, p // {planes_per_band} AS band,
+         sum(CASE WHEN proj > 0 THEN 1 << (p % {planes_per_band}) ELSE 0 END) AS bucket
+  FROM proj GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+u AS (
+  SELECT c.vec_a, c.vec_b, unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_a
+  JOIN embeddings eb ON eb.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b,
+  round(sum(CAST(x AS DOUBLE) * y)
+        / (sqrt(sum(CAST(x AS DOUBLE) * x)) * sqrt(sum(CAST(y AS DOUBLE) * y))), 4)
+  AS cosine
+FROM u GROUP BY 1, 2
+HAVING sum(CAST(x AS DOUBLE) * y)
+       / (sqrt(sum(CAST(x AS DOUBLE) * x)) * sqrt(sum(CAST(y AS DOUBLE) * y)))
+       >= {threshold}
+"""
+
+
+# ------------------------------------------------------- multimodal
+
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-span dedup over the synthetic web: pages -> REAL parse
+    UDF -> media spans -> per-ref occurrence counts (the download
+    dedup of js_lib.go:174-176, as data). The oracle reconstructs the
+    deterministic ref arithmetic in SQL."""
+    from flyscrape_spark.parse.udfs import parse_spans_udf
+
+    pages = synthetic_pages(spark, sf_dir)
+    return (
+        pages.select(F.explode(parse_spans_udf("html")).alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .groupBy(F.col("s.media_ref").alias("media_ref"))
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+
+
+def sql_media_dedup() -> str:
+    return """
+WITH n AS (SELECT greatest(count(*) // 4, 1) AS n_media FROM documents)
+SELECT '/media/m' || ((3 * doc_id) % n.n_media) || '.png' AS media_ref,
+       count(*) AS n_occurrences
+FROM documents, n WHERE doc_id % 4 = 0
+GROUP BY 1
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction: crawl-shaped media refs ->
+    deterministic binary payloads -> mapInPandas decode/feature stage
+    (operators/multimodal.py). Rows-only: payload hashing uses
+    xxhash64 + md5 bytes with no DuckDB twin; semantics pinned by
+    tests/test_operators.py."""
+    from flyscrape_spark.operators import multimodal
+    from flyscrape_spark.parse.udfs import parse_spans_udf
+
+    pages = synthetic_pages(spark, sf_dir)
+    results = pages.select(parse_spans_udf("html").alias("spans"))
+    media = multimodal.media_from_results(results)
+    return multimodal.extract_features(media)
 
 
 # ------------------------------------------------------- events / tpch
