@@ -33,9 +33,14 @@ HEADLINE_QUERIES = [
     "crawl_bfs",
     "dedup_exact",
     "minhash_signatures",
+    "lsh_near_dup",
     "ngram_jaccard",
+    "embedding_near_dup",
     "text_quality",
+    "token_counts",
     "ann_cosine_topk",
+    "media_dedup",
+    "robots_filter",
     "events_sessionize",
     "pricing_summary",
 ]

@@ -304,6 +304,12 @@ class CrawlEngine:
                     .filter(F.col("robots_allowed"))
                     .drop("robots_allowed")
                 )
+                # feed discovered crawl-delays to a politeness-aware
+                # transport (duck-typed; PoliteJoinTransport consumes)
+                if hasattr(self.transport, "host_delays"):
+                    self.transport.host_delays = robots_all.filter(
+                        F.col("crawl_delay").isNotNull()
+                    ).select("host", "crawl_delay")
 
             # 7-9. fetch + parse-once extract: ONE HTML parse per page
             # yields spans + links together (struct column), pinned by

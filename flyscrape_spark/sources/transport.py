@@ -82,6 +82,35 @@ class JoinTransport(Transport):
         )
 
 
+class PoliteJoinTransport(Transport):
+    """JoinTransport routed through the per-host politeness scheduler
+    (operators/politeness.py): salted host-hash repartition so one
+    task owns a host shard, then a per-shard token bucket assigns each
+    row a ``fetch_time`` offset honoring rate + robots crawl-delay.
+
+    The clock is virtual by default (fetch_time is emitted, not
+    slept) — tests assert the spacing; a real HTTP transport awaits
+    the same offsets. ``host_delays`` can be attached mid-crawl (the
+    engine feeds it the robots.txt cache as hosts are discovered)."""
+
+    def __init__(self, pages: DataFrame, config: CrawlConfig | None = None,
+                 broadcast: bool = True, shard_target: int | None = None):
+        self.config = config or CrawlConfig()
+        self.inner = JoinTransport(pages, self.config, broadcast)
+        self.shard_target = shard_target
+        self.host_delays: DataFrame | None = None
+
+    def fetch(self, frontier: DataFrame) -> DataFrame:
+        from flyscrape_spark.operators.politeness import schedule
+
+        rate = self.config.rate or 6000.0
+        scheduled = schedule(
+            frontier, rate_per_min=rate, shard_target=self.shard_target,
+            max_fanout=self.config.max_host_fanout, host_delays=self.host_delays,
+        ).drop("fanout", "host_rows", "shard", "crawl_delay")
+        return self.inner.fetch(scheduled)
+
+
 class ConstantTransport(Transport):
     """Serve the same body/status for every URL — the reference's
     MockTransport (/root/reference/utils.go:22-35), used by most module

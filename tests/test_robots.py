@@ -98,6 +98,28 @@ def test_crawl_respects_robots(spark, robots_pages):
     assert delays["b.test"] is None
 
 
+def test_polite_transport_crawl(spark, robots_pages):
+    """Full crawl through PoliteJoinTransport: same crawl semantics as
+    JoinTransport, plus per-host fetch_time pacing that honors the
+    robots crawl-delay the engine discovers mid-crawl."""
+    from flyscrape_spark.sources.transport import PoliteJoinTransport
+
+    config = CrawlConfig(depth=2, domain_filter=False, respect_robots=True,
+                         rate=60.0)  # 1s baseline interval
+    polite = PoliteJoinTransport(robots_pages, config, shard_target=100)
+    r = CrawlEngine(spark, config, polite).run(["http://a.test/"])
+
+    plain = CrawlEngine(
+        spark, config, JoinTransport(robots_pages, config)
+    ).run(["http://a.test/"])
+    key = lambda res: sorted(
+        (row["url"], row["depth"], row["discovery_order"])
+        for row in res.seen.collect()
+    )
+    assert key(r) == key(plain)
+    assert "fetch_time" in r.results.columns
+
+
 def test_crawl_delay_feeds_scheduler(spark, robots_pages):
     frontier = spark.createDataFrame(
         [(f"http://a.test/p{i}", "a.test", i) for i in range(4)]
