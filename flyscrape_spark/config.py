@@ -53,8 +53,72 @@ class CrawlConfig:
     # validator-dropped URL, scrape.go:276-285 semantics).
     respect_robots: bool = False
     user_agent: str = "flyscrape"
+    # request headers set on every request
+    # (modules/headers/headers.go:28-40); if User-Agent is absent a
+    # browser UA is picked per request — the reference picks randomly
+    # (headers.go via versions.go:47-96), this engine picks
+    # deterministically by hash(url) so runs are reproducible.
+    headers: dict[str, str] = field(default_factory=dict)
 
     def follow_selectors(self) -> list[str]:
         if self.follow is None:
             return ["a[href]"]
         return list(self.follow)
+
+
+# config fields that are arrays when overridden from CLI-style args
+# (reference: cmd/args.go:14-22)
+_ARRAY_FIELDS = {
+    "urls", "follow", "allowed_domains", "blocked_domains",
+    "allowed_urls", "blocked_urls",
+    # reference spellings
+    "allowedDomains", "blockedDomains", "allowedURLs", "blockedURLs",
+}
+
+_CAMEL = {
+    "allowedDomains": "allowed_domains",
+    "blockedDomains": "blocked_domains",
+    "allowedURLs": "allowed_urls",
+    "blockedURLs": "blocked_urls",
+}
+
+
+def _infer(value: str):
+    """CLI scalar type inference (cmd/args.go:86-99): bool, number,
+    else string."""
+    if value == "true":
+        return True
+    if value == "false":
+        return False
+    try:
+        return int(value)
+    except ValueError:
+        pass
+    try:
+        return float(value)
+    except ValueError:
+        pass
+    return value
+
+
+def apply_overrides(config: CrawlConfig, overrides: dict) -> CrawlConfig:
+    """CLI-style ``--key value`` overrides onto a config
+    (flyscrape.go:155-167 sjson semantics): array fields accept lists
+    or single values (wrapped), scalars are type-inferred from
+    strings. Unknown keys are ignored (each reference module
+    unmarshals only the fields it knows)."""
+    from dataclasses import replace
+
+    updates = {}
+    for key, value in overrides.items():
+        name = _CAMEL.get(key, key)
+        if name not in CrawlConfig.__dataclass_fields__:
+            continue
+        if key in _ARRAY_FIELDS or name in _ARRAY_FIELDS:
+            if not isinstance(value, list):
+                value = [value]
+            value = [v if not isinstance(v, str) else v for v in value]
+        elif isinstance(value, str):
+            value = _infer(value)
+        updates[name] = value
+    return replace(config, **updates)

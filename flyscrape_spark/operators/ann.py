@@ -65,35 +65,46 @@ def srp_plane_sign(plane: int, dim: int):
     return F.when(F.pmod(h, F.lit(2)) == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
 
 
-def srp_buckets(embeddings: DataFrame, num_planes: int = 8,
-                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """LSH bucket id per vector: bit p = sign(v · plane_p)."""
-    from flyscrape_spark.functions.hashing import portable_hash64
+def _plane_signs(plane: int, dims: int) -> list[float]:
+    """Driver-side precompute of one hyperplane's ±1 entries. Same
+    value as :func:`srp_plane_sign` (md5-prefix parity) — hashlib.md5
+    == Spark md5 == DuckDB md5 — but computed ONCE instead of per
+    row x dim x plane (the per-row md5 was ~90% of bucketing cost)."""
+    import hashlib
 
+    signs = []
+    for i in range(dims):
+        h = int(hashlib.md5(f"{plane}:{i}".encode()).hexdigest()[:15], 16)
+        signs.append(1.0 if h % 2 == 0 else -1.0)
+    return signs
+
+
+def _dims_of(embeddings: DataFrame, vec_col: str) -> int:
+    row = embeddings.select(F.size(F.col(vec_col)).alias("d")).head()
+    return int(row["d"]) if row else 0
+
+
+def _proj(v, signs: list[float]):
+    """v · plane as a left fold over zip_with with a LITERAL ±1 array
+    — identical summation order (and hence identical sign bits) to
+    the oracle's per-element SQL, but zero per-row hashing."""
+    lit_signs = F.array(*[F.lit(s) for s in signs])
+    return F.aggregate(
+        F.zip_with(v, lit_signs, lambda x, s: x.cast("double") * s),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def srp_buckets(embeddings: DataFrame, num_planes: int = 8,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                dims: int | None = None) -> DataFrame:
+    """LSH bucket id per vector: bit p = sign(v · plane_p)."""
     v = F.col(vec_col)
-    dim_idx = F.sequence(F.lit(0), F.size(v) - 1)
+    dims = dims if dims is not None else _dims_of(embeddings, vec_col)
     bits = []
     for p in range(num_planes):
-        # dot(v, plane_p) with ±1 entries: sum over dims of v[i] * sign(h(p,i))
-        proj = F.aggregate(
-            F.zip_with(
-                v, dim_idx,
-                lambda x, i: (
-                    x.cast("double")
-                    * F.when(
-                        F.pmod(
-                            portable_hash64(
-                                F.concat_ws(":", F.lit(p), i.cast("string"))
-                            ),
-                            F.lit(2),
-                        ) == 0,
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0))
-                ),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        proj = _proj(v, _plane_signs(p, dims))
         bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
     bucket = bits[0]
     for b in bits[1:]:
@@ -110,39 +121,15 @@ def srp_banded_buckets(
     Banding trades precision for recall exactly like MinHash banding:
     near-dup candidates need agree on only ONE band's full sign
     vector, not all planes."""
-    from flyscrape_spark.functions.hashing import portable_hash64
-
     v = F.col(vec_col)
-    dim_idx = F.sequence(F.lit(0), F.size(v) - 1)
-
-    def proj(p: int):
-        return F.aggregate(
-            F.zip_with(
-                v, dim_idx,
-                lambda x, i: (
-                    x.cast("double")
-                    * F.when(
-                        F.pmod(
-                            portable_hash64(
-                                F.concat_ws(":", F.lit(p), i.cast("string"))
-                            ),
-                            F.lit(2),
-                        ) == 0,
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0))
-                ),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    dims = _dims_of(embeddings, vec_col)
 
     band_structs = []
     for b in range(bands):
         bucket = None
         for r in range(planes_per_band):
-            bit = F.when(
-                proj(b * planes_per_band + r) > 0, F.lit(1 << r)
-            ).otherwise(F.lit(0))
+            signs = _plane_signs(b * planes_per_band + r, dims)
+            bit = F.when(_proj(v, signs) > 0, F.lit(1 << r)).otherwise(F.lit(0))
             bucket = bit if bucket is None else bucket + bit
         band_structs.append(
             F.struct(F.lit(b).alias("band"), bucket.cast("bigint").alias("bucket"))

@@ -38,6 +38,47 @@ from pyspark.sql import functions as F
 from flyscrape_spark.config import CrawlConfig
 
 
+# Deterministic browser UA pool for rotation. The reference embeds
+# live browser version lists and picks RANDOMLY per request
+# (modules/headers/headers.go:28-40, versions.go:47-96); this engine
+# picks by hash(url) % len(pool) so crawls are reproducible.
+UA_POOL = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/121.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/122.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:123.0) "
+    "Gecko/20100101 Firefox/123.0",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 "
+    "(KHTML, like Gecko) Version/17.3 Safari/605.1.15",
+]
+
+
+def with_request_headers(frontier: DataFrame, config: CrawlConfig) -> DataFrame:
+    """Attach the per-request header map (SURVEY §2.1 #15): config
+    headers as a literal map column; when no User-Agent is configured,
+    a deterministic UA from the pool via pmod(xxhash64(url)). All
+    JVM-side (map literal + element_at-free construction), no Python."""
+    items = sorted(config.headers.items())
+    if not any(k.lower() == "user-agent" for k, _ in items):
+        idx = F.pmod(F.xxhash64("url"), F.lit(len(UA_POOL)))
+        ua = F.element_at(F.array(*[F.lit(u) for u in UA_POOL]), idx.cast("int") + 1)
+        kv = [F.lit("User-Agent"), ua]
+        for k, v in items:
+            kv += [F.lit(k), F.lit(v)]
+        header_map = F.create_map(*kv)
+    elif items:
+        kv = []
+        for k, v in items:
+            kv += [F.lit(k), F.lit(v)]
+        header_map = F.create_map(*kv)
+    else:  # pragma: no cover - unreachable (UA branch covers empty)
+        header_map = F.create_map()
+    return frontier.withColumn("request_headers", header_map)
+
+
 class Transport:
     def fetch(self, frontier: DataFrame) -> DataFrame:  # pragma: no cover
         raise NotImplementedError
@@ -52,6 +93,7 @@ class JoinTransport(Transport):
         self.broadcast = broadcast
 
     def fetch(self, frontier: DataFrame) -> DataFrame:
+        frontier = with_request_headers(frontier, self.config)
         pages = F.broadcast(self.pages) if self.broadcast else self.pages
         joined = frontier.join(pages, frontier["url"] == pages["page_url"], "left")
         retryable = list(self.config.retry_statuses)
