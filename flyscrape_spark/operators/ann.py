@@ -150,7 +150,11 @@ def embedding_near_dup(
     candidate set. Deterministic: the bucketing planes are hash-derived
     (srp_plane_sign), so the DuckDB oracle rebuilds identical buckets
     and identical pairs."""
-    banded = srp_banded_buckets(embeddings, planes_per_band, bands, vec_col, id_col)
+    # pin before the self-join: both sides would otherwise recompute
+    # all plane projections
+    banded = srp_banded_buckets(
+        embeddings, planes_per_band, bands, vec_col, id_col
+    ).localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))

@@ -68,6 +68,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int = 100,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard >= threshold.
 
@@ -76,13 +77,22 @@ def ngram_jaccard_pairs(
     shared by more than ``max_shingle_freq`` docs (stop-shingle skew
     guard — at web scale one hot shingle would otherwise create a
     quadratic partition).
+
+    ``materialize`` pins the inverted index (localCheckpoint; an
+    Iceberg table on a cluster) — it feeds four consumers (sizes,
+    document frequencies, both join sides), so without pinning the
+    shingle explode re-runs four times.
     """
     idx = shingle_index(documents, n)
+    if materialize:
+        idx = idx.localCheckpoint(eager=True)
     sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     freq = idx.groupBy("shingle_hash").agg(F.count("*").alias("df"))
     filtered = idx.join(
         freq.filter(F.col("df") <= max_shingle_freq), "shingle_hash"
     ).select("doc_id", "shingle_hash")
+    if materialize:
+        filtered = filtered.localCheckpoint(eager=True)
 
     a = filtered.alias("a")
     b = filtered.alias("b")
@@ -108,30 +118,61 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(documents: DataFrame, num_hashes: int = 16, n: int = 3) -> DataFrame:
-    """MinHash signature per doc: h_i = min over shingles of
-    portable_hash64(i || ':' || shingle), i in [0, num_hashes)."""
-    exploded = documents.select(
-        "doc_id", F.explode(word_shingles(n=n)).alias("shingle")
-    )
+# Universal-hash minhash family: h_i(s) = (a_i * x + b_i) mod P over
+# x = low 30 bits of ONE portable base hash per shingle. One md5 per
+# shingle instead of num_hashes md5s; products stay < 2^60 so the
+# arithmetic is overflow-free in BOTH Spark (wrapping) and DuckDB
+# (which errors on BIGINT overflow) — required for oracle equality.
+MINHASH_PRIME = (1 << 61) - 1
+_MINHASH_MASK = (1 << 30) - 1
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs, a_i odd, both < 2^30, derived
+    from md5 so any engine (or oracle author) can rebuild them."""
+    import hashlib
+
+    params = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"a:{i}".encode()).hexdigest()[:15], 16) & _MINHASH_MASK | 1
+        b = int(hashlib.md5(f"b:{i}".encode()).hexdigest()[:15], 16) & _MINHASH_MASK
+        params.append((a, b))
+    return params
+
+
+def minhash_signatures(documents: DataFrame, num_hashes: int = 16, n: int = 3,
+                       exploded: DataFrame | None = None) -> DataFrame:
+    """MinHash signature per doc: mh_i = min over shingles of
+    (a_i * base30 + b_i) mod (2^61-1), base30 = low 30 bits of the
+    portable shingle hash. ``exploded`` lets callers share one
+    (doc_id, shingle) scan across pipeline stages."""
+    if exploded is None:
+        exploded = documents.select(
+            "doc_id", F.explode(word_shingles(n=n)).alias("shingle")
+        )
+    base = portable_hash64(F.col("shingle")).bitwiseAND(F.lit(_MINHASH_MASK))
+    hashed = exploded.select("doc_id", base.alias("x"))
     aggs = [
-        F.min(
-            portable_hash64(F.concat(F.lit(f"{i}:"), F.col("shingle")))
-        ).alias(f"mh_{i}")
-        for i in range(num_hashes)
+        F.min(F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(MINHASH_PRIME))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
-    return exploded.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_candidates(
-    documents: DataFrame, num_hashes: int = 16, bands: int = 4, n: int = 3
+    documents: DataFrame, num_hashes: int = 16, bands: int = 4, n: int = 3,
+    materialize: bool = True, exploded: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band of the minhash
     signature. Banding makes candidate generation a groupBy on the
-    band hash — linear shuffle, no O(n^2) compare."""
+    band hash — linear shuffle, no O(n^2) compare.
+
+    ``materialize`` pins the banded table before the self-join —
+    otherwise the whole shingle->minhash pipeline runs once per join
+    side (an Iceberg signature table on a cluster)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(documents, num_hashes, n)
+    sigs = minhash_signatures(documents, num_hashes, n, exploded=exploded)
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -143,6 +184,8 @@ def minhash_lsh_candidates(
     banded = sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if materialize:
+        banded = banded.localCheckpoint(eager=True)
 
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -167,15 +210,27 @@ def lsh_near_dup(
     scales: candidate generation is a linear shuffle on band buckets;
     the quadratic verify runs only within buckets (at web scale,
     ~1% of all pairs)."""
-    cand = minhash_lsh_candidates(documents, num_hashes, bands, n)
-    shingles = documents.select("doc_id", word_shingles(n=n).alias("s"))
+    # ONE shingle scan serves the whole pipeline: signatures read the
+    # exploded view, the verify join reads the arrays
+    shingles = documents.select(
+        "doc_id", word_shingles(n=n).alias("s")
+    ).localCheckpoint(eager=True)
+    exploded = shingles.select("doc_id", F.explode("s").alias("shingle"))
+    cand = minhash_lsh_candidates(documents, num_hashes, bands, n, exploded=exploded)
     sa = shingles.withColumnsRenamed({"doc_id": "doc_a", "s": "s_a"})
     sb = shingles.withColumnsRenamed({"doc_id": "doc_b", "s": "s_b"})
     inter = F.size(F.array_intersect(F.col("s_a"), F.col("s_b"))).cast("double")
-    union = F.size("s_a") + F.size("s_b") - F.size(F.array_intersect(F.col("s_a"), F.col("s_b")))
     return (
         cand.join(sa, "doc_a").join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+        .withColumn("inter", inter)
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.col("inter")
+                / (F.size("s_a") + F.size("s_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 

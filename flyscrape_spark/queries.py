@@ -304,22 +304,30 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(load(spark, sf_dir, "documents"), num_hashes=16, n=3)
 
 
+def _sql_shingle_list(n: int) -> str:
+    return (
+        f"list_distinct(list_transform(range(0, greatest(len(w)-{n}, 0)+1), "
+        f"i -> array_to_string(w[i+1:i+{n}], ' ')))"
+    )
+
+
+def _sql_minhash_aggs(num_hashes: int) -> str:
+    """mh_i = min((a_i * (base & 2^30-1) + b_i) % (2^61-1)) — the
+    universal-hash family of dedup.minhash_params, one md5 per
+    shingle."""
+    base = f"({portable_hash64_sql('shingle')} & {dedup._MINHASH_MASK})"
+    aggs = [
+        f"min(({a} * {base} + {b}) % {dedup.MINHASH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(dedup.minhash_params(num_hashes))
+    ]
+    return ",\n  ".join(aggs)
+
+
 def sql_minhash_signatures(num_hashes: int = 16, n: int = 3) -> str:
-    aggs = []
-    for i in range(num_hashes):
-        h = portable_hash64_sql(f"'{i}:' || shingle")
-        aggs.append(f"min({h}) AS mh_{i}")
-    agg_sql = ",\n  ".join(aggs)
     return f"""
 WITH words AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
-sh AS (
-  SELECT doc_id,
-    unnest(list_distinct(list_transform(
-      range(0, greatest(len(w)-{n}, 0)+1),
-      i -> array_to_string(w[i+1:i+{n}], ' ')))) AS shingle
-  FROM words
-)
-SELECT doc_id, {agg_sql} FROM sh GROUP BY doc_id
+sh AS (SELECT doc_id, unnest({_sql_shingle_list(n)}) AS shingle FROM words)
+SELECT doc_id, {_sql_minhash_aggs(num_hashes)} FROM sh GROUP BY doc_id
 """
 
 
@@ -395,10 +403,7 @@ def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_lsh_near_dup(num_hashes: int = 16, bands: int = 4, n: int = 3,
                      threshold: float = 0.2) -> str:
     rows = num_hashes // bands
-    mh = ",\n  ".join(
-        f"min({portable_hash64_sql(chr(39) + str(i) + ':' + chr(39) + ' || shingle')}) AS mh_{i}"
-        for i in range(num_hashes)
-    )
+    mh = _sql_minhash_aggs(num_hashes)
 
     def bandcat(b: int) -> str:
         parts = []
@@ -411,10 +416,7 @@ def sql_lsh_near_dup(num_hashes: int = 16, bands: int = 4, n: int = 3,
         f"SELECT doc_id, {b} AS band, {bandcat(b)} AS bucket FROM sigs"
         for b in range(bands)
     )
-    shingle_list = (
-        f"list_distinct(list_transform(range(0, greatest(len(w)-{n}, 0)+1), "
-        f"i -> array_to_string(w[i+1:i+{n}], ' ')))"
-    )
+    shingle_list = _sql_shingle_list(n)
     return f"""
 WITH words AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
 sh AS (SELECT doc_id, unnest({shingle_list}) AS shingle FROM words),
