@@ -118,24 +118,27 @@ def ngram_jaccard_pairs(
     )
 
 
-# Universal-hash minhash family: h_i(s) = (a_i * x + b_i) mod P over
-# x = low 30 bits of ONE portable base hash per shingle. One md5 per
-# shingle instead of num_hashes md5s; products stay < 2^60 so the
-# arithmetic is overflow-free in BOTH Spark (wrapping) and DuckDB
+# Universal-hash minhash family (Carter-Wegman): h_i(s) =
+# (a_i * x + b_i) mod P over x = low 31 bits of ONE portable base
+# hash per shingle — one md5 per shingle instead of num_hashes md5s.
+# P = 2^31-1 (Mersenne) so products genuinely wrap (a 61-bit modulus
+# would never reduce a < 2^60 product, leaving every h_i monotone in
+# x and all minima identical — a real bug caught by tests). Products
+# stay < 2^62, overflow-free in BOTH Spark (wrapping) and DuckDB
 # (which errors on BIGINT overflow) — required for oracle equality.
-MINHASH_PRIME = (1 << 61) - 1
-_MINHASH_MASK = (1 << 30) - 1
+MINHASH_PRIME = (1 << 31) - 1
+_MINHASH_MASK = (1 << 31) - 1
 
 
 def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
-    """Deterministic (a_i, b_i) pairs, a_i odd, both < 2^30, derived
+    """Deterministic (a_i, b_i), 1 <= a_i < P, 0 <= b_i < P, derived
     from md5 so any engine (or oracle author) can rebuild them."""
     import hashlib
 
     params = []
     for i in range(num_hashes):
-        a = int(hashlib.md5(f"a:{i}".encode()).hexdigest()[:15], 16) & _MINHASH_MASK | 1
-        b = int(hashlib.md5(f"b:{i}".encode()).hexdigest()[:15], 16) & _MINHASH_MASK
+        a = int(hashlib.md5(f"a:{i}".encode()).hexdigest()[:15], 16) % (MINHASH_PRIME - 1) + 1
+        b = int(hashlib.md5(f"b:{i}".encode()).hexdigest()[:15], 16) % MINHASH_PRIME
         params.append((a, b))
     return params
 
