@@ -74,6 +74,56 @@ SEEN_SCHEMA = StructType(
 )
 
 
+def assign_global_order(
+    df: DataFrame, sort_cols: list[str], out_col: str, start: int = 0,
+    parts: int | None = None,
+) -> DataFrame:
+    """Scalable total ordering: global row numbers by ``sort_cols``
+    without a single-partition window sort.
+
+    Two-phase enumeration: range-repartition on the sort key and sort
+    within partitions (each task sorts its slice — parallel), count
+    rows per partition (tiny collect: one row per partition), then a
+    mapInPandas pass adds each partition's offset. Requires unique
+    sort keys (the generation's (parent_order, pos) are unique), which
+    makes the result independent of the sampled range bounds. The
+    input is localCheckpoint-pinned so the count job and the numbering
+    job see the same partitioning."""
+    spark = df.sparkSession
+    if parts is None:
+        parts = spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(parts, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["pid"]: r["n"]
+        for r in ranged.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets = {}
+    acc = start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    # StructType.add mutates in place — build a fresh copy
+    schema = StructType(list(ranged.schema.fields) + [StructField(out_col, LongType())])
+
+    def number(iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        offset = offsets.get(pid, 0)
+        emitted = 0
+        for pdf in iterator:
+            pdf[out_col] = range(offset + emitted, offset + emitted + len(pdf))
+            emitted += len(pdf)
+            yield pdf
+
+    return ranged.mapInPandas(number, schema=schema)
+
+
 @dataclass
 class CrawlResult:
     seen: DataFrame          # every enqueued URL: (url, url_key, depth, discovery_order)
@@ -120,7 +170,8 @@ class CrawlEngine:
         between generations as the measured frontier size crosses the
         threshold."""
         conf = self.spark.conf
-        if est_rows < self.small_generation_rows:
+        self._latency_mode = est_rows < self.small_generation_rows
+        if self._latency_mode:
             conf.set("spark.sql.adaptive.enabled", "false")
             conf.set("spark.sql.shuffle.partitions", "4")
         else:
@@ -240,8 +291,16 @@ class CrawlEngine:
                 "left_anti",
             )
 
-            # 4. canonical discovery order within the generation
-            if self.assign_order:
+            # 4. canonical discovery order within the generation.
+            # Latency mode: one-partition window sort (fine for small
+            # generations). Throughput mode: two-phase range-partition
+            # enumeration — no single-task global sort at scale.
+            if self.assign_order and not self._latency_mode:
+                enqueued = assign_global_order(
+                    enqueued, ["parent_order", "pos"], "discovery_order",
+                    start=next_order,
+                )
+            elif self.assign_order:
                 w = Window.orderBy("parent_order", "pos")
                 enqueued = enqueued.withColumn(
                     "discovery_order", F.row_number().over(w) - 1 + F.lit(next_order)
@@ -264,8 +323,16 @@ class CrawlEngine:
             # 5. mark seen AT ENQUEUE (scrape.go:276-285) — before
             # validators. The seen set accumulates as per-generation
             # frontier increments (never rewritten); the anti-join
-            # above scans their union.
+            # above scans their union. Past 16 increments, compact the
+            # union into one pinned frame so plan size (and anti-join
+            # scan fan-in) stays O(1) in crawl depth. On Iceberg this
+            # is a data-compaction job over the seen table.
             seen_frames.append(enqueued)
+            if len(seen_frames) > 16:
+                compacted = seen_frames[0]
+                for frame in seen_frames[1:]:
+                    compacted = compacted.unionByName(frame)
+                seen_frames = [compacted.localCheckpoint(eager=True)]
 
             # 6. validators run at fetch time (scrape.go:162-168);
             #    depth is generation-constant (modules/depth/depth.go:26-28)
