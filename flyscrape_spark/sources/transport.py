@@ -182,14 +182,128 @@ class ConstantTransport(Transport):
         )
 
 
-class HttpTransport(Transport):
-    """Real-network transport placeholder. The sandbox has no network
-    stack (no aiohttp); on a cluster this becomes an async HTTP pool
-    inside mapInPandas, reusing the same politeness/retry scheduling
-    as PoliteJoinTransport."""
+def _http_fetch_one(url: str, headers: dict, timeout: float,
+                    retry_statuses: frozenset, retry_delays: tuple,
+                    sleep) -> tuple[int, str | None, str | None, int]:
+    """One URL through the reference's retry loop
+    (modules/retry/retry.go:43-141): retry on retryable statuses and
+    transport errors with the fixed delay schedule, honoring a numeric
+    Retry-After header (retry.go:102-110). Returns
+    (status, body, error, attempts)."""
+    import urllib.error
+    import urllib.request
 
-    def fetch(self, frontier: DataFrame) -> DataFrame:  # pragma: no cover
-        raise NotImplementedError(
-            "HttpTransport requires network + aiohttp; use JoinTransport "
-            "against a pages table in this environment."
+    attempts = 0
+    last: tuple[int, str | None, str | None] = (0, None, "not fetched")
+    for delay in list(retry_delays) + [None]:
+        attempts += 1
+        retry_after = None
+        try:
+            req = urllib.request.Request(url, headers=headers or {})
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                status = resp.status
+                body = resp.read().decode("utf-8", "replace")
+            last = (status, body, None)
+            if status not in retry_statuses:
+                return (*last, attempts)
+        except urllib.error.HTTPError as e:
+            body = None
+            try:
+                body = e.read().decode("utf-8", "replace")
+            except Exception:
+                pass
+            last = (e.code, body, f"{e.code} error")
+            if e.code not in retry_statuses:
+                return (*last, attempts)
+            ra = e.headers.get("Retry-After")
+            if ra is not None:
+                try:
+                    retry_after = float(ra)
+                except ValueError:
+                    pass
+        except Exception as e:  # transport error (net.Error analog)
+            last = (0, None, f"Get {url}: {e}")
+        if delay is None:
+            return (*last, attempts)
+        sleep(retry_after if retry_after is not None else delay)
+    return (*last, attempts)  # pragma: no cover
+
+
+class HttpTransport(Transport):
+    """Real HTTP fetch: mapInPandas over the politeness-scheduled
+    frontier, a thread pool per Arrow batch (stdlib urllib — aiohttp
+    is not in this container; the structure is identical with an
+    async pool swapped in), reference retry semantics, per-host
+    pacing by awaiting the scheduler's ``fetch_time`` offsets.
+
+    Scale shape: the frontier arrives repartitioned by (host, shard) —
+    each task owns its host shards exclusively, so honoring the
+    precomputed fetch_time offsets enforces the per-host budget with
+    zero cross-executor coordination (north_rule)."""
+
+    def __init__(self, config: CrawlConfig | None = None, timeout: float = 10.0,
+                 pool_size: int = 16, pace: bool = True,
+                 shard_target: int | None = None):
+        self.config = config or CrawlConfig()
+        self.timeout = timeout
+        self.pool_size = pool_size
+        self.pace = pace
+        self.shard_target = shard_target
+
+    def fetch(self, frontier: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.types import (
+            IntegerType, StringType, StructField, StructType,
         )
+
+        from flyscrape_spark.operators.politeness import schedule
+
+        rate = self.config.rate or 6000.0
+        scheduled = schedule(
+            frontier, rate_per_min=rate, shard_target=self.shard_target,
+            max_fanout=self.config.max_host_fanout,
+        ).drop("fanout", "host_rows", "shard", "crawl_delay")
+        scheduled = with_request_headers(scheduled, self.config)
+
+        out_schema = StructType(
+            list(scheduled.schema.fields)
+            + [
+                StructField("status", IntegerType()),
+                StructField("body", StringType()),
+                StructField("error", StringType()),
+                StructField("attempts", IntegerType()),
+            ]
+        )
+        timeout = self.timeout
+        pool_size = self.pool_size
+        pace = self.pace
+        retry_statuses = frozenset(self.config.retry_statuses)
+        retry_delays = tuple(self.config.retry_delays)
+
+        def run_batches(batches):
+            import time as _time
+            from concurrent.futures import ThreadPoolExecutor
+
+            start = _time.monotonic()
+
+            def one(row):
+                if pace:
+                    wait = row["fetch_time"] - (_time.monotonic() - start)
+                    if wait > 0:
+                        _time.sleep(wait)
+                return _http_fetch_one(
+                    row["url"], row.get("request_headers") or {}, timeout,
+                    retry_statuses, retry_delays, _time.sleep,
+                )
+
+            with ThreadPoolExecutor(max_workers=pool_size) as pool:
+                for pdf in batches:
+                    results = list(pool.map(one, pdf.to_dict("records")))
+                    pdf = pdf.copy()
+                    pdf["status"] = [r[0] for r in results]
+                    pdf["body"] = [r[1] for r in results]
+                    pdf["error"] = [r[2] for r in results]
+                    pdf["attempts"] = [r[3] for r in results]
+                    yield pdf
+
+        return scheduled.mapInPandas(run_batches, schema=out_schema)
