@@ -145,6 +145,7 @@ class CrawlEngine:
         checkpoint=None,  # optional SnapshotStore for resumable crawls
         max_generations: int = 1000,
         small_generation_rows: int = 50_000,
+        seen_store=None,  # optional BucketedSeenStore (shuffle-free anti-join)
     ):
         self.spark = spark
         self.config = config
@@ -155,6 +156,7 @@ class CrawlEngine:
         self.checkpoint = checkpoint
         self.max_generations = max_generations
         self.small_generation_rows = small_generation_rows
+        self.seen_store = seen_store
         self.page_udf = make_page_udf(config.follow_selectors())
 
     def _set_generation_mode(self, est_rows: int) -> None:
@@ -241,7 +243,15 @@ class CrawlEngine:
                     else spark.createDataFrame([], CAND_SCHEMA)
                 )
 
+        if self.seen_store is not None:
+            # rebuild the bucketed store from resumed increments (the
+            # snapshot manifests stay the durable source of truth)
+            for frame in seen_frames:
+                self.seen_store.append(frame)
+
         def current_seen() -> DataFrame:
+            if self.seen_store is not None and self.seen_store.exists():
+                return self.seen_store.seen()
             if not seen_frames:
                 return spark.createDataFrame([], SEEN_SCHEMA)
             out = seen_frames[0]
@@ -327,12 +337,15 @@ class CrawlEngine:
             # union into one pinned frame so plan size (and anti-join
             # scan fan-in) stays O(1) in crawl depth. On Iceberg this
             # is a data-compaction job over the seen table.
-            seen_frames.append(enqueued)
-            if len(seen_frames) > 16:
-                compacted = seen_frames[0]
-                for frame in seen_frames[1:]:
-                    compacted = compacted.unionByName(frame)
-                seen_frames = [compacted.localCheckpoint(eager=True)]
+            if self.seen_store is not None:
+                self.seen_store.append(enqueued)
+            else:
+                seen_frames.append(enqueued)
+                if len(seen_frames) > 16:
+                    compacted = seen_frames[0]
+                    for frame in seen_frames[1:]:
+                        compacted = compacted.unionByName(frame)
+                    seen_frames = [compacted.localCheckpoint(eager=True)]
 
             # 6. validators run at fetch time (scrape.go:162-168);
             #    depth is generation-constant (modules/depth/depth.go:26-28)

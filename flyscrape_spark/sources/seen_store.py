@@ -1,0 +1,76 @@
+"""Bucketed URL-seen store — the shuffle-free anti-join scale path.
+
+The default engine accumulates per-generation seen increments and
+anti-joins their union. That is correct, but a shuffle SMJ re-shuffles
+the WHOLE seen side every generation — at 10^10 seen URLs the
+anti-join would move ~TBs per generation for a frontier of millions.
+(Catalyst's runtime bloom-filter injection does not apply here: it
+prunes selective file scans, not anti-join build sides — verified
+empirically on the kernel plan.)
+
+The Spark-native fix is layout, not a new algorithm: persist the seen
+set as a BUCKETED table on ``url_key``:
+
+- ``bucketBy(B, url_key)`` + ``sortBy(url_key)``: the table's scan
+  reports HashPartitioning(url_key, B), which satisfies the anti-join's
+  clustered distribution on (url_key, url) because url_key determines
+  the partition — so EnsureRequirements shuffles ONLY the candidate
+  side (small: the generation's new links) and the seen side is read
+  in place, pre-sorted, every generation.
+- parquet column bloom filters + min/max stats on ``url_key`` give
+  storage-level pruning for point probes (resume lookups).
+- appends are new files in existing buckets — exactly an Iceberg
+  ``write.distribution-mode=hash`` table on a cluster.
+
+The engine uses this through the same frames interface; the bucketed
+table replaces the unioned localCheckpoint increments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class BucketedSeenStore:
+    def __init__(self, spark: SparkSession, table: str = "seen_urls",
+                 buckets: int = 32):
+        self.spark = spark
+        self.table = table
+        self.buckets = buckets
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # the catalog is in-memory per session; a previous process may
+        # have left the managed location behind — remove it or the
+        # first saveAsTable fails with LOCATION_ALREADY_EXISTS
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.table)
+
+    def append(self, increment: DataFrame) -> None:
+        """Append a generation's frontier increment, bucketed on
+        url_key. First write creates the table layout; later writes
+        add files into the same buckets (no shuffle of old data,
+        ever)."""
+        (
+            increment.write.format("parquet")
+            .mode("append")
+            # bucket on BOTH anti-join keys: the scan's partitioning
+            # then matches the join's clustered distribution exactly
+            # (bucketing on a key subset is not exploited by the
+            # planner — verified: "Bucketed: false (disabled by query
+            # planner)")
+            .bucketBy(self.buckets, "url_key", "url")
+            .sortBy("url_key", "url")
+            .option("parquet.bloom.filter.enabled#url_key", "true")
+            .saveAsTable(self.table)
+        )
+        self.spark.catalog.refreshTable(self.table)
+
+    def seen(self) -> DataFrame:
+        """Current seen set. The scan carries the bucket partitioning,
+        so downstream anti-joins do not re-shuffle it."""
+        return self.spark.table(self.table)
