@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": Q.q_events_sessionize,
         "pricing_summary": Q.q_pricing_summary,
         "segment_revenue": Q.q_segment_revenue,
+        "region_supplier_volume": Q.q_region_supplier_volume,
+        "brand_part_stats": Q.q_brand_part_stats,
     }
 
 
@@ -81,4 +83,6 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": Q.sql_events_sessionize(),
         "pricing_summary": Q.sql_pricing_summary(),
         "segment_revenue": Q.sql_segment_revenue(),
+        "region_supplier_volume": Q.sql_region_supplier_volume(),
+        "brand_part_stats": Q.sql_brand_part_stats(),
     }

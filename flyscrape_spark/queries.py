@@ -675,6 +675,73 @@ GROUP BY c_mktsegment
 """
 
 
+def q_region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: lineitem revenue by supplier region/nation.
+    Join strategy: dims (region, nation, supplier) broadcast in
+    dependency order — only the lineitem fact ever shuffles."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    supplier = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    dims = (
+        supplier.join(F.broadcast(nation),
+                      supplier["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select("s_suppkey", "n_name", "r_name")
+    )
+    revenue = F.sum(
+        F.col("l_extendedprice").cast("double")
+        * (F.lit(1.0) - F.col("l_discount").cast("double"))
+    )
+    return (
+        li.join(F.broadcast(dims), li["l_suppkey"] == dims["s_suppkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.round(revenue, 2).alias("revenue"),
+             F.count("*").alias("n_lineitems"))
+    )
+
+
+def sql_region_supplier_volume() -> str:
+    return """
+SELECT r_name, n_name,
+  round(sum(CAST(l_extendedprice AS DOUBLE)
+            * (1.0 - CAST(l_discount AS DOUBLE))), 2) AS revenue,
+  count(*) AS n_lineitems
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_brand_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand part shipping stats: part dim broadcast into the
+    lineitem fact, grouped on the dim attribute."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("double")), 2).alias("sum_qty"),
+            F.round(F.avg(F.col("p_retailprice").cast("double")), 4).alias("avg_retail"),
+            F.count("*").alias("n_shipped"),
+        )
+    )
+
+
+def sql_brand_part_stats() -> str:
+    return """
+SELECT p_brand,
+  round(sum(CAST(l_quantity AS DOUBLE)), 2) AS sum_qty,
+  round(avg(CAST(p_retailprice AS DOUBLE)), 4) AS avg_retail,
+  count(*) AS n_shipped
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 # --------------------------------------------- rows-only (non-SQL) ops
 
 def q_interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
