@@ -1,0 +1,129 @@
+"""Physical-plan audit: assert the plans we WANT, not just plans that
+pass. Writes PLANS.md with the verdict per query.
+
+Checks per query (where applicable):
+- filter pushdown reached the parquet scan (PushedFilters non-empty)
+- column pruning (ReadSchema is a strict subset of the table schema)
+- broadcast joins where a dim is joined to a fact
+- whole-stage codegen covers the aggregation pipeline
+- partial (map-side) aggregation before the shuffle
+- exchange count (shuffle budget)
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+CHECKS = {
+    "pricing_summary": {
+        "pushed_filter": r"PushedFilters: \[[^\]]*LessThanOrEqual\(l_shipdate",
+        "pruned_schema": ("ReadSchema", lambda s: "l_orderkey" not in s),
+        "partial_agg": r"partial_(sum|count|avg)",
+        "codegen": r"\*\(\d+\)",
+        "max_exchanges": 1,
+    },
+    "segment_revenue": {
+        "broadcast": r"BroadcastHashJoin",
+        "partial_agg": r"partial_",
+        "max_exchanges": 2,  # broadcast + final agg shuffle
+    },
+    "region_supplier_volume": {
+        "broadcast": r"BroadcastHashJoin",
+        "pruned_schema": ("ReadSchema", lambda s: "l_comment" not in s
+                          and "l_returnflag" not in s),
+        "max_exchanges": 2,
+    },
+    "dedup_exact": {
+        "partial_agg": r"partial_",
+        "codegen": r"\*\(\d+\)",
+        "max_exchanges": 1,
+    },
+    "events_sessionize": {
+        # lag window and groupBy share the user_id partitioning: ONE
+        # shuffle total
+        "max_exchanges": 1,
+    },
+    "host_counts": {
+        "partial_agg": r"partial_count",
+        "max_exchanges": 1,
+    },
+    "token_counts": {
+        "codegen": r"\*\(\d+\)",
+        "max_exchanges": 0,  # pure projection
+    },
+    "ann_cosine_topk": {
+        "topk_no_global_sort": r"TakeOrderedAndProject",
+    },
+}
+
+
+def audit(sf_dir: str) -> list[tuple[str, str, bool, str]]:
+    import __spark_entry__ as entrymod
+    from flyscrape_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    queries = entrymod.queries()
+    results = []
+    for name, checks in CHECKS.items():
+        df = queries[name](spark, sf_dir)
+        # collect() (not count()) finalizes THIS df's AdaptiveSparkPlan
+        # in place, so the string shows codegen stages; count() would
+        # execute a different (wrapped) query
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the finalized AQE string appends "== Initial Plan ==" —
+        # don't double-count its exchanges
+        plan = plan.split("== Initial Plan ==")[0]
+        for check, spec in checks.items():
+            if check == "max_exchanges":
+                n = len(re.findall(r"Exchange hashpartitioning|Exchange rangepartitioning", plan))
+                ok = n <= spec
+                detail = f"{n} shuffle exchange(s), budget {spec}"
+            elif isinstance(spec, tuple):
+                key, pred = spec
+                lines = [l for l in plan.splitlines() if key in l]
+                ok = bool(lines) and all(pred(l) for l in lines)
+                detail = key + (" pruned" if ok else f" NOT pruned: {lines[:1]}")
+            else:
+                ok = re.search(spec, plan) is not None
+                detail = spec
+            results.append((name, check, ok, detail))
+    spark.stop()
+    return results
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    results = audit(sf_dir)
+    lines = [
+        "# PLANS — physical-plan audit",
+        "",
+        f"`python tools/explain_audit.py {sf_dir}` — asserts the plan",
+        "properties the 100 TB design depends on (pushdown, pruning,",
+        "broadcast, map-side partial aggregation, codegen, shuffle",
+        "budget). Regenerate after any operator change.",
+        "",
+        "| query | check | ok | detail |",
+        "|---|---|---|---|",
+    ]
+    failed = 0
+    for name, check, ok, detail in results:
+        mark = "✅" if ok else "❌"
+        failed += 0 if ok else 1
+        lines.append(f"| {name} | {check} | {mark} | `{detail}` |")
+        print(f"{'OK  ' if ok else 'FAIL'} {name}.{check}: {detail}")
+    lines.append("")
+    lines.append(f"{len(results) - failed}/{len(results)} checks pass.")
+    with open("PLANS.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"\n{len(results) - failed}/{len(results)} pass -> PLANS.md")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
