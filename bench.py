@@ -28,6 +28,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # 20M keeps every core busy past AQE coalescing; 2M is overhead-bound
 # at 32 threads and inverts the scaling signal
 N_URLS = int(os.environ.get("BENCH_FRONTIER_URLS", "20000000"))
+N_ENGINE_PAGES = int(os.environ.get("BENCH_ENGINE_PAGES", "2000000"))
 
 HEADLINE_QUERIES = [
     "crawl_bfs",
@@ -83,6 +84,38 @@ def frontier_kernel(spark, n_urls: int) -> dict:
             "urls_per_sec": round(n_urls / dt)}
 
 
+def engine_kernel(spark, n_pages: int, seeds: int = 2000, depth: int = 2) -> dict:
+    """FULL-ENGINE throughput: seeds -> fetch-by-join (shuffle join,
+    non-broadcast) -> parse-once span+link UDF -> canonical ordering
+    (two-phase at this size) -> seen anti-join, for ``depth``
+    generations over a lazy synthetic web. Reports total URLs
+    enqueued+deduped and fetched+parsed per second of wall clock."""
+    from flyscrape_spark.config import CrawlConfig
+    from flyscrape_spark.plans.frontier import CrawlEngine
+    from flyscrape_spark.sources.synth import synthetic_web
+    from flyscrape_spark.sources.transport import JoinTransport
+
+    pages = synthetic_web(spark, n_pages)
+    config = CrawlConfig(depth=depth, domain_filter=False)
+    engine = CrawlEngine(
+        spark, config, JoinTransport(pages, config, broadcast=False),
+        collect_metrics=False, small_generation_rows=20_000,
+    )
+    seed_urls = [f"http://w{(i * 37) % 1009}.example/d/{i * 37}"
+                 for i in range(seeds)]
+    t0 = time.time()
+    result = engine.run(seed_urls)
+    n_seen = result.seen.count()
+    n_fetched = result.results.count()
+    dt = time.time() - t0
+    return {
+        "n_pages": n_pages, "seeds": seeds, "depth": depth,
+        "seen": n_seen, "fetched": n_fetched, "sec": round(dt, 3),
+        "urls_per_sec": round(n_seen / dt),
+        "gen_secs": [m["sec"] for m in result.metrics],
+    }
+
+
 def run_bench(cpus: int, include_queries: bool = True) -> dict:
     from flyscrape_spark.session import get_spark
 
@@ -105,6 +138,7 @@ def run_bench(cpus: int, include_queries: bool = True) -> dict:
             qtimes[name] = round(time.time() - t0, 3)
         out["queries"] = qtimes
 
+    out["engine"] = engine_kernel(spark, N_ENGINE_PAGES)
     out["frontier"] = frontier_kernel(spark, N_URLS)
     spark.stop()
     return out
@@ -151,6 +185,8 @@ def main():
         "sf": SF_DIR,
         "frontier_urls_per_sec": result["frontier"]["urls_per_sec"],
         "frontier_n_urls": result["frontier"]["n_urls"],
+        "engine_urls_per_sec": result["engine"]["urls_per_sec"],
+        "engine_seen": result["engine"]["seen"],
         "cpus": CPUS,
         "total_wall_sec": total,
     }))

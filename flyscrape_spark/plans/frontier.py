@@ -146,6 +146,7 @@ class CrawlEngine:
         max_generations: int = 1000,
         small_generation_rows: int = 50_000,
         seen_store=None,  # optional BucketedSeenStore (shuffle-free anti-join)
+        collect_metrics: bool = True,
     ):
         self.spark = spark
         self.config = config
@@ -157,6 +158,10 @@ class CrawlEngine:
         self.max_generations = max_generations
         self.small_generation_rows = small_generation_rows
         self.seen_store = seen_store
+        # checkpointed crawls always record full lineage metrics
+        # (manifests carry them, north_rule); plain crawls may skip
+        # the extra per-generation count job
+        self.collect_metrics = collect_metrics or checkpoint is not None
         self.page_udf = make_page_udf(config.follow_selectors())
 
     def _set_generation_mode(self, est_rows: int) -> None:
@@ -431,9 +436,10 @@ class CrawlEngine:
             gen_metrics = {
                 "generation": gen,
                 "enqueued": n_enqueued,
-                "fetched": fetched.count(),
                 "sec": round(time.time() - gen_t0, 3),
             }
+            if self.collect_metrics:
+                gen_metrics["fetched"] = fetched.count()
             metrics.append(gen_metrics)
             if self.checkpoint is not None:
                 # publish the generation atomically: frontier + fetched

@@ -84,7 +84,9 @@ def q_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output = fetched URL set with first-discovery (=min) depth."""
     config = CrawlConfig(depth=BFS_DEPTH, domain_filter=False)
     pages = synthetic_pages(spark, sf_dir)
-    engine = CrawlEngine(spark, config, JoinTransport(pages, config))
+    engine = CrawlEngine(
+        spark, config, JoinTransport(pages, config), collect_metrics=False
+    )
     result = engine.run([f"http://h0.example/d/0"])
     return (
         result.seen.filter(F.col("depth") <= BFS_DEPTH)

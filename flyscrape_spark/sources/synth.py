@@ -46,6 +46,42 @@ def synthetic_frontier(
     )
 
 
+def synthetic_web(
+    spark: SparkSession,
+    n_pages: int,
+    n_hosts: int = 1009,
+    branching: int = 8,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Lazy synthetic web for FULL-ENGINE throughput runs:
+    pages(url, host, status, html) where page i links to
+    (k*i + 2k+1) % n for k in 1..branching — real anchors the link
+    UDF must parse, deterministic so any run is reproducible."""
+    rng = spark.range(0, n_pages, 1, partitions) if partitions else spark.range(n_pages)
+    i = F.col("id")
+
+    def url_of(expr):
+        return F.concat(
+            F.lit("http://w"), (expr % n_hosts).cast("string"),
+            F.lit(".example/d/"), expr.cast("string"),
+        )
+
+    anchors = [
+        F.concat(F.lit('<a href="'), url_of((k * i + 2 * k + 1) % n_pages),
+                 F.lit(f'">l{k}</a>'))
+        for k in range(1, branching + 1)
+    ]
+    return rng.select(
+        url_of(i).alias("url"),
+        F.concat(F.lit("w"), (i % n_hosts).cast("string"), F.lit(".example")).alias("host"),
+        F.lit(200).alias("status"),
+        F.concat(
+            F.lit("<html><body><p>page "), i.cast("string"), F.lit("</p>"),
+            *anchors, F.lit("</body></html>"),
+        ).alias("html"),
+    )
+
+
 def synthetic_outlinks(frontier: DataFrame, fanout_mod: int = 40) -> DataFrame:
     """Child candidate URLs: page id i emits ``xxhash64(i,7) % fanout``
     synthetic child ids (FIXTURES.md) — a lazy posexplode fan-out."""

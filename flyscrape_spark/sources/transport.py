@@ -182,6 +182,28 @@ class ConstantTransport(Transport):
         )
 
 
+def parse_retry_after(value: str) -> float | None:
+    """Retry-After: seconds or an HTTP date (the reference accepts 9
+    date layouts, modules/retry/retry.go:102-134; RFC 9110 requires
+    IMF-fixdate + the two legacy forms, which parsedate covers)."""
+    value = value.strip()
+    try:
+        return max(0.0, float(value))
+    except ValueError:
+        pass
+    try:
+        from email.utils import parsedate_to_datetime
+        import datetime
+
+        when = parsedate_to_datetime(value)
+        if when.tzinfo is None:
+            when = when.replace(tzinfo=datetime.timezone.utc)
+        now = datetime.datetime.now(datetime.timezone.utc)
+        return max(0.0, (when - now).total_seconds())
+    except Exception:
+        return None
+
+
 def _http_fetch_one(url: str, headers: dict, timeout: float,
                     retry_statuses: frozenset, retry_delays: tuple,
                     sleep) -> tuple[int, str | None, str | None, int]:
@@ -217,10 +239,7 @@ def _http_fetch_one(url: str, headers: dict, timeout: float,
                 return (*last, attempts)
             ra = e.headers.get("Retry-After")
             if ra is not None:
-                try:
-                    retry_after = float(ra)
-                except ValueError:
-                    pass
+                retry_after = parse_retry_after(ra)
         except Exception as e:  # transport error (net.Error analog)
             last = (0, None, f"Get {url}: {e}")
         if delay is None:

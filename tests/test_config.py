@@ -25,6 +25,21 @@ def test_unknown_keys_ignored():
     assert cfg.depth == 3
 
 
+def test_parse_retry_after():
+    import datetime
+
+    from flyscrape_spark.sources.transport import parse_retry_after
+
+    assert parse_retry_after("120") == 120.0
+    assert parse_retry_after(" 0 ") == 0.0
+    assert parse_retry_after("-5") == 0.0
+    future = datetime.datetime.now(datetime.timezone.utc) + datetime.timedelta(seconds=60)
+    secs = parse_retry_after(future.strftime("%a, %d %b %Y %H:%M:%S GMT"))
+    assert 50 <= secs <= 61
+    assert parse_retry_after("Thu, 01 Jan 1970 00:00:00 GMT") == 0.0
+    assert parse_retry_after("garbage") is None
+
+
 def test_ua_rotation_deterministic(spark):
     frontier = spark.createDataFrame(
         [(f"http://h.test/{i}",) for i in range(20)], "url string"
