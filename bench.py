@@ -92,13 +92,14 @@ def engine_kernel(spark, n_pages: int, seeds: int = 2000, depth: int = 2) -> dic
     enqueued+deduped and fetched+parsed per second of wall clock."""
     from flyscrape_spark.config import CrawlConfig
     from flyscrape_spark.plans.frontier import CrawlEngine
-    from flyscrape_spark.sources.synth import synthetic_web
-    from flyscrape_spark.sources.transport import JoinTransport
+    from flyscrape_spark.sources.synth import SyntheticWebTransport
 
-    pages = synthetic_web(spark, n_pages)
+    # expression-backed fetch: page html regenerated from the URL, so
+    # per-generation cost is proportional to the FRONTIER (like real
+    # HTTP fetch), not to scanning an n_pages "internet" table
     config = CrawlConfig(depth=depth, domain_filter=False)
     engine = CrawlEngine(
-        spark, config, JoinTransport(pages, config, broadcast=False),
+        spark, config, SyntheticWebTransport(n_pages),
         collect_metrics=False, small_generation_rows=20_000,
     )
     seed_urls = [f"http://w{(i * 37) % 1009}.example/d/{i * 37}"

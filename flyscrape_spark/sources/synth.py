@@ -82,6 +82,48 @@ def synthetic_web(
     )
 
 
+class SyntheticWebTransport:
+    """Fetch over the :func:`synthetic_web` graph WITHOUT a join: the
+    page id is parsed back out of the URL and the html is regenerated
+    as a JVM expression — per-row cost proportional to the frontier,
+    like a real HTTP fetch, with zero table scan/shuffle artifacts.
+    Used by the full-engine throughput bench so measured cost is
+    engine machinery + parse, not simulation overhead."""
+
+    def __init__(self, n_pages: int, n_hosts: int = 1009, branching: int = 8):
+        self.n_pages = n_pages
+        self.n_hosts = n_hosts
+        self.branching = branching
+
+    def fetch(self, frontier: DataFrame) -> DataFrame:
+        i = F.regexp_extract("url", r"/d/(\d+)$", 1).cast("bigint")
+        known = i.isNotNull() & (i >= 0) & (i < self.n_pages)
+
+        def url_of(expr):
+            return F.concat(
+                F.lit("http://w"), (expr % self.n_hosts).cast("string"),
+                F.lit(".example/d/"), expr.cast("string"),
+            )
+
+        anchors = [
+            F.concat(F.lit('<a href="'),
+                     url_of((k * i + 2 * k + 1) % self.n_pages),
+                     F.lit(f'">l{k}</a>'))
+            for k in range(1, self.branching + 1)
+        ]
+        html = F.concat(
+            F.lit("<html><body><p>page "), i.cast("string"), F.lit("</p>"),
+            *anchors, F.lit("</body></html>"),
+        )
+        return (
+            frontier.withColumn("status", F.when(known, 200).otherwise(0))
+            .withColumn("body", F.when(known, html))
+            .withColumn("error",
+                        F.when(~known, F.lit("Get: no such host")).cast("string"))
+            .withColumn("attempts", F.lit(1))
+        )
+
+
 def synthetic_outlinks(frontier: DataFrame, fanout_mod: int = 40) -> DataFrame:
     """Child candidate URLs: page id i emits ``xxhash64(i,7) % fanout``
     synthetic child ids (FIXTURES.md) — a lazy posexplode fan-out."""
