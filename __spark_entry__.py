@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_counts": Q.q_host_counts,
         "robots_filter": Q.q_robots_filter,
         "interleaved_spans": Q.q_interleaved_spans,
+        "nested_scrape": Q.q_nested_scrape,
         # dedup suite
         "dedup_exact": Q.q_dedup_exact,
         "minhash_signatures": Q.q_minhash_signatures,
@@ -66,6 +67,7 @@ def oracle_sql() -> dict[str, str]:
         "host_counts": Q.sql_host_counts(),
         "robots_filter": Q.sql_robots_filter(),
         # interleaved_spans: rows-only (HTML parse UDF; pytest-pinned)
+        "nested_scrape": Q.sql_nested_scrape(),
         "dedup_exact": Q.sql_dedup_exact(),
         "minhash_signatures": Q.sql_minhash_signatures(),
         "lsh_near_dup": Q.sql_lsh_near_dup(),

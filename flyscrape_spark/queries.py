@@ -550,6 +550,49 @@ HAVING sum(CAST(x AS DOUBLE) * y)
 """
 
 
+def q_nested_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested scrape(url, fn) (SURVEY §2.1 #9): parents (every 20th
+    doc) extract their first outlink with the REAL parse UDF, the
+    child page is fetched as one deduplicated batch and its <p> text
+    extracted and re-nested as the parent's child_data JSON — the
+    join-shaped replacement for the reference's synchronous
+    processImmediate (scrape.go:224-268)."""
+    from flyscrape_spark.config import CrawlConfig
+    from flyscrape_spark.parse.udfs import make_extract_udf, parse_spans_udf
+    from flyscrape_spark.plans.nested import scrape_children
+
+    pages = synthetic_pages(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    parents = docs.select(_doc_url(F.col("doc_id")).alias("url")).join(
+        pages, "url"
+    )
+    first_link = F.filter(
+        parse_spans_udf("html"), lambda s: s["kind"] == F.lit("link")
+    )[0]["media_ref"]
+    parents = parents.select("url", first_link.alias("child_ref"))
+    out = scrape_children(
+        parents, "child_ref",
+        JoinTransport(pages, CrawlConfig()),
+        make_extract_udf({"text": ("p", "text")}),
+    )
+    return out.select("url", "child_url", "child_data")
+
+
+def sql_nested_scrape() -> str:
+    child_url = _doc_url_sql("(2*p.doc_id+1) % n.n")
+    return f"""
+WITH n AS (SELECT count(*) AS n FROM documents)
+SELECT {_doc_url_sql('p.doc_id')} AS url,
+       {child_url} AS child_url,
+       '{{"text": "' || trim(c.text) || '", "url": "' || {child_url} || '"}}'
+         AS child_data
+FROM documents p
+CROSS JOIN n
+JOIN documents c ON c.doc_id = (2*p.doc_id+1) % n.n
+WHERE p.doc_id % 20 = 0
+"""
+
+
 # ------------------------------------------------------- multimodal
 
 def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
