@@ -111,6 +111,30 @@ class FrontierIngest:
         return writer.start()
 
 
+def stateful_dedup_stream(urls: DataFrame, watermark: str = "10 minutes",
+                          do_canonicalize: bool = True) -> DataFrame:
+    """Streaming-native URL dedup: Structured Streaming's keyed state
+    store via ``dropDuplicates`` on the canonical hash — exactly-once
+    admission WITHOUT a side parquet seen table.
+
+    Contrast with :class:`FrontierIngest` (anti-join against a durable
+    table): the state-store variant keeps the seen keys in the
+    streaming state backend (RocksDB on a cluster), bounded by the
+    watermark — the right shape for a RECRAWL window ("don't refetch a
+    URL seen in the last N hours") rather than a forever-seen set,
+    which would grow state without bound. Both edges are first-class;
+    pick by retention semantics."""
+    url = canonicalize("url") if do_canonicalize else F.trim("url")
+    return (
+        urls.withColumn("url", url)
+        .filter(F.col("url") != "")
+        .withColumn("url_key", F.xxhash64("url"))
+        .withColumn("host", host_of("url"))
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["url_key", "url"])
+    )
+
+
 def windowed_host_counts(
     urls: DataFrame, window: str = "1 minute", slide: str | None = None,
     watermark: str = "2 minutes",

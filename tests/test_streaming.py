@@ -46,6 +46,26 @@ def test_streaming_ingest_dedups_across_batches(spark, tmp_path):
     assert seen == 3
 
 
+def test_stateful_dedup_stream(spark, tmp_path):
+    from flyscrape_spark.streaming.ingest import stateful_dedup_stream
+
+    feed = tmp_path / "feed"
+    _write_feed(feed, ["http://A.test:80/x", "http://a.test/x#frag",
+                       "http://b.test/y", "http://b.test/y"])
+    out = stateful_dedup_stream(stream_urls(spark, str(feed)))
+    q = (
+        out.writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    urls = sorted(
+        r["url"] for r in spark.sql("select * from dedup_stream").collect()
+    )
+    # all four inputs canonicalize to two distinct URLs; the state
+    # store admits each exactly once
+    assert urls == ["http://a.test/x", "http://b.test/y"]
+
+
 def test_windowed_host_counts(spark, tmp_path):
     feed = tmp_path / "feed"
     _write_feed(feed, ["http://a.test/1", "http://a.test/2", "http://b.test/1"],
