@@ -2,9 +2,8 @@
 
 ``entry(spark)`` runs the flagship crawl (full engine BFS over the
 synthetic web derived from sf0.001 documents). ``queries()`` /
-``oracle_sql()`` expose every implemented operator with a DuckDB twin
-where SQL-expressible (HTML parsing and LSH-bucketed ANN are
-rows-only; their semantics are pinned by pytest instead).
+``oracle_sql()`` expose every implemented operator; every query has a
+DuckDB oracle twin.
 """
 
 from __future__ import annotations
@@ -37,6 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": Q.q_minhash_signatures,
         "lsh_near_dup": Q.q_lsh_near_dup,
         "simhash": Q.q_simhash,
+        "simhash_near_dup": Q.q_simhash_near_dup,
         "ngram_jaccard": Q.q_ngram_jaccard,
         "embedding_near_dup": Q.q_embedding_near_dup,
         # text analysis
@@ -66,12 +66,13 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": Q.sql_url_canonicalize(),
         "host_counts": Q.sql_host_counts(),
         "robots_filter": Q.sql_robots_filter(),
-        # interleaved_spans: rows-only (HTML parse UDF; pytest-pinned)
+        "interleaved_spans": Q.sql_interleaved_spans(),
         "nested_scrape": Q.sql_nested_scrape(),
         "dedup_exact": Q.sql_dedup_exact(),
         "minhash_signatures": Q.sql_minhash_signatures(),
         "lsh_near_dup": Q.sql_lsh_near_dup(),
         "simhash": Q.sql_simhash(),
+        "simhash_near_dup": Q.sql_simhash_near_dup(),
         "ngram_jaccard": Q.sql_ngram_jaccard(),
         "embedding_near_dup": Q.sql_embedding_near_dup(),
         "fingerprint": Q.sql_fingerprint(),
@@ -79,9 +80,9 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": Q.sql_token_counts(),
         "lang_id": Q.sql_lang_id(),
         "ann_cosine_topk": Q.sql_ann_cosine_topk(),
-        # srp_ann_topk: rows-only (bucket pruning; pytest-pinned)
+        "srp_ann_topk": Q.sql_srp_ann_topk(),
         "media_dedup": Q.sql_media_dedup(),
-        # media_features: rows-only (xxhash64/md5-bytes payloads; pytest-pinned)
+        "media_features": Q.sql_media_features(),
         "events_sessionize": Q.sql_events_sessionize(),
         "pricing_summary": Q.sql_pricing_summary(),
         "segment_revenue": Q.sql_segment_revenue(),

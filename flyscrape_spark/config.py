@@ -36,6 +36,9 @@ class CrawlConfig:
     # (modules/ratelimit/ratelimit.go:38-40); this engine enforces it
     # PER HOST across salted partitions (north_rule).
     rate: float | None = None
+    # cap on simultaneous in-flight requests per fetch task — the
+    # reference's semaphore (modules/ratelimit/ratelimit.go:54-59).
+    # Consumed by HttpTransport (thread-pool width per Arrow batch).
     concurrency: int | None = None
     # retry schedule in seconds (modules/retry/retry.go:136-141)
     retry_delays: tuple[float, ...] = (1.0, 2.0, 5.0, 10.0)
@@ -52,7 +55,12 @@ class CrawlConfig:
     # fetch time (they still enter the seen set, like any
     # validator-dropped URL, scrape.go:276-285 semantics).
     respect_robots: bool = False
-    user_agent: str = "flyscrape"
+    # fixed User-Agent for every request. None (default) = rotate a
+    # browser UA deterministically per URL (the reference's behavior
+    # when no User-Agent header is configured, headers.go:28-40 via
+    # versions.go:47-96); a set value wins over rotation but loses to
+    # an explicit User-Agent entry in ``headers``.
+    user_agent: str | None = None
     # request headers set on every request
     # (modules/headers/headers.go:28-40); if User-Agent is absent a
     # browser UA is picked per request — the reference picks randomly

@@ -262,5 +262,58 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
             .otherwise(F.lit(0).cast("bigint")),
         )
         .groupBy("doc_id")
-        .agg(F.sum("bitval").alias("simhash"))
+        .agg(F.sum("bitval").cast("bigint").alias("simhash"))
+    )
+
+
+def simhash_near_dup(
+    documents: DataFrame, bits: int = 16, bands: int = 4,
+    max_distance: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS — the neighbor-join stage that
+    makes the fingerprint usable as a dedup operator at scale.
+
+    Banded hamming join: split the fingerprint into ``bands``
+    contiguous bit bands; candidates = pairs agreeing on at least one
+    band (a linear-shuffle bucket equi-join, exactly the LSH banding
+    shape — never O(n^2)); verify = exact popcount(xor) on candidates
+    only. With ``max_distance <= bands - 1`` the banding is LOSSLESS
+    by pigeonhole (<= bands-1 differing bits leave >= 1 band intact),
+    so the output is EXACTLY all pairs with hamming <= max_distance —
+    which is what the DuckDB oracle computes pairwise."""
+    assert bits % bands == 0
+    assert max_distance <= bands - 1, "banding is only lossless below bands"
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    # pin: the fingerprint table feeds the band explode AND both
+    # verify sides
+    fp = simhash(documents, bits).localCheckpoint(eager=True)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(f"(simhash >> {b * band_bits}) & {mask}").alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = fp.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    fa = fp.withColumnsRenamed({"doc_id": "doc_a", "simhash": "sh_a"})
+    fb = fp.withColumnsRenamed({"doc_id": "doc_b", "simhash": "sh_b"})
+    return (
+        cand.join(fa, "doc_a").join(fb, "doc_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .select("doc_a", "doc_b", "hamming")
     )

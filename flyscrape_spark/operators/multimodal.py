@@ -60,9 +60,16 @@ def media_from_results(results: DataFrame, pages: DataFrame | None = None) -> Da
         .select(F.col("s.media_ref").alias("media_ref"))
         .dropDuplicates(["media_ref"])
     )
-    # deterministic fake payload: repeat of the ref's md5, length from hash
-    payload = F.repeat(F.unbase64(F.base64(F.encode(F.md5("media_ref"), "utf-8"))),
-                       (F.pmod(F.xxhash64("media_ref"), F.lit(8)) + 1).cast("int"))
+    # deterministic fake payload: repeat of the ref's md5 hex string,
+    # repeat count from the PORTABLE hash (md5-derived) so the DuckDB
+    # oracle reproduces payload bytes — and hence every downstream
+    # feature — bit-for-bit
+    from flyscrape_spark.functions.hashing import portable_hash64
+
+    count = (F.pmod(portable_hash64(F.col("media_ref")), F.lit(8)) + 1).cast("int")
+    payload = F.repeat(
+        F.unbase64(F.base64(F.encode(F.md5("media_ref"), "utf-8"))), count
+    )
     return refs.select("media_ref", payload.cast("binary").alias("content"))
 
 

@@ -168,10 +168,18 @@ def parse_delay_udf(body: pd.Series) -> pd.Series:
 
 
 def robots_table(hosts: DataFrame, transport, scheme: str = "http") -> DataFrame:
-    """hosts(host) -> (host, rules, crawl_delay) via one robots.txt
-    fetch per distinct host through the engine Transport."""
+    """hosts(host[, scheme]) -> (host, rules, crawl_delay) via one
+    robots.txt fetch per distinct host through the engine Transport.
+    If the hosts frame carries a ``scheme`` column (the engine derives
+    it from the frontier URLs), robots.txt is probed on that origin;
+    otherwise the ``scheme`` argument is the fallback."""
+    scheme_col = (
+        F.coalesce(F.col("scheme"), F.lit(scheme))
+        if "scheme" in hosts.columns
+        else F.lit(scheme)
+    )
     robots_frontier = hosts.select(
-        F.concat(F.lit(f"{scheme}://"), F.col("host"), F.lit("/robots.txt")).alias("url"),
+        F.concat(scheme_col, F.lit("://"), F.col("host"), F.lit("/robots.txt")).alias("url"),
         F.col("host"),
     )
     fetched = transport.fetch(robots_frontier)
@@ -185,8 +193,22 @@ def robots_table(hosts: DataFrame, transport, scheme: str = "http") -> DataFrame
     )
 
 
-def allowed_filter(frontier: DataFrame, robots: DataFrame) -> DataFrame:
-    """Add ``robots_allowed`` to a frontier that has (url, host)."""
+def allowed_filter(
+    frontier: DataFrame,
+    robots: DataFrame,
+    n_hosts: int | None = None,
+    broadcast_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Add ``robots_allowed`` to a frontier that has (url, host).
+
+    Join-strategy gating (the scale hazard): the robots table is one
+    row per host — small for most crawls, but MILLIONS of rows at the
+    10^10-URL design point, where a forced broadcast OOMs the driver.
+    When the caller knows the host count (the engine counts each
+    generation's materialized robots increment) the broadcast hint is
+    applied only under ``broadcast_threshold``; with no count, no hint
+    — Catalyst picks by its size estimate and falls back to a shuffle
+    join on ``host``."""
 
     @F.pandas_udf(BooleanType())
     def match_udf(url: pd.Series, rules: pd.Series) -> pd.Series:
@@ -201,9 +223,10 @@ def allowed_filter(frontier: DataFrame, robots: DataFrame) -> DataFrame:
             out.append(is_allowed(list(rs), path or "/"))
         return pd.Series(out)
 
-    joined = frontier.join(
-        F.broadcast(robots.select("host", "rules")), "host", "left"
-    )
+    rules = robots.select("host", "rules")
+    if n_hosts is not None and n_hosts <= broadcast_threshold:
+        rules = F.broadcast(rules)
+    joined = frontier.join(rules, "host", "left")
     return joined.withColumn(
         "robots_allowed", match_udf(F.col("url"), F.col("rules"))
     ).drop("rules")

@@ -201,6 +201,30 @@ class CrawlEngine:
             return self.checkpoint.commit(df, name, gen)
         return df.localCheckpoint(eager=True)
 
+    @staticmethod
+    def dedupe_candidates(cand: DataFrame) -> DataFrame:
+        """In-generation first-seen dedup: keep the min
+        (parent_order, pos) occurrence of each URL. Groups on
+        ``(url_key, url, depth)`` — the URL string rides in the group
+        key so two distinct URLs colliding on the 64-bit hash are
+        never merged (the seen anti-join downstream is already
+        collision-exact; this keeps the in-generation step exact too).
+        At the 10^10-URL design point expected 64-bit collisions are
+        ~n^2/2^65 ≈ a few per crawl — same shuffle key width class,
+        no extra shuffle."""
+        first = F.min(F.struct("parent_order", "pos")).alias("first")
+        return (
+            cand.groupBy("url_key", "url", "depth")
+            .agg(first)
+            .select(
+                "url",
+                "url_key",
+                "depth",
+                F.col("first.parent_order").alias("parent_order"),
+                F.col("first.pos").alias("pos"),
+            )
+        )
+
     # -- the loop ----------------------------------------------------------
 
     def run(self, seeds: list[str]) -> CrawlResult:
@@ -232,6 +256,7 @@ class CrawlEngine:
         valid = validators(config, seed_urls, seed_hosts)
 
         start_gen = 0
+        n_robots_hosts = 0
         seen_frames: list[DataFrame] = []
         robots_frames: list[DataFrame] = []
         result_frames: list[DataFrame] = []
@@ -279,18 +304,7 @@ class CrawlEngine:
             )
 
             # 2. in-generation first-seen dedup: keep min (parent_order, pos)
-            first = F.min(F.struct("parent_order", "pos", "url")).alias("first")
-            cand = (
-                cand.groupBy("url_key", "depth")
-                .agg(first)
-                .select(
-                    F.col("first.url").alias("url"),
-                    "url_key",
-                    "depth",
-                    F.col("first.parent_order").alias("parent_order"),
-                    F.col("first.pos").alias("pos"),
-                )
-            )
+            cand = self.dedupe_candidates(cand)
 
             # 3. global dedup: anti-join the accumulated seen set.
             #    Runtime bloom-filter pruning (session.py) prefilters;
@@ -365,7 +379,18 @@ class CrawlEngine:
             # seen set; disallowed URLs are dropped here, at fetch
             # time, exactly like any other validator.
             if config.respect_robots:
-                hosts = fetchable.select("host").distinct()
+                # carry the URL scheme so robots.txt is probed on the
+                # right origin (https hosts must not be probed over
+                # http); max() prefers https when a host shows both
+                scheme = F.lower(
+                    F.regexp_extract("url", r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+                )
+                hosts = (
+                    fetchable
+                    .select("host", F.nullif(scheme, F.lit("")).alias("scheme"))
+                    .groupBy("host")
+                    .agg(F.max("scheme").alias("scheme"))
+                )
                 if robots_frames:
                     known = robots_frames[0]
                     for rf in robots_frames[1:]:
@@ -380,12 +405,16 @@ class CrawlEngine:
                     robots_table(new_hosts, self.transport), "robots", gen
                 )
                 robots_frames.append(fetched_robots)
+                # cheap count on the materialized increment: gates the
+                # robots-join broadcast (millions of hosts at design
+                # scale must NOT be force-broadcast)
+                n_robots_hosts += fetched_robots.count()
                 robots_all = (
                     known.unionByName(fetched_robots)
                     if known is not None else fetched_robots
                 )
                 fetchable = (
-                    allowed_filter(fetchable, robots_all)
+                    allowed_filter(fetchable, robots_all, n_hosts=n_robots_hosts)
                     .filter(F.col("robots_allowed"))
                     .drop("robots_allowed")
                 )

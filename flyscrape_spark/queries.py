@@ -351,8 +351,28 @@ per_bit AS (
   GROUP BY doc_id, t.bit
 )
 SELECT doc_id,
-       sum(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS simhash
+       CAST(sum(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END)
+            AS BIGINT) AS simhash
 FROM per_bit GROUP BY doc_id
+"""
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded hamming-neighbor candidate join
+    + exact popcount verify (lossless for max_distance <= bands-1, so
+    the oracle's pairwise scan is the exact expected output)."""
+    return dedup.simhash_near_dup(
+        load(spark, sf_dir, "documents"), bits=16, bands=4, max_distance=3
+    )
+
+
+def sql_simhash_near_dup(bits: int = 16, max_distance: int = 3) -> str:
+    return f"""
+WITH fp AS ({sql_simhash(bits)})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_distance}
 """
 
 
@@ -624,9 +644,9 @@ GROUP BY 1
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction: crawl-shaped media refs ->
     deterministic binary payloads -> mapInPandas decode/feature stage
-    (operators/multimodal.py). Rows-only: payload hashing uses
-    xxhash64 + md5 bytes with no DuckDB twin; semantics pinned by
-    tests/test_operators.py."""
+    (operators/multimodal.py). Payload bytes are md5-hex repeats with
+    a portable-hash repeat count, so the DuckDB oracle reproduces the
+    binary pipeline (byte_len/content_hash/dims) exactly."""
     from flyscrape_spark.operators import multimodal
     from flyscrape_spark.parse.udfs import parse_spans_udf
 
@@ -634,6 +654,29 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     results = pages.select(parse_spans_udf("html").alias("spans"))
     media = multimodal.media_from_results(results)
     return multimodal.extract_features(media)
+
+
+def sql_media_features() -> str:
+    """DuckDB twin of the full media pipeline: ref arithmetic ->
+    payload synthesis (repeat of md5 hex, portable repeat count) ->
+    feature extraction (md5-prefix content hash, byte-derived fake
+    dims mirroring multimodal._fake_decode)."""
+    cnt = f"CAST({portable_hash64_sql('media_ref')} % 8 + 1 AS INT)"
+    return f"""
+WITH nm AS (SELECT greatest(count(*) // 4, 1) AS n_media FROM documents),
+refs AS (
+  SELECT DISTINCT '/media/m' || ((3 * doc_id) % nm.n_media) || '.png' AS media_ref
+  FROM documents, nm WHERE doc_id % 4 = 0
+),
+p AS (SELECT media_ref, repeat(md5(media_ref), {cnt}) AS payload FROM refs)
+SELECT media_ref,
+  CAST(length(payload) AS BIGINT) AS byte_len,
+  CAST(('0x' || substr(md5(payload), 1, 14)) AS BIGINT) AS content_hash,
+  CASE WHEN length(payload) % 2 = 0 THEN 'image' ELSE 'audio' END AS kind_guess,
+  CAST(16 + ascii(substr(payload, 1, 1)) % 64 AS INT) AS width,
+  CAST(16 + ascii(substr(payload, 2, 1)) % 64 AS INT) AS height
+FROM p
+"""
 
 
 # ------------------------------------------------------- events / tpch
@@ -662,7 +705,7 @@ WITH g AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
-SELECT user_id, sum(is_new) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM g GROUP BY user_id
 """
 
@@ -791,9 +834,12 @@ GROUP BY p_brand
 
 def q_interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-parse the synthetic pages with the production UDF and
-    explode to one row per span — the input_hint payload shape.
-    (HTML parsing is not SQL-expressible; pinned instead by pytest
-    span-equality tests against the sequential oracle.)"""
+    explode to one row per span — the input_hint payload shape. The
+    DuckDB oracle reconstructs the expected span sequence from the
+    deterministic page template (text, link a, [media], link b) with
+    strip/empty-chunk and offset rules matching parse/html.py
+    spans_from_root; HTML-parse edge cases beyond the template are
+    pinned by pytest span-equality tests."""
     from flyscrape_spark.parse.udfs import parse_spans_udf
 
     pages = synthetic_pages(spark, sf_dir)
@@ -807,9 +853,85 @@ def q_interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_interleaved_spans() -> str:
+    u1 = _doc_url_sql("(2 * b.doc_id + 1) % n.n")
+    u2 = _doc_url_sql("(3 * b.doc_id + 2) % n.n")
+    return f"""
+WITH n AS (SELECT count(*) AS n, greatest(count(*) // 4, 1) AS n_media FROM documents),
+b AS (
+  SELECT doc_id, {_doc_url_sql('b0.doc_id')} AS url,
+         regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS chunk,
+         doc_id % 4 = 0 AS has_media
+  FROM documents b0
+),
+spans AS (
+  SELECT url AS doc_id, 'text' AS kind, chunk AS text, '' AS media_ref, 0 AS off
+  FROM b WHERE chunk != ''
+  UNION ALL
+  SELECT url, 'link', 'a', {u1},
+         CASE WHEN chunk != '' THEN 1 ELSE 0 END
+  FROM b, n
+  UNION ALL
+  SELECT url, 'media', '', '/media/m' || ((3 * b.doc_id) % n.n_media) || '.png',
+         (CASE WHEN chunk != '' THEN 1 ELSE 0 END) + 1
+  FROM b, n WHERE has_media
+  UNION ALL
+  SELECT url, 'link', 'b', {u2},
+         (CASE WHEN chunk != '' THEN 1 ELSE 0 END) + 1
+         + (CASE WHEN has_media THEN 1 ELSE 0 END)
+  FROM b, n
+)
+SELECT doc_id, kind, text, media_ref, CAST(off AS INT) AS "offset" FROM spans
+"""
+
+
+def sql_srp_ann_topk(num_planes: int = 8, k: int = 10, dims: int = 64) -> str:
+    """DuckDB twin of ann.srp_topk: rebuild the hash-derived SRP
+    planes, bucket every vector, restrict candidates to vec 0's
+    bucket, exact cosine top-k within it."""
+    sign = (
+        "(CASE WHEN "
+        + portable_hash64_sql("(p.p)::VARCHAR || ':' || (i)::VARCHAR")
+        + " % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+    )
+    return f"""
+WITH dims AS (
+  SELECT vec_id, t.i AS i, CAST(embedding[t.i + 1] AS DOUBLE) AS x
+  FROM embeddings, range({dims}) t(i)
+),
+proj AS (
+  SELECT vec_id, p.p AS p, sum(x * {sign}) AS proj
+  FROM dims, range({num_planes}) p(p)
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END) AS bucket
+  FROM proj GROUP BY 1
+),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+cand AS (SELECT b.vec_id FROM buckets b JOIN qb USING (bucket)),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+z AS (
+  SELECT e.vec_id, unnest(e.embedding) AS ev, unnest(q.qv) AS qe
+  FROM embeddings e JOIN cand USING (vec_id), q
+),
+parts AS (
+  SELECT vec_id,
+    sum(CAST(ev AS DOUBLE) * CAST(qe AS DOUBLE)) AS dot,
+    sum(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS na,
+    sum(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE)) AS nb
+  FROM z GROUP BY vec_id
+)
+SELECT vec_id, round(dot/(sqrt(na)*sqrt(nb)), 4) AS cosine FROM parts
+ORDER BY cosine DESC, vec_id LIMIT {k}
+"""
+
+
 def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH (signed-random-projection) bucketed ANN — the scale path
-    for similarity search; candidates restricted to the query bucket."""
+    for similarity search; candidates restricted to the query bucket
+    (a partition-prunable key at scale). Oracle: sql_srp_ann_topk."""
     emb = load(spark, sf_dir, "embeddings")
     query_vec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
     return ann.srp_topk(emb, list(query_vec), k=10, num_planes=8)

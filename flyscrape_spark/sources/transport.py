@@ -62,6 +62,14 @@ def with_request_headers(frontier: DataFrame, config: CrawlConfig) -> DataFrame:
     a deterministic UA from the pool via pmod(xxhash64(url)). All
     JVM-side (map literal + element_at-free construction), no Python."""
     items = sorted(config.headers.items())
+    if (
+        not any(k.lower() == "user-agent" for k, _ in items)
+        and config.user_agent is not None
+    ):
+        # configured fixed UA (engine-added config field); an explicit
+        # User-Agent in ``headers`` still wins, matching the reference
+        # precedence (headers module only fills a MISSING User-Agent)
+        items = sorted(items + [("User-Agent", config.user_agent)])
     if not any(k.lower() == "user-agent" for k, _ in items):
         idx = F.pmod(F.xxhash64("url"), F.lit(len(UA_POOL)))
         ua = F.element_at(F.array(*[F.lit(u) for u in UA_POOL]), idx.cast("int") + 1)
@@ -86,7 +94,11 @@ class Transport:
 
 class JoinTransport(Transport):
     def __init__(self, pages: DataFrame, config: CrawlConfig | None = None,
-                 broadcast: bool = True):
+                 broadcast: bool | None = None):
+        """``broadcast``: True forces the broadcast hint (tiny fixture
+        tables), False forces a shuffle join, None (default) lets
+        Catalyst pick by its size estimate — the scale-safe default
+        (a synthetic "internet" table must not be force-broadcast)."""
         self.config = config or CrawlConfig()
         cols = ["url", "status", "html"]
         self.pages = pages.select(*cols).withColumnRenamed("url", "page_url")
@@ -182,6 +194,11 @@ class ConstantTransport(Transport):
         )
 
 
+# upper bound on an honored Retry-After header (seconds); beyond it
+# the configured delay schedule applies instead
+RETRY_AFTER_CAP = 30.0
+
+
 def parse_retry_after(value: str) -> float | None:
     """Retry-After: seconds or an HTTP date (the reference accepts 9
     date layouts, modules/retry/retry.go:102-134; RFC 9110 requires
@@ -244,7 +261,13 @@ def _http_fetch_one(url: str, headers: dict, timeout: float,
             last = (0, None, f"Get {url}: {e}")
         if delay is None:
             return (*last, attempts)
-        sleep(retry_after if retry_after is not None else delay)
+        if retry_after is not None:
+            # honor Retry-After but clamp it: a hostile/misconfigured
+            # server must not park an executor thread for hours (the
+            # HTTP-date form allows arbitrary future times)
+            sleep(max(delay, min(retry_after, RETRY_AFTER_CAP)))
+        else:
+            sleep(delay)
     return (*last, attempts)  # pragma: no cover
 
 
@@ -261,11 +284,17 @@ class HttpTransport(Transport):
     zero cross-executor coordination (north_rule)."""
 
     def __init__(self, config: CrawlConfig | None = None, timeout: float = 10.0,
-                 pool_size: int = 16, pace: bool = True,
+                 pool_size: int | None = None, pace: bool = True,
                  shard_target: int | None = None):
         self.config = config or CrawlConfig()
         self.timeout = timeout
-        self.pool_size = pool_size
+        # config.concurrency is the reference's simultaneous-request
+        # semaphore (modules/ratelimit/ratelimit.go:54-59), enforced
+        # here as the per-task thread-pool width
+        self.pool_size = (
+            pool_size if pool_size is not None
+            else (self.config.concurrency or 16)
+        )
         self.pace = pace
         self.shard_target = shard_target
 

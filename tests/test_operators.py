@@ -82,6 +82,32 @@ def test_media_pipeline(spark):
     assert rows == rows2
 
 
+# ----------------------------------------------------------- simhash pairs
+
+def test_simhash_near_dup_pairs(spark):
+    """Banded hamming join finds exactly the pairs within the distance
+    bound: identical docs pair at hamming 0, a one-word edit stays
+    near, an unrelated doc pairs with nothing."""
+    from flyscrape_spark.operators.dedup import simhash_near_dup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),  # exact dup
+            (2, "the quick brown fox jumps over the lazy cat"),  # near dup
+            (3, "entirely unrelated totally different corpus text words here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dup(docs, bits=16, bands=4, max_distance=3).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert all(h <= 3 for h in pairs.values())
+    assert not any(3 in p for p in pairs)
+
+
 # ----------------------------------------------------------- nested scrape
 
 def test_nested_scrape(spark):
