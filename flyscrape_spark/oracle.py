@@ -42,6 +42,7 @@ class OracleRow:
     attempts: int = 0
     spans: list[dict] = field(default_factory=list)
     links: list[str] = field(default_factory=list)
+    data: str | None = None  # scrape-script JSON payload
 
 
 @dataclass
@@ -94,9 +95,13 @@ def _url_ok(url: str, config: CrawlConfig, seed_urls: list[str]) -> bool:
     return ok
 
 
-def crawl_oracle(seeds, config: CrawlConfig, page_for) -> OracleResult:
+def crawl_oracle(seeds, config: CrawlConfig, page_for, script=None) -> OracleResult:
     """``page_for(url) -> (status, html) | None`` (None = transport
-    error / no such host)."""
+    error / no such host). ``script``: optional Python scrape script
+    (parse/script.py); its manual-follow URLs enqueue BEFORE the
+    page's auto links — follow() fires during script execution
+    (scrape.go:210-212), followlinks in the deferred ReceiveResponse
+    (scrape.go:170-176)."""
     selectors = config.follow_selectors()
     seed_urls = [s.strip() for s in seeds if s.strip()]
     allowed_domains = list(config.allowed_domains) + [
@@ -146,6 +151,12 @@ def crawl_oracle(seeds, config: CrawlConfig, page_for) -> OracleResult:
             row.error = f"{status} error"
         row.spans = extract_spans(html)
         row.links = extract_links(html, row.url, selectors)
+        if script is not None:
+            from flyscrape_spark.parse.script import run_script
+
+            row.data, follow_urls = run_script(script, html, row.url)
+            for link in follow_urls:
+                enqueue(link, row.depth + 1)
         for link in row.links:
             enqueue(link, row.depth + 1)
 

@@ -46,6 +46,7 @@ class Node:
     children: list["Node"] = field(default_factory=list)
     parent: "Node | None" = None
     data: str = ""  # text content for #text nodes
+    order: int = 0  # document-order index (set at parse; Sel sorting)
 
     def iter_elements(self):
         """Depth-first document-order walk over element nodes."""
@@ -79,9 +80,12 @@ class _TreeBuilder(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.root = Node("#root")
         self.stack = [self.root]
+        self._order = 0
 
     def _append(self, node: Node) -> None:
         node.parent = self.stack[-1]
+        node.order = self._order
+        self._order += 1
         self.stack[-1].children.append(node)
 
     def handle_starttag(self, tag, attrs):

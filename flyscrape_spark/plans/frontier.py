@@ -140,6 +140,7 @@ class CrawlEngine:
         config: CrawlConfig,
         transport: Transport,
         extract_udf=None,
+        script_udf=None,  # parse.script.make_script_udf: struct<data, follow_urls>
         assign_order: bool = True,
         keep_body: bool = False,
         checkpoint=None,  # optional SnapshotStore for resumable crawls
@@ -152,6 +153,7 @@ class CrawlEngine:
         self.config = config
         self.transport = transport
         self.extract_udf = extract_udf
+        self.script_udf = script_udf
         self.assign_order = assign_order
         self.keep_body = keep_body
         self.checkpoint = checkpoint
@@ -367,11 +369,15 @@ class CrawlEngine:
                     seen_frames = [compacted.localCheckpoint(eager=True)]
 
             # 6. validators run at fetch time (scrape.go:162-168);
-            #    depth is generation-constant (modules/depth/depth.go:26-28)
-            if config.depth is not None and gen > config.depth:
-                fetchable = enqueued.limit(0)
+            #    depth filter is row-wise (inclusive <=, modules/depth/
+            #    depth.go:26-28) — normally generation-constant, but
+            #    resume-after-invalidate re-admits URLs at their
+            #    ORIGINAL depth into a later generation
+            if config.depth is not None:
+                fetchable = enqueued.filter(F.col("depth") <= config.depth)
             else:
-                fetchable = enqueued.filter(valid)
+                fetchable = enqueued
+            fetchable = fetchable.filter(valid)
             fetchable = fetchable.withColumn("host", host_of("url"))
 
             # 6b. robots.txt (RFC 9309, engine-only — north_rule): one
@@ -437,7 +443,23 @@ class CrawlEngine:
                     self.page_udf(F.col("body"), F.col("url")),
                 ),
             )
-            if self.extract_udf is not None:
+            if self.script_udf is not None:
+                # Python scrape script (parse/script.py): one UDF call
+                # yields the JSON payload AND the manual-follow URLs
+                # (js.go:217-219 -> scrape.go:210-212)
+                fetched = (
+                    fetched.withColumn(
+                        "script",
+                        F.when(
+                            F.col("body").isNotNull(),
+                            self.script_udf(F.col("body"), F.col("url")),
+                        ),
+                    )
+                    .withColumn("data", F.col("script.data"))
+                    .withColumn("follow_urls", F.col("script.follow_urls"))
+                    .drop("script")
+                )
+            elif self.extract_udf is not None:
                 fetched = fetched.withColumn(
                     "data",
                     F.when(
@@ -452,11 +474,22 @@ class CrawlEngine:
             #     Non-2xx pages still follow links (deferred
             #     ReceiveResponse, scrape.go:170-176); transport errors
             #     have no body and yield nothing.
+            #     Manual-follow URLs enqueue BEFORE the page's auto
+            #     links: the reference's follow() fires during script
+            #     execution (scrape.go:210-212) while followlinks runs
+            #     in the deferred ReceiveResponse (scrape.go:170-176).
+            link_arr = F.col("parsed.links")
+            if self.script_udf is not None:
+                empty = F.array().cast("array<string>")
+                link_arr = F.concat(
+                    F.coalesce(F.col("follow_urls"), empty),
+                    F.coalesce(link_arr, empty),
+                )
             links = (
                 fetched.filter(F.col("body").isNotNull())
                 .select(
                     F.col("discovery_order").alias("parent_order"),
-                    F.posexplode("parsed.links").alias("pos", "url"),
+                    F.posexplode(link_arr).alias("pos", "url"),
                 )
                 .select("url", F.lit(gen + 1).cast("int").alias("depth"),
                         "parent_order", F.col("pos").cast("int"))
@@ -483,6 +516,7 @@ class CrawlEngine:
         for frame in result_frames:
             if "parsed" in frame.columns:
                 frame = frame.withColumn("spans", F.col("parsed.spans")).drop("parsed")
+            frame = frame.drop("follow_urls")  # frontier plumbing, not a result
             frame = frame if self.keep_body else frame.drop("body")
             results = frame if results is None else results.unionByName(frame)
         if results is None:
@@ -513,7 +547,7 @@ class CrawlEngine:
         ]
         from flyscrape_spark.parse.udfs import SPAN_TYPE
 
-        if self.extract_udf is not None:
+        if self.extract_udf is not None or self.script_udf is not None:
             fields.append(StructField("data", StringType()))
         fields.append(StructField("spans", SPAN_TYPE))
         return StructType(fields)

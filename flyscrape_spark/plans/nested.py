@@ -34,11 +34,12 @@ def scrape_children(
     parents: DataFrame,
     child_ref_col: str,
     transport: Transport,
-    child_extract_udf,
+    child_extract_udf=None,
     config=None,
     seed_urls: list[str] | None = None,
     seed_hosts: list[str] | None = None,
     prefix: str = "child",
+    child_results_fn=None,
 ) -> DataFrame:
     """Attach child-page extraction to each parent row.
 
@@ -46,6 +47,14 @@ def scrape_children(
     resolved against the parent URL, validated (ValidateRequest still
     runs for processImmediate, scrape.go:239-247), fetched as one
     deduplicated batch, extracted, and left-joined back.
+
+    Nesting (js_test.go:205-261 pins 2-deep ``scrape`` chains):
+    instead of ``child_extract_udf``, pass ``child_results_fn`` — a
+    callable mapping the fetched-children DataFrame to
+    ``(url, data, error)`` rows. Calling :func:`scrape_children` again
+    inside it adds one more fetch generation per nesting level, each
+    resolved against ITS parent URL (the /foo/ + bar -> /foo/bar
+    chain), while staying a flat sequence of batch joins.
     """
     with_child = parents.withColumn(
         "_child_url", resolve_udf(F.col("url"), F.col(child_ref_col))
@@ -62,15 +71,19 @@ def scrape_children(
             validators(config, seed_urls or [], seed_hosts or [])
         )
     fetched = transport.fetch(children)
-    child_data = fetched.withColumn(
-        f"{prefix}_data",
-        F.when(
-            F.col("body").isNotNull(),
-            child_extract_udf(F.col("body"), F.col("url")),
-        ),
-    ).select(
+    if child_results_fn is not None:
+        extracted = child_results_fn(fetched).select("url", "data", "error")
+    else:
+        extracted = fetched.withColumn(
+            "data",
+            F.when(
+                F.col("body").isNotNull(),
+                child_extract_udf(F.col("body"), F.col("url")),
+            ),
+        ).select("url", "data", "error")
+    child_data = extracted.select(
         F.col("url").alias("_child_join_url"),
-        F.col(f"{prefix}_data"),
+        F.col("data").alias(f"{prefix}_data"),
         F.col("error").alias(f"{prefix}_error"),
     )
     return with_child.join(

@@ -35,6 +35,9 @@ class Scenario:
     const_status: int = 200
     # ...or an explicit synthetic web: url -> (status, html)
     pages: dict[str, tuple[int, str]] = field(default_factory=dict)
+    # optional Python scrape script (parse/script.py): extraction +
+    # manual follow() — the reference's JS default export
+    script: object | None = None
 
     def transport(self, spark: SparkSession) -> Transport:
         if self.const_html is not None:
@@ -122,6 +125,32 @@ _SEED_FOOBAR = "http://www.example.com/foo/bar"
 _SEED_EXAMPLE = "http://www.example.com"
 
 
+def _manual_follow_pages() -> dict[str, tuple[int, str]]:
+    """examples/hackernews_manual_follow.js shape: each listing page
+    has a .morelink the script follows manually (follow: [] disables
+    auto-follow); the last page has none."""
+    page = (
+        '<html><body><a href="/item?id=%d">story</a>'
+        '<a class="morelink" href="%s">More</a></body></html>'
+    )
+    return {
+        "http://hn.test/": (200, page % (1, "/news?p=2")),
+        "http://hn.test/news?p=2": (200, page % (2, "/news?p=3")),
+        "http://hn.test/news?p=3": (
+            200, '<html><body><a href="/item?id=3">story</a></body></html>'
+        ),
+    }
+
+
+def _manual_follow_script(ctx):
+    """The manual-follow default export (js_test.go:263-282 +
+    examples/hackernews_manual_follow.js): follow(doc.find(...).attr())
+    with a RELATIVE href, absolutized against the page URL."""
+    nxt = ctx.doc.find(".morelink").attr("href")
+    ctx.follow(nxt)
+    return {"url": ctx.url, "next": nxt}
+
+
 def _depth_cycle_pages() -> dict[str, tuple[int, str]]:
     """modules/depth/depth_test.go:20-58 — a 3-page link cycle."""
     link = '<html><body><a href="%s">next</a></body></html>'
@@ -197,6 +226,18 @@ SCENARIOS: dict[str, Scenario] = {
         Scenario(
             "extract_basic", ["https://localhost/"], CrawlConfig(depth=0, domain_filter=False),
             const_html=_EXTRACT_HTML,
+        ),
+        Scenario(
+            "manual_follow", ["http://hn.test/"],
+            CrawlConfig(depth=2, domain_filter=False, follow=[]),
+            pages=_manual_follow_pages(), script=_manual_follow_script,
+        ),
+        Scenario(
+            # follow() + auto-follow on one page: manual URLs enqueue
+            # FIRST (script runs inline, followlinks is deferred)
+            "manual_follow_mixed", ["http://hn.test/"],
+            CrawlConfig(depth=1, domain_filter=False),
+            pages=_manual_follow_pages(), script=_manual_follow_script,
         ),
     ]
 }

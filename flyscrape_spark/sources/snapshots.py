@@ -96,6 +96,83 @@ class SnapshotStore:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path(gen))
 
+    # -- cache bypass / force-refetch ----------------------------------------
+
+    def invalidate(self, spark: SparkSession, urls: list[str]) -> int:
+        """Force-refetch: drop ``urls`` from every committed frontier
+        and fetched snapshot, and queue them for re-enqueue on the
+        next resume. The reference analog is the cache-bypass header
+        (/root/reference/utils.go:14, modules/cache/cache.go:89-95):
+        a bypassed URL's cached response is ignored and refetched.
+
+        Mechanics: each affected snapshot is rewritten WITHOUT the
+        URLs into a fresh data dir, the manifest is atomically updated
+        to point at it (tmp+rename, same protocol as commit_meta), and
+        the dropped frontier rows (url, depth) are recorded under
+        ``_invalidated/``. ``resume`` re-admits them as candidates —
+        the seen anti-join passes (they are gone from seen), so they
+        refetch exactly once; everything else stays zero-refetch.
+        Returns the number of frontier rows invalidated."""
+        import uuid
+
+        urls = [u.strip() for u in urls if u and u.strip()]
+        if not urls:
+            return 0
+        entries: list[dict] = []
+        for m in self.manifests():
+            gen = m["gen"]
+            changed = False
+            for table in ("frontier", "fetched", "links"):
+                path = m["tables"].get(table)
+                if not path:
+                    continue
+                df = spark.read.parquet(path)
+                hits = df.filter(F.col("url").isin(urls))
+                hit_rows = hits.select(
+                    "url", *(["depth"] if "depth" in df.columns else [])
+                ).collect()
+                if not hit_rows:
+                    continue
+                if table == "frontier":
+                    entries.extend(
+                        {"url": r["url"], "depth": r["depth"]} for r in hit_rows
+                    )
+                new_path = str(
+                    self._data_dir(table, gen).parent
+                    / f"gen={gen:06d}-inv-{uuid.uuid4().hex[:8]}"
+                )
+                df.filter(~F.col("url").isin(urls)).write.mode(
+                    "overwrite"
+                ).parquet(new_path)
+                m["tables"][table] = new_path
+                changed = True
+            if changed:
+                fd, tmp = tempfile.mkstemp(
+                    dir=self.root / "_manifests", suffix=".tmp"
+                )
+                with os.fdopen(fd, "w") as f:
+                    json.dump(m, f)
+                os.replace(tmp, self._manifest_path(gen))
+        if entries:
+            inv_dir = self.root / "_invalidated"
+            inv_dir.mkdir(exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=inv_dir, suffix=".tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump(entries, f)
+            os.replace(tmp, inv_dir / f"inv-{uuid.uuid4().hex[:8]}.json")
+        return len(entries)
+
+    def _consume_invalidated(self) -> list[dict]:
+        inv_dir = self.root / "_invalidated"
+        if not inv_dir.exists():
+            return []
+        entries: list[dict] = []
+        for p in sorted(inv_dir.glob("inv-*.json")):
+            with open(p) as f:
+                entries.extend(json.load(f))
+            os.unlink(p)
+        return entries
+
     # -- resume -------------------------------------------------------------
 
     def manifests(self) -> list[dict]:
@@ -127,6 +204,23 @@ class SnapshotStore:
             candidates = spark.read.parquet(last["tables"]["links"])
         else:
             candidates = None
+        # force-refetch queue: invalidated URLs re-enter as candidates
+        # at their original depth, ordered before link-derived ones
+        invalidated = self._consume_invalidated()
+        if invalidated:
+            from flyscrape_spark.plans.frontier import CAND_SCHEMA
+
+            inv_df = spark.createDataFrame(
+                [
+                    (e["url"], int(e["depth"]), -1, i)
+                    for i, e in enumerate(invalidated)
+                ],
+                CAND_SCHEMA,
+            )
+            candidates = (
+                inv_df if candidates is None
+                else inv_df.unionByName(candidates)
+            )
         metrics = [m["metrics"] for m in manifests]
         return (
             seen_frames, candidates, result_frames, metrics,

@@ -223,14 +223,23 @@ def parse_retry_after(value: str) -> float | None:
 
 def _http_fetch_one(url: str, headers: dict, timeout: float,
                     retry_statuses: frozenset, retry_delays: tuple,
-                    sleep) -> tuple[int, str | None, str | None, int]:
+                    sleep, proxy: str | None = None,
+                    ) -> tuple[int, str | None, str | None, int]:
     """One URL through the reference's retry loop
     (modules/retry/retry.go:43-141): retry on retryable statuses and
     transport errors with the fixed delay schedule, honoring a numeric
-    Retry-After header (retry.go:102-110). Returns
-    (status, body, error, attempts)."""
+    Retry-After header (retry.go:102-110). ``proxy`` routes the
+    request through an HTTP proxy (modules/proxy/proxy.go:34-61).
+    Returns (status, body, error, attempts)."""
     import urllib.error
     import urllib.request
+
+    if proxy:
+        open_fn = urllib.request.build_opener(
+            urllib.request.ProxyHandler({"http": proxy, "https": proxy})
+        ).open
+    else:
+        open_fn = urllib.request.urlopen
 
     attempts = 0
     last: tuple[int, str | None, str | None] = (0, None, "not fetched")
@@ -239,7 +248,7 @@ def _http_fetch_one(url: str, headers: dict, timeout: float,
         retry_after = None
         try:
             req = urllib.request.Request(url, headers=headers or {})
-            with urllib.request.urlopen(req, timeout=timeout) as resp:
+            with open_fn(req, timeout=timeout) as resp:
                 status = resp.status
                 body = resp.read().decode("utf-8", "replace")
             last = (status, body, None)
@@ -285,7 +294,8 @@ class HttpTransport(Transport):
 
     def __init__(self, config: CrawlConfig | None = None, timeout: float = 10.0,
                  pool_size: int | None = None, pace: bool = True,
-                 shard_target: int | None = None):
+                 shard_target: int | None = None,
+                 proxies: list[str] | None = None):
         self.config = config or CrawlConfig()
         self.timeout = timeout
         # config.concurrency is the reference's simultaneous-request
@@ -297,6 +307,10 @@ class HttpTransport(Transport):
         )
         self.pace = pace
         self.shard_target = shard_target
+        # proxy rotation (modules/proxy/proxy.go:34-61): the reference
+        # picks randomly per request; this engine picks by hash(url)
+        # so crawls are reproducible (same policy as UA rotation)
+        self.proxies = list(proxies) if proxies else []
 
     def fetch(self, frontier: DataFrame) -> DataFrame:
         import pandas as pd
@@ -325,14 +339,22 @@ class HttpTransport(Transport):
         timeout = self.timeout
         pool_size = self.pool_size
         pace = self.pace
+        proxies = list(self.proxies)
         retry_statuses = frozenset(self.config.retry_statuses)
         retry_delays = tuple(self.config.retry_delays)
 
         def run_batches(batches):
+            import hashlib
             import time as _time
             from concurrent.futures import ThreadPoolExecutor
 
             start = _time.monotonic()
+
+            def pick_proxy(url: str) -> str | None:
+                if not proxies:
+                    return None
+                h = int(hashlib.md5(url.encode()).hexdigest()[:8], 16)
+                return proxies[h % len(proxies)]
 
             def one(row):
                 if pace:
@@ -342,6 +364,7 @@ class HttpTransport(Transport):
                 return _http_fetch_one(
                     row["url"], row.get("request_headers") or {}, timeout,
                     retry_statuses, retry_delays, _time.sleep,
+                    proxy=pick_proxy(row["url"]),
                 )
 
             with ThreadPoolExecutor(max_workers=pool_size) as pool:

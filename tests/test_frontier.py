@@ -14,14 +14,23 @@ ALL = sorted(SCENARIOS)
 
 
 def run_engine(spark, scenario):
-    engine = CrawlEngine(spark, scenario.config, scenario.transport(spark))
+    from flyscrape_spark.parse.script import make_script_udf
+
+    script_udf = (
+        make_script_udf(scenario.script) if scenario.script is not None else None
+    )
+    engine = CrawlEngine(
+        spark, scenario.config, scenario.transport(spark), script_udf=script_udf
+    )
     return engine.run(scenario.seeds)
 
 
 @pytest.mark.parametrize("name", ALL)
 def test_engine_matches_oracle(spark, name):
     scenario = SCENARIOS[name]
-    oracle = crawl_oracle(scenario.seeds, scenario.config, scenario.page_for)
+    oracle = crawl_oracle(
+        scenario.seeds, scenario.config, scenario.page_for, script=scenario.script
+    )
     result = run_engine(spark, scenario)
 
     # 1. canonical crawl order over the seen set — byte-for-byte
@@ -57,6 +66,16 @@ def test_engine_matches_oracle(spark, name):
             continue
         expected = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row.spans]
         assert got_spans[row.url] == expected, f"{name}: spans mismatch for {row.url}"
+
+    # 4. scrape-script payload equality (manual-follow scenarios)
+    if scenario.script is not None:
+        got_data = {
+            r["url"]: r["data"]
+            for r in result.results.select("url", "data").collect()
+        }
+        for row in oracle.rows:
+            if row.fetched:
+                assert got_data[row.url] == row.data, f"{name}: data mismatch for {row.url}"
 
 
 def test_seen_includes_filtered_urls(spark):

@@ -141,6 +141,54 @@ def test_nested_scrape(spark):
     assert row["child_error"] is None
 
 
+def test_nested_scrape_two_deep(spark):
+    """js_test.go:205-261 TestJSScrapeParamScrapeDeep: scrape('/foo/',
+    fn) whose fn itself calls scrape('bar', ...) — the grandchild ref
+    resolves against the CHILD's URL (/foo/ + bar -> /foo/bar), and
+    the grandchild payload nests inside the child payload."""
+    from flyscrape_spark.parse.udfs import make_extract_udf
+    from flyscrape_spark.plans.nested import scrape_children
+
+    pages = spark.createDataFrame(
+        [
+            ("http://localhost/", "localhost", 200, "<h1>root</h1>"),
+            ("http://localhost/foo/", "localhost", 200, "<h1>mid</h1>"),
+            ("http://localhost/foo/bar", "localhost", 200, "<h1>leaf</h1>"),
+        ],
+        "url string, host string, status int, html string",
+    )
+    transport = JoinTransport(pages, CrawlConfig())
+    parents = spark.createDataFrame(
+        [("http://localhost/", "/foo/")], "url string, child_ref string"
+    )
+    leaf_udf = make_extract_udf({"title": ("h1", "text")})
+
+    def mid_level(fetched_children):
+        # the child page's own scrape('bar', fn): one more generation,
+        # resolved against the child URL
+        mid = fetched_children.withColumn("gc_ref", F.lit("bar"))
+        out = scrape_children(mid, "gc_ref", transport, leaf_udf, prefix="deep")
+        return out.select(
+            "url",
+            F.to_json(
+                F.struct(
+                    F.get_json_object("deep_data", "$.url").alias("deep"),
+                    F.col("url"),
+                )
+            ).alias("data"),
+            "error",
+        )
+
+    nested = scrape_children(
+        parents, "child_ref", transport, child_results_fn=mid_level
+    )
+    row = nested.collect()[0]
+    assert row["child_url"] == "http://localhost/foo/"
+    data = json.loads(row["child_data"])
+    assert data["url"] == "http://localhost/foo/"
+    assert data["deep"] == "http://localhost/foo/bar"  # /foo/ + bar
+
+
 # ------------------------------------------------------ dedup/ann behavior
 
 def test_exact_dedup_groups(spark):

@@ -10,7 +10,7 @@ from flyscrape_spark.sources.fixtures import SCENARIOS
 
 def run(name):
     s = SCENARIOS[name]
-    return crawl_oracle(s.seeds, s.config, s.page_for)
+    return crawl_oracle(s.seeds, s.config, s.page_for, script=s.script)
 
 
 def test_follow_default():
@@ -110,6 +110,50 @@ def test_url_block():
         "http://www.example.com/foo?id=ABC",
         "http://www.example.com/barz",
     ]
+
+
+def test_manual_follow():
+    """js_test.go:263-282 + examples/hackernews_manual_follow.js:
+    follow() with a relative href absolutizes against the page URL;
+    auto-follow is disabled (follow: []); the last page's missing
+    .morelink yields attr '' which follow() drops."""
+    import json
+
+    r = run("manual_follow")
+    assert r.seen == [
+        "http://hn.test/",
+        "http://hn.test/news?p=2",
+        "http://hn.test/news?p=3",
+    ]
+    assert r.fetched == r.seen
+    assert [row.depth for row in r.rows] == [0, 1, 2]
+    assert json.loads(r.rows[0].data) == {
+        "url": "http://hn.test/", "next": "/news?p=2"
+    }
+    assert json.loads(r.rows[2].data) == {
+        "url": "http://hn.test/news?p=3", "next": ""
+    }
+
+
+def test_manual_follow_mixed_ordering():
+    """follow() fires during script execution, auto links in the
+    deferred ReceiveResponse — manual URLs take earlier discovery
+    order on the same page (scrape.go:170-176 vs :210-212)."""
+    r = run("manual_follow_mixed")
+    assert r.seen == [
+        "http://hn.test/",
+        "http://hn.test/news?p=2",   # manual follow: enqueued FIRST
+        "http://hn.test/item?id=1",  # auto link, same page, later
+        "http://hn.test/news?p=3",   # from p=2: manual first again
+        "http://hn.test/item?id=2",
+    ]
+    # depth=1: the depth-2 discoveries are seen but never fetched
+    assert r.fetched == [
+        "http://hn.test/",
+        "http://hn.test/news?p=2",
+        "http://hn.test/item?id=1",
+    ]
+    assert r.rows[2].error == "Get: no such host"
 
 
 def test_retry_503():

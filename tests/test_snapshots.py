@@ -71,6 +71,49 @@ def test_kill_and_resume_zero_refetch(spark, scenario, tmp_path):
     assert refetched == sum(m["fetched"] for m in full.metrics[2:])
 
 
+def test_invalidate_forces_refetch(spark, scenario, tmp_path):
+    """Cache bypass (utils.go:14, cache.go:89-95): invalidating a URL
+    after a completed crawl makes the next resume refetch exactly that
+    URL — everything else stays zero-refetch."""
+    store_dir = str(tmp_path / "snap")
+    target = "http://www.google.com"
+
+    first = CrawlEngine(
+        spark, scenario.config, scenario.transport(spark),
+        checkpoint=SnapshotStore(store_dir),
+    ).run(scenario.seeds)
+    n_gens = len(first.metrics)
+    assert target in {r["url"] for r in first.results.collect()}
+
+    store = SnapshotStore(store_dir)
+    assert store.invalidate(spark, [target]) == 1
+    # dropped from the committed snapshots
+    for m in store.manifests():
+        snap = spark.read.parquet(m["tables"]["fetched"])
+        assert snap.filter(snap["url"] == target).count() == 0
+
+    resumed = CrawlEngine(
+        spark, scenario.config, scenario.transport(spark),
+        checkpoint=SnapshotStore(store_dir),
+    ).run(scenario.seeds)
+
+    # exactly one new generation fetching exactly the invalidated URL
+    new_gens = resumed.metrics[n_gens:]
+    assert sum(m["fetched"] for m in new_gens) == 1
+    rows = resumed.results.filter(resumed.results["url"] == target).collect()
+    assert len(rows) == 1 and rows[0]["status"] == 200
+    # full result set equals the pre-invalidation crawl's URL set
+    assert {r["url"] for r in resumed.results.collect()} == {
+        r["url"] for r in first.results.collect()
+    }
+    # idempotent: a further resume refetches nothing
+    again = CrawlEngine(
+        spark, scenario.config, scenario.transport(spark),
+        checkpoint=SnapshotStore(store_dir),
+    ).run(scenario.seeds)
+    assert sum(m["fetched"] for m in again.metrics[len(resumed.metrics):]) == 0
+
+
 def test_manifest_lineage_recorded(spark, scenario, tmp_path):
     store = SnapshotStore(str(tmp_path / "snap"))
     CrawlEngine(
