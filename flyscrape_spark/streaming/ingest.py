@@ -17,11 +17,12 @@ barrier):
   DataFrame downstream.
 - ``FrontierIngest`` — ``foreachBatch`` handler: each micro-batch is
   trimmed, canonicalized, hashed, deduped in-batch, anti-joined
-  against the durable seen table, and the survivors are appended to
-  both the seen table and the admitted-frontier sink (parquet dirs
-  here, Iceberg appends on a cluster). Exactly the batch engine's
-  admission step (plans/frontier.py steps 1-5) reused per micro-batch;
-  checkpointLocation gives exactly-once admission across restarts.
+  against the prior batches' admitted partitions, and written as ONE
+  idempotent batch_id-partition overwrite (the admitted table doubles
+  as the seen set — parquet dirs here, an Iceberg table on a
+  cluster). Exactly the batch engine's admission step
+  (plans/frontier.py steps 1-5) per micro-batch; streaming checkpoint
+  x idempotent write = exactly-once admission across crash/replay.
 - ``windowed_host_counts`` — watermarked sliding-window per-host
   admission rates: the live skew/politeness signal the scheduler's
   ``host_fanout`` consumes (operators/politeness.py).
@@ -49,21 +50,43 @@ def stream_urls(spark: SparkSession, source_dir: str) -> DataFrame:
 
 
 class FrontierIngest:
-    """foreachBatch admission: micro-batch -> dedup -> seen += new,
-    admitted sink += new. The seen table is parquet-append only; the
-    anti-join scans it per batch (at 10^10 scale: Iceberg with
-    url_key bucketing so the anti-join prunes files)."""
+    """foreachBatch admission with IDEMPOTENT per-batch commits.
 
-    def __init__(self, seen_dir: str, admitted_dir: str, do_canonicalize: bool = True):
-        self.seen_dir = seen_dir
+    The admitted table IS the seen set: one parquet partition per
+    micro-batch (``batch_id=N`` directory), written with overwrite.
+    Each batch anti-joins against all PRIOR batches' partitions only
+    and then overwrites its own partition — a single atomic-enough
+    write per batch.
+
+    Why not seen-append + admitted-append (the round-1 design): with
+    two writes, a crash between them leaves the seen table containing
+    the batch; the streaming checkpoint replays the batch, the
+    anti-join now matches everything, and the admitted sink silently
+    loses the whole batch (at-most-once). With one self-excluding
+    write, a replay recomputes the same rows (the prior-batch view is
+    unchanged) and overwrites the same partition: exactly-once for any
+    crash point.
+
+    At 10^10 scale: Iceberg table bucketed on url_key so the per-batch
+    anti-join prunes files; periodic compaction folds old batch
+    partitions (exactly the batch engine's seen-compaction step)."""
+
+    def __init__(self, admitted_dir: str, do_canonicalize: bool = True):
         self.admitted_dir = admitted_dir
         self.do_canonicalize = do_canonicalize
 
-    def _seen(self, spark: SparkSession) -> DataFrame | None:
+    def _prior(self, spark: SparkSession, batch_id: int) -> DataFrame | None:
         try:
-            return spark.read.parquet(self.seen_dir)
-        except Exception:  # first batch: no seen table yet
+            df = spark.read.parquet(self.admitted_dir)
+        except Exception:  # first batch: nothing admitted yet
             return None
+        # self-exclusion makes the replay idempotent: a partially
+        # committed own partition never feeds its own anti-join
+        return df.filter(F.col("batch_id") != batch_id)
+
+    def seen(self, spark: SparkSession) -> DataFrame:
+        """The accumulated URL-seen set (all admitted batches)."""
+        return spark.read.parquet(self.admitted_dir).select("url", "url_key")
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -75,7 +98,7 @@ class FrontierIngest:
             .withColumn("host", host_of("url"))
             .dropDuplicates(["url_key", "url"])
         )
-        seen = self._seen(spark)
+        seen = self._prior(spark, batch_id)
         if seen is not None:
             seen_keys = seen.select(
                 F.col("url_key").alias("seen_key"), F.col("url").alias("seen_url")
@@ -86,21 +109,14 @@ class FrontierIngest:
                 & (cand["url"] == seen_keys["seen_url"]),
                 "left_anti",
             )
-        # pin the admission set BEFORE appending to the seen table:
-        # the second write must not re-evaluate the anti-join against
-        # the just-appended files (that would admit nothing).
-        # localCheckpoint truncates lineage, so both writes scan the
-        # materialized result.
-        cand = cand.localCheckpoint(eager=True)
-        cand.select("url", "url_key").write.mode("append").parquet(self.seen_dir)
-        cand.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            self.admitted_dir
+        cand.write.mode("overwrite").parquet(
+            f"{self.admitted_dir}/batch_id={batch_id}"
         )
 
     def start(self, urls: DataFrame, checkpoint_dir: str, available_now: bool = True):
-        """Wire the stream: exactly-once per-batch admission via the
-        streaming checkpoint (a replayed batch re-runs the anti-join,
-        so replays are idempotent w.r.t. the seen table)."""
+        """Wire the stream: exactly-once admission = streaming
+        checkpoint (batch replay on crash) x idempotent per-batch
+        partition overwrite (replay rewrites, never drops)."""
         writer = (
             urls.writeStream.foreachBatch(self)
             .option("checkpointLocation", checkpoint_dir)
@@ -123,7 +139,15 @@ def stateful_dedup_stream(urls: DataFrame, watermark: str = "10 minutes",
     watermark — the right shape for a RECRAWL window ("don't refetch a
     URL seen in the last N hours") rather than a forever-seen set,
     which would grow state without bound. Both edges are first-class;
-    pick by retention semantics."""
+    pick by retention semantics.
+
+    ``dropDuplicatesWithinWatermark`` (NOT plain ``dropDuplicates``)
+    is load-bearing: the event-time-less ``dropDuplicates`` keeps
+    every key forever (state grows without bound) and never re-admits
+    a URL after the window — the round-1 bug. WithinWatermark evicts a
+    key's state once the watermark passes its event time + delay, so
+    a URL re-arriving beyond the window is admitted again (pinned by
+    tests/test_streaming.py::test_stateful_dedup_readmits_after_watermark)."""
     url = canonicalize("url") if do_canonicalize else F.trim("url")
     return (
         urls.withColumn("url", url)
@@ -131,7 +155,7 @@ def stateful_dedup_stream(urls: DataFrame, watermark: str = "10 minutes",
         .withColumn("url_key", F.xxhash64("url"))
         .withColumn("host", host_of("url"))
         .withWatermark("ts", watermark)
-        .dropDuplicates(["url_key", "url"])
+        .dropDuplicatesWithinWatermark(["url_key", "url"])
     )
 
 

@@ -21,12 +21,11 @@ def _write_feed(path, names, ts="2024-01-01T00:00:10"):
 
 def test_streaming_ingest_dedups_across_batches(spark, tmp_path):
     feed = tmp_path / "feed"
-    seen_dir = str(tmp_path / "seen")
     admitted_dir = str(tmp_path / "admitted")
     ck = str(tmp_path / "ck")
 
     _write_feed(feed, ["http://A.test:80/x#f", "http://b.test/y", " ", "http://b.test/y"])
-    ingest = FrontierIngest(seen_dir, admitted_dir)
+    ingest = FrontierIngest(admitted_dir)
     q = ingest.start(stream_urls(spark, str(feed)), ck)
     q.awaitTermination(120)
 
@@ -42,8 +41,35 @@ def test_streaming_ingest_dedups_across_batches(spark, tmp_path):
     rows = spark.read.parquet(admitted_dir).collect()
     urls = sorted(r["url"] for r in rows)
     assert urls == ["http://a.test/x", "http://b.test/y", "http://c.test/z"]
-    seen = spark.read.parquet(seen_dir).count()
-    assert seen == 3
+    assert ingest.seen(spark).count() == 3
+
+
+def test_streaming_ingest_replay_is_exactly_once(spark, tmp_path):
+    """Crash-replay safety (ADVICE r1): replaying a batch — after its
+    write completed but before the streaming checkpoint committed —
+    must neither drop nor duplicate the batch. The round-1 dual-write
+    design dropped it (the replayed anti-join matched the appended
+    seen rows); the batch_id-partition overwrite is idempotent."""
+    admitted_dir = str(tmp_path / "admitted")
+    ingest = FrontierIngest(admitted_dir)
+
+    b0 = spark.createDataFrame(
+        [("http://a.test/x",), ("http://b.test/y",)], "url string"
+    )
+    b1 = spark.createDataFrame(
+        [("http://a.test/x",), ("http://c.test/z",)], "url string"
+    )
+    ingest(b0, 0)
+    ingest(b0, 0)  # replay of batch 0 (crash before checkpoint commit)
+    ingest(b1, 1)
+    ingest(b1, 1)  # replay of batch 1
+
+    rows = spark.read.parquet(admitted_dir).collect()
+    assert sorted(r["url"] for r in rows) == [
+        "http://a.test/x", "http://b.test/y", "http://c.test/z"
+    ]  # each admitted exactly once, none lost
+    by_batch = {(r["url"], r["batch_id"]) for r in rows}
+    assert ("http://c.test/z", 1) in by_batch
 
 
 def test_stateful_dedup_stream(spark, tmp_path):
@@ -64,6 +90,52 @@ def test_stateful_dedup_stream(spark, tmp_path):
     # all four inputs canonicalize to two distinct URLs; the state
     # store admits each exactly once
     assert urls == ["http://a.test/x", "http://b.test/y"]
+
+
+def test_stateful_dedup_readmits_after_watermark(spark, tmp_path):
+    """The recrawl-window semantics (ADVICE r1 high): a URL seen again
+    BEYOND the watermark window is re-admitted, and its old state is
+    evicted (bounded state). Three micro-batches: A; filler B that
+    advances the watermark past A's expiry; A again -> re-admitted."""
+    import time
+
+    from flyscrape_spark.streaming.ingest import stateful_dedup_stream
+
+    feed = tmp_path / "feed"
+    feed.mkdir(parents=True, exist_ok=True)
+    # one file per micro-batch; the watermark a batch RUNS with is the
+    # one computed from the PREVIOUS batch's data, so two filler
+    # batches are needed between A's expiry and its re-arrival: the
+    # first advances the watermark, the second runs eviction with it
+    _write_feed(feed, ["http://a.test/x"], ts="2024-01-01T00:00:10")
+    time.sleep(0.2)
+    _write_feed(feed, ["http://filler.test/1"], ts="2024-01-01T01:00:00")
+    time.sleep(0.2)
+    _write_feed(feed, ["http://filler.test/2"], ts="2024-01-01T01:10:00")
+    time.sleep(0.2)
+    _write_feed(feed, ["http://a.test/x"], ts="2024-01-01T01:30:00")
+
+    src = (
+        spark.readStream.schema("url string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+    )
+    out = stateful_dedup_stream(src, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("readmit_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r["url"], r["ts"].isoformat())
+        for r in spark.sql("select * from readmit_stream").collect()
+    )
+    assert rows == [
+        ("http://a.test/x", "2024-01-01T00:00:10"),
+        ("http://a.test/x", "2024-01-01T01:30:00"),  # re-admitted
+        ("http://filler.test/1", "2024-01-01T01:00:00"),
+        ("http://filler.test/2", "2024-01-01T01:10:00"),
+    ]
 
 
 def test_windowed_host_counts(spark, tmp_path):
