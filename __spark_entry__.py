@@ -31,6 +31,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": Q.q_robots_filter,
         "interleaved_spans": Q.q_interleaved_spans,
         "nested_scrape": Q.q_nested_scrape,
+        "manual_follow": Q.q_manual_follow,
+        "script_extract": Q.q_script_extract,
         # dedup suite
         "dedup_exact": Q.q_dedup_exact,
         "minhash_signatures": Q.q_minhash_signatures,
@@ -68,6 +70,8 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter": Q.sql_robots_filter(),
         "interleaved_spans": Q.sql_interleaved_spans(),
         "nested_scrape": Q.sql_nested_scrape(),
+        "manual_follow": Q.sql_manual_follow(),
+        "script_extract": Q.sql_script_extract(),
         "dedup_exact": Q.sql_dedup_exact(),
         "minhash_signatures": Q.sql_minhash_signatures(),
         "lsh_near_dup": Q.sql_lsh_near_dup(),

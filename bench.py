@@ -186,14 +186,20 @@ def main():
         return
 
     if "--scaling" in sys.argv:
-        # Scaling pair: N=4 vs 4N=16 threads (override BENCH_SCALING_N).
-        # Chosen <= half the 32-core host: this container shows bursty
-        # co-tenant load, and a 32-thread run's throughput swings 2-3x
-        # with it while <=16 threads can still land on free cores —
-        # local[4] repeats within +-4%. Each (cpus, kind) measurement
-        # also gets a FRESH JVM: a prior heavy run's heap/GC state
-        # penalizes the wider config disproportionately.
-        scale_n = int(os.environ.get("BENCH_SCALING_N", "4"))
+        # Scaling pairs: the prescribed BASELINE.md pair local[8]->local[32]
+        # first, plus local[4]->local[16] as the low-contention cross-check
+        # (this container has bursty co-tenant load; <= half the 32 cores
+        # can still dodge it, while a 32-thread run competes with it).
+        # SYMMETRIC sampling (round-1 advice): every config — narrow and
+        # wide alike — gets the SAME number of fresh JVMs and the same
+        # per-JVM warm-up + repetition schedule; each config's reported
+        # throughput is the max over its equal samples (least-contended
+        # steady state). Fresh JVM per sample: a prior heavy run's
+        # heap/GC state penalizes whichever config runs second.
+        pairs_env = os.environ.get("BENCH_SCALING_PAIRS", "8:32,4:16")
+        pairs = [tuple(int(x) for x in p.split(":"))
+                 for p in pairs_env.split(",")]
+        samples = int(os.environ.get("BENCH_SCALING_SAMPLES", "2"))
 
         def worker(cpus: int, kind: str) -> dict:
             proc = subprocess.run(
@@ -205,26 +211,32 @@ def main():
                     if l.startswith("WORKER_JSON:")]
             return json.loads(line[0][len("WORKER_JSON:"):])
 
+        def sample(cpus: int, kind: str) -> dict:
+            runs = [worker(cpus, kind) for _ in range(samples)]
+            best = max(runs, key=lambda r: r["urls_per_sec"])
+            best["all_jvm_urls_per_sec"] = [r["urls_per_sec"] for r in runs]
+            return best
+
         report = {}
-        for kind in ("kernel", "engine"):
-            rn = worker(scale_n, kind)
-            # the narrow config repeats within +-4%; the wide config
-            # swings 30-50% with bursty co-tenant load, so sample two
-            # fresh JVMs and keep the better (the machine's capability,
-            # not the neighbors')
-            r4n = max(
-                (worker(scale_n * 4, kind) for _ in range(2)),
-                key=lambda r: r["urls_per_sec"],
-            )
-            tpn, tp4n = rn["urls_per_sec"], r4n["urls_per_sec"]
-            report[kind] = {
-                f"local{scale_n}_urls_per_sec": tpn,
-                f"local{scale_n * 4}_urls_per_sec": tp4n,
-                "speedup_N_to_4N": round(tp4n / tpn, 3),
-                "scaling_efficiency_Nto4N": round(tp4n / tpn / 4.0, 3),
-                ("n_urls" if kind == "kernel" else "n_pages"):
-                    rn.get("n_urls", rn.get("n_pages")),
-            }
+        for n, wide in pairs:
+            factor = wide / n
+            for kind in ("kernel", "engine"):
+                rn = sample(n, kind)
+                rw = sample(wide, kind)
+                tpn, tpw = rn["urls_per_sec"], rw["urls_per_sec"]
+                report[f"{kind}_{n}to{wide}"] = {
+                    f"local{n}_urls_per_sec": tpn,
+                    f"local{wide}_urls_per_sec": tpw,
+                    f"local{n}_samples": rn["all_jvm_urls_per_sec"],
+                    f"local{wide}_samples": rw["all_jvm_urls_per_sec"],
+                    "speedup": round(tpw / tpn, 3),
+                    "scaling_efficiency": round(tpw / tpn / factor, 3),
+                    ("n_urls" if kind == "kernel" else "n_pages"):
+                        rn.get("n_urls", rn.get("n_pages")),
+                }
+                print(json.dumps({f"{kind}_{n}to{wide}":
+                                  report[f"{kind}_{n}to{wide}"]}),
+                      flush=True)
         print(json.dumps(report, indent=2))
         return
 

@@ -198,10 +198,16 @@ class CrawlEngine:
     def _materialize(self, df: DataFrame, name: str, gen: int) -> DataFrame:
         """Truncate lineage + persist a generation's output. With a
         SnapshotStore this is a durable, atomically-committed snapshot
-        (resume point); otherwise an eager localCheckpoint."""
+        (resume point); otherwise a LAZY localCheckpoint: the frame is
+        computed and pinned by the FIRST action that touches it (the
+        frontier's own count, or the next generation's frontier job
+        for the fetched frame), so each generation pays one Spark job
+        per frame instead of two (materialize + count). Parse-once
+        still holds — the checkpoint computes once, later readers hit
+        the pinned blocks."""
         if self.checkpoint is not None:
             return self.checkpoint.commit(df, name, gen)
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=False)
 
     @staticmethod
     def dedupe_candidates(cand: DataFrame) -> DataFrame:
@@ -366,7 +372,9 @@ class CrawlEngine:
                     compacted = seen_frames[0]
                     for frame in seen_frames[1:]:
                         compacted = compacted.unionByName(frame)
-                    seen_frames = [compacted.localCheckpoint(eager=True)]
+                    # lazy: the compaction runs inside the next
+                    # generation's anti-join job, not as its own job
+                    seen_frames = [compacted.localCheckpoint(eager=False)]
 
             # 6. validators run at fetch time (scrape.go:162-168);
             #    depth filter is row-wise (inclusive <=, modules/depth/

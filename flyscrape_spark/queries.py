@@ -113,6 +113,122 @@ FROM bfs GROUP BY id
 """
 
 
+MANUAL_DEPTH = 4
+
+
+def q_manual_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl driven by a Python scrape script that manually follow()s a
+    third, deterministic outlink per page (reference js.go:217-219 ->
+    scrape.go:210-212; example examples/hackernews_manual_follow.js):
+    BFS over the edge set {2i+1, 3i+2 (auto-follow), 5i+3 (manual)} to
+    depth 4. Output = fetched URL set with first-discovery depth."""
+    from flyscrape_spark.parse.script import make_script_udf
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    hosts = GRAPH_HOSTS
+
+    def script(ctx):
+        i = int(ctx.url.rsplit("/", 1)[1])
+        j = (5 * i + 3) % n
+        ctx.follow(f"http://h{j % hosts}.example/d/{j}")
+        return None  # no output row (undefined semantics)
+
+    config = CrawlConfig(depth=MANUAL_DEPTH, domain_filter=False)
+    pages = synthetic_pages(spark, sf_dir)
+    engine = CrawlEngine(
+        spark, config, JoinTransport(pages, config),
+        collect_metrics=False, script_udf=make_script_udf(script),
+    )
+    result = engine.run(["http://h0.example/d/0"])
+    return (
+        result.seen.filter(F.col("depth") <= MANUAL_DEPTH)
+        .select("url", F.col("depth").cast("int").alias("depth"))
+    )
+
+
+def sql_manual_follow() -> str:
+    return f"""
+WITH RECURSIVE n AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (2*doc_id+1) % n.n AS dst FROM documents, n
+  UNION ALL
+  SELECT doc_id, (3*doc_id+2) % n.n FROM documents, n
+  UNION ALL
+  SELECT doc_id, (5*doc_id+3) % n.n FROM documents, n
+),
+bfs(id, depth) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, b.depth+1 FROM bfs b JOIN edges e ON e.src = b.id
+  WHERE b.depth < {MANUAL_DEPTH}
+)
+SELECT {_doc_url_sql('id')} AS url, CAST(min(depth) AS INT) AS depth
+FROM bfs GROUP BY id
+"""
+
+
+def q_script_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The element-API script surface (js.go:257-300) driver-verified:
+    a Python scrape script navigates find/first/last/next/parent/
+    siblings/attr/name over every synthetic page; the JSON payload is
+    re-typed with from_json. Every accessor's value is reconstructible
+    in SQL because the page HTML is expression-generated."""
+    from flyscrape_spark.parse.script import make_script_udf
+
+    pages = synthetic_pages(spark, sf_dir)
+
+    def script(ctx):
+        doc = ctx.doc
+        anchors = doc.find("a")
+        first = anchors.first()
+        after = first.next()
+        return {
+            "text": doc.find("p").text(),
+            "n_links": anchors.length,
+            "after_first": after.name(),
+            "media": after.attr("src"),
+            "last_href": anchors.last().attr("href"),
+            "parent_tag": first.parent().name(),
+            "n_siblings": first.siblings().length,
+        }
+
+    udf = make_script_udf(script)
+    schema = (
+        "text string, n_links int, after_first string, media string, "
+        "last_href string, parent_tag string, n_siblings int"
+    )
+    return (
+        pages.withColumn("script", udf(F.col("html"), F.col("url")))
+        .withColumn("d", F.from_json(F.col("script.data"), schema))
+        .select(
+            "url", F.col("d.text").alias("text"),
+            F.col("d.n_links").alias("n_links"),
+            F.col("d.after_first").alias("after_first"),
+            F.col("d.media").alias("media"),
+            F.col("d.last_href").alias("last_href"),
+            F.col("d.parent_tag").alias("parent_tag"),
+            F.col("d.n_siblings").alias("n_siblings"),
+        )
+    )
+
+
+def sql_script_extract() -> str:
+    return f"""
+WITH n AS (SELECT count(*) AS n, greatest(count(*) // 4, 1) AS nm FROM documents)
+SELECT {_doc_url_sql('doc_id')} AS url,
+  text,
+  CAST(2 AS INT) AS n_links,
+  CASE WHEN doc_id % 4 = 0 THEN 'img' ELSE 'a' END AS after_first,
+  CASE WHEN doc_id % 4 = 0
+       THEN '/media/m' || ((3*doc_id) % n.nm) || '.png' ELSE '' END AS media,
+  {_doc_url_sql('(3*doc_id+2) % n.n')} AS last_href,
+  'body' AS parent_tag,
+  CAST(CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 2 END AS INT) AS n_siblings
+FROM documents, n
+"""
+
+
 def q_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host URL counts over the synthetic frontier — the skew /
     politeness statistic (host extracted JVM-side via parse_url)."""

@@ -59,6 +59,55 @@ CHECKS = {
     "ann_cosine_topk": {
         "topk_no_global_sort": r"TakeOrderedAndProject",
     },
+    # candidate generation must stay bucketed/banded — a cartesian or
+    # nested-loop join anywhere is the O(n^2) plan that dies at scale
+    "lsh_near_dup": {
+        "no_cartesian": r"!CartesianProduct|BroadcastNestedLoopJoin",
+        # candidate-pair dedup is a DISTINCT: two-phase HashAggregate
+        # (map-side combine) around the shuffle — functions=[] so the
+        # "partial_" marker never appears, assert the sandwich instead
+        "two_phase_distinct":
+            r"(?s)HashAggregate\(keys=\[doc_a.*Exchange hashpartitioning\(doc_a.*HashAggregate\(keys=\[doc_a",
+    },
+    "ngram_jaccard": {
+        "no_cartesian": r"!CartesianProduct|BroadcastNestedLoopJoin",
+        "partial_agg": r"partial_",
+    },
+    "simhash_near_dup": {
+        "no_cartesian": r"!CartesianProduct|BroadcastNestedLoopJoin",
+    },
+    "embedding_near_dup": {
+        "no_cartesian": r"!CartesianProduct|BroadcastNestedLoopJoin",
+    },
+    "minhash_signatures": {
+        "partial_agg": r"partial_min",
+        "max_exchanges": 1,
+    },
+    "text_quality": {
+        "codegen": r"\*\(\d+\)",
+        "max_exchanges": 0,  # pure projection
+    },
+    "lang_id": {
+        "max_exchanges": 0,
+    },
+    "fingerprint": {
+        "codegen": r"\*\(\d+\)",
+        "max_exchanges": 0,
+    },
+    "media_dedup": {
+        "partial_agg": r"partial_",
+        "max_exchanges": 1,
+    },
+    "brand_part_stats": {
+        "broadcast": r"BroadcastHashJoin",
+        "partial_agg": r"partial_",
+    },
+    "script_extract": {
+        # the script runs once per Arrow batch (vectorized), and a
+        # per-page map needs no shuffle at all
+        "arrow_vectorized": r"ArrowEvalPython",
+        "max_exchanges": 0,
+    },
 }
 
 
@@ -89,6 +138,9 @@ def audit(sf_dir: str) -> list[tuple[str, str, bool, str]]:
                 lines = [l for l in plan.splitlines() if key in l]
                 ok = bool(lines) and all(pred(l) for l in lines)
                 detail = key + (" pruned" if ok else f" NOT pruned: {lines[:1]}")
+            elif isinstance(spec, str) and spec.startswith("!"):
+                ok = re.search(spec[1:], plan) is None
+                detail = f"absent: {spec[1:]}"
             else:
                 ok = re.search(spec, plan) is not None
                 detail = spec
