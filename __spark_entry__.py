@@ -25,6 +25,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # crawl engine (SURVEY §2.1 #1-8)
         "crawl_bfs": Q.q_crawl_bfs,
+        "crawl_bfs_bloom": Q.q_crawl_bfs_bloom,
         "seen_antijoin": Q.q_seen_antijoin,
         "url_canonicalize": Q.q_url_canonicalize,
         "host_counts": Q.q_host_counts,
@@ -41,14 +42,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": Q.q_simhash_near_dup,
         "ngram_jaccard": Q.q_ngram_jaccard,
         "embedding_near_dup": Q.q_embedding_near_dup,
+        "dedup_clusters": Q.q_dedup_clusters,
         # text analysis
         "fingerprint": Q.q_fingerprint,
         "text_quality": Q.q_text_quality,
+        "repetition_scores": Q.q_repetition_scores,
         "token_counts": Q.q_token_counts,
         "lang_id": Q.q_lang_id,
         # similarity search
         "ann_cosine_topk": Q.q_ann_cosine_topk,
         "srp_ann_topk": Q.q_srp_ann_topk,
+        "ivf_ann_topk": Q.q_ivf_ann_topk,
         # multimodal
         "media_dedup": Q.q_media_dedup,
         "media_features": Q.q_media_features,
@@ -64,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "crawl_bfs": Q.sql_crawl_bfs(),
+        "crawl_bfs_bloom": Q.sql_crawl_bfs_bloom(),
         "seen_antijoin": Q.sql_seen_antijoin(),
         "url_canonicalize": Q.sql_url_canonicalize(),
         "host_counts": Q.sql_host_counts(),
@@ -79,12 +84,15 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": Q.sql_simhash_near_dup(),
         "ngram_jaccard": Q.sql_ngram_jaccard(),
         "embedding_near_dup": Q.sql_embedding_near_dup(),
+        "dedup_clusters": Q.sql_dedup_clusters(),
         "fingerprint": Q.sql_fingerprint(),
         "text_quality": Q.sql_text_quality(),
+        "repetition_scores": Q.sql_repetition_scores(),
         "token_counts": Q.sql_token_counts(),
         "lang_id": Q.sql_lang_id(),
         "ann_cosine_topk": Q.sql_ann_cosine_topk(),
         "srp_ann_topk": Q.sql_srp_ann_topk(),
+        "ivf_ann_topk": Q.sql_ivf_ann_topk(),
         "media_dedup": Q.sql_media_dedup(),
         "media_features": Q.sql_media_features(),
         "events_sessionize": Q.sql_events_sessionize(),

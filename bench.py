@@ -148,6 +148,26 @@ def run_bench(cpus: int, include_queries: bool = True) -> dict:
         import __spark_entry__ as entrymod
 
         queries = entrymod.queries()
+        # untimed warm-up: a tiny end-to-end crawl compiles the codegen
+        # stages, starts the Python worker pool and opens the Arrow
+        # path once, so the first timed query measures the ENGINE, not
+        # JVM/JIT session warm-up (same steady-state methodology as the
+        # kernels below; documented in BENCH.md)
+        from flyscrape_spark.config import CrawlConfig
+        from flyscrape_spark.plans.frontier import CrawlEngine
+        from flyscrape_spark.sources.transport import JoinTransport
+
+        warm_cfg = CrawlConfig(depth=1, domain_filter=False)
+        warm_pages = spark.createDataFrame(
+            [("http://w.example/", "w.example", 200,
+              '<p>w</p><a href="/a">a</a>'),
+             ("http://w.example/a", "w.example", 200, "<p>a</p>")],
+            "url string, host string, status int, html string",
+        )
+        CrawlEngine(spark, warm_cfg, JoinTransport(warm_pages, warm_cfg),
+                    collect_metrics=False).run(["http://w.example/"]
+                    ).results.count()
+
         qtimes = {}
         for name in HEADLINE_QUERIES:
             t0 = time.time()

@@ -179,6 +179,90 @@ def embedding_near_dup(
     )
 
 
+def ivf_assign(embeddings: DataFrame, n_centroids: int = 16,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF coarse quantization: (vec_id, cent_id) inverted-file
+    assignment of every vector to its nearest centroid by cosine.
+
+    Centroids are the first ``n_centroids`` corpus vectors — a
+    deterministic sampling quantizer (stands in for k-means training;
+    the partitioning/plumbing is identical) that the DuckDB oracle can
+    rebuild. Shape: broadcast the C centroids, score N×C JVM-side,
+    argmax via max_by with map-side partial aggregation — the shuffle
+    carries N rows (post-combine), not N×C. At cluster scale the
+    assignment column becomes the table's partition key, so a probe
+    scans only nprobe/C of the corpus."""
+    cents = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+    scored = (
+        embeddings.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cent_cos",
+            F.round(
+                _dot(F.col(vec_col), F.col("cent_vec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("cent_vec"))),
+                6,
+            ),
+        )
+    )
+    # highest cosine, smallest cent_id on ties — max over the ordered
+    # struct is partial-agg combinable (no window shuffle of N×C rows)
+    return scored.groupBy(id_col).agg(
+        F.max_by(
+            "cent_id", F.struct(F.col("cent_cos"), (-F.col("cent_id")).alias("nid"))
+        ).alias("cent_id")
+    )
+
+
+def ivf_topk(embeddings: DataFrame, query: DataFrame, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF ANN top-k: rank centroids against the query, scan only the
+    ``nprobe`` nearest centroids' inverted lists, exact cosine + top-k
+    within them. ``query`` is a one-row DataFrame with column ``qv``.
+
+    The scale path beyond SRP buckets: recall is tunable via nprobe
+    (probing all C centroids degrades gracefully to exact brute
+    force), and the candidate scan is an equi-join on cent_id —
+    partition-prunable when the corpus is stored partitioned by its
+    IVF assignment."""
+    cents = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(query))
+        .select(
+            "cent_id",
+            F.round(
+                _dot(F.col("cent_vec"), F.col("qv"))
+                / (_norm(F.col("cent_vec")) * _norm(F.col("qv"))),
+                6,
+            ).alias("qcos"),
+        )
+        .orderBy(F.desc("qcos"), F.asc("cent_id"))
+        .limit(nprobe)
+        .select("cent_id")
+    )
+    assign = ivf_assign(embeddings, n_centroids, vec_col, id_col)
+    cand_ids = assign.join(F.broadcast(probe), "cent_id").select(id_col)
+    return (
+        embeddings.join(cand_ids, id_col)
+        .crossJoin(F.broadcast(query))
+        .select(
+            id_col,
+            F.round(
+                _dot(F.col(vec_col), F.col("qv"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("qv"))),
+                4,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def srp_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
              num_planes: int = 8, vec_col: str = "embedding",
              id_col: str = "vec_id") -> DataFrame:

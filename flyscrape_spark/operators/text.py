@@ -65,6 +65,44 @@ def text_quality(documents: DataFrame) -> DataFrame:
     )
 
 
+def repetition_scores(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021,
+    public): duplicate-word fraction and most-frequent-bigram
+    fraction. All higher-order array functions — per-row JVM work,
+    ZERO shuffles, so the operator is embarrassingly parallel at any
+    scale (the Gopher filters run over trillions of tokens; anything
+    with a shuffle here would be the pipeline bottleneck).
+
+    top_bigram_frac is O(distinct²) per row via filter-count — fine at
+    document length (10²-10⁴ words), and it stays inside the JVM
+    instead of paying an explode + two shuffles per metric."""
+    toks = F.split(normalized_text(), " ")
+    n_tok = F.size(toks).cast("double")
+    dup_word_frac = F.round(
+        (n_tok - F.size(F.array_distinct(toks)).cast("double"))
+        / F.greatest(n_tok, F.lit(1.0)),
+        6,
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+    )
+    top_freq = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda g: F.size(F.filter(bigrams, lambda x: x == g)),
+        )
+    ).cast("double")
+    top_bigram_frac = F.when(F.size(toks) < 2, F.lit(0.0)).otherwise(
+        F.round(top_freq / F.size(bigrams).cast("double"), 6)
+    )
+    return documents.select(
+        "doc_id",
+        dup_word_frac.alias("dup_word_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+    )
+
+
 def lang_id(documents: DataFrame) -> DataFrame:
     """Marker-word language heuristic: count hits per language's marker
     set; argmax with fixed tie order (de > en > es > fr alphabetical).

@@ -21,9 +21,12 @@ to get wrong (SURVEY §7 "What's hard"):
 Scale design notes (100 TB / 10^10-URL frontier):
 - the anti-join shuffles on a 64-bit xxhash64 key, not URL strings;
   the exact URL string rides along as a collision tiebreak.
-- Spark's runtime bloom-filter join pruning (enabled in session.py)
-  injects the bloom prefilter in front of the exact anti-join — the
-  idiomatic Catalyst form of the north_star's "broadcast bloom filter".
+- Catalyst's runtime bloom injection does NOT cover anti-join build
+  sides (measured, BENCH.md), so the engine carries its own explicit
+  broadcast bloom (operators/bloom.py, ``seen_bloom=``): definitely-
+  unseen candidates bypass the anti-join shuffle entirely, and the
+  bitmap grows incrementally (per-generation admitted keys only) —
+  the north_star's "broadcast bloom filter" made real.
 - lineage is truncated every generation (localCheckpoint here;
   snapshot-table commits in checkpointed mode) so plans stay O(1) in
   the number of generations.
@@ -147,6 +150,7 @@ class CrawlEngine:
         max_generations: int = 1000,
         small_generation_rows: int = 50_000,
         seen_store=None,  # optional BucketedSeenStore (shuffle-free anti-join)
+        seen_bloom=None,  # optional BroadcastBloom (candidate-side prefilter)
         collect_metrics: bool = True,
     ):
         self.spark = spark
@@ -160,6 +164,7 @@ class CrawlEngine:
         self.max_generations = max_generations
         self.small_generation_rows = small_generation_rows
         self.seen_store = seen_store
+        self.seen_bloom = seen_bloom
         # checkpointed crawls always record full lineage metrics
         # (manifests carry them, north_rule); plain crawls may skip
         # the extra per-generation count job
@@ -286,6 +291,9 @@ class CrawlEngine:
             # snapshot manifests stay the durable source of truth)
             for frame in seen_frames:
                 self.seen_store.append(frame)
+        if self.seen_bloom is not None:
+            for frame in seen_frames:
+                self.seen_bloom.add_keys(frame)
 
         def current_seen() -> DataFrame:
             if self.seen_store is not None and self.seen_store.exists():
@@ -314,19 +322,27 @@ class CrawlEngine:
             # 2. in-generation first-seen dedup: keep min (parent_order, pos)
             cand = self.dedupe_candidates(cand)
 
-            # 3. global dedup: anti-join the accumulated seen set.
-            #    Runtime bloom-filter pruning (session.py) prefilters;
+            # 3. global dedup: anti-join the accumulated seen set;
             #    (url_key, url) equality keeps it collision-exact.
             seen = current_seen()
             seen_keys = seen.select(
                 F.col("url_key").alias("seen_key"), F.col("url").alias("seen_url")
             )
+            # 3a. broadcast-bloom prefilter (opt-in): candidates whose
+            # key misses the bloom are DEFINITELY unseen (no false
+            # negatives) and bypass the anti-join shuffle; only the
+            # possibly-seen remainder pays the exact join.
+            fresh = None
+            if self.seen_bloom is not None and self.seen_bloom.n_added > 0:
+                cand, fresh = self.seen_bloom.split(cand)
             enqueued = cand.join(
                 seen_keys,
                 (cand["url_key"] == seen_keys["seen_key"])
                 & (cand["url"] == seen_keys["seen_url"]),
                 "left_anti",
             )
+            if fresh is not None:
+                enqueued = enqueued.unionByName(fresh)
 
             # 4. canonical discovery order within the generation.
             # Latency mode: one-partition window sort (fine for small
@@ -364,6 +380,10 @@ class CrawlEngine:
             # union into one pinned frame so plan size (and anti-join
             # scan fan-in) stays O(1) in crawl depth. On Iceberg this
             # is a data-compaction job over the seen table.
+            if self.seen_bloom is not None:
+                # incremental: fold ONLY this generation's newly
+                # admitted keys into the driver-held bitmap
+                self.seen_bloom.add_keys(enqueued)
             if self.seen_store is not None:
                 self.seen_store.append(enqueued)
             else:

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from flyscrape_spark.config import CrawlConfig
 from flyscrape_spark.functions.hashing import portable_hash64, portable_hash64_sql
 from flyscrape_spark.functions.urls import canonicalize, canonicalize_sql, host_of
-from flyscrape_spark.operators import ann, dedup, text as text_ops
+from flyscrape_spark.operators import ann, cluster, dedup, text as text_ops
 from flyscrape_spark.plans.frontier import CrawlEngine
 from flyscrape_spark.sources.transport import JoinTransport
 
@@ -111,6 +111,31 @@ bfs(id, depth) AS (
 SELECT {_doc_url_sql('id')} AS url, CAST(min(depth) AS INT) AS depth
 FROM bfs GROUP BY id
 """
+
+
+def q_crawl_bfs_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship crawl with the broadcast-bloom seen prefilter
+    engaged (operators/bloom.py): definitely-unseen candidates bypass
+    the anti-join shuffle. Must reproduce the plain BFS oracle exactly
+    — blooms have no false negatives, and false positives only route a
+    candidate through the exact join."""
+    from flyscrape_spark.operators.bloom import BroadcastBloom
+
+    config = CrawlConfig(depth=BFS_DEPTH, domain_filter=False)
+    pages = synthetic_pages(spark, sf_dir)
+    engine = CrawlEngine(
+        spark, config, JoinTransport(pages, config), collect_metrics=False,
+        seen_bloom=BroadcastBloom(spark, n_bits=1 << 20),
+    )
+    result = engine.run(["http://h0.example/d/0"])
+    return (
+        result.seen.filter(F.col("depth") <= BFS_DEPTH)
+        .select("url", F.col("depth").cast("int").alias("depth"))
+    )
+
+
+def sql_crawl_bfs_bloom() -> str:
+    return sql_crawl_bfs()
 
 
 MANUAL_DEPTH = 4
@@ -395,6 +420,30 @@ FROM base
 """
 
 
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.repetition_scores(load(spark, sf_dir, "documents"))
+
+
+def sql_repetition_scores() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+b AS (
+  SELECT doc_id, w,
+    list_transform(range(0, greatest(len(w)-2, 0)+1),
+                   i -> concat_ws(' ', w[i+1], w[i+2])) AS bg
+  FROM t
+)
+SELECT doc_id,
+  round((CAST(len(w) AS DOUBLE) - len(list_distinct(w)))
+        / greatest(CAST(len(w) AS DOUBLE), 1.0), 6) AS dup_word_frac,
+  CASE WHEN len(w) < 2 THEN 0.0 ELSE
+    round(CAST(list_max(list_transform(list_distinct(bg),
+                g -> len(list_filter(bg, x -> x = g)))) AS DOUBLE)
+          / CAST(len(bg) AS DOUBLE), 6) END AS top_bigram_frac
+FROM b
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.lang_id(load(spark, sf_dir, "documents"))
 
@@ -489,6 +538,43 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_distance}
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components (alternating large-
+    star/small-star, Kiveris et al. 2014) over the SimHash near-dup
+    pair edges; every document labeled with its component's min doc_id
+    (singletons label as self). The keep-one-representative table of a
+    training-data dedup pipeline."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_dup(docs, bits=16, bands=4, max_distance=3)
+    return cluster.dedup_clusters(docs, pairs)
+
+
+def sql_dedup_clusters() -> str:
+    # component min via recursive label walk: lbl reaches node over the
+    # bidirected edge set, so min(lbl) per node = the component minimum
+    return f"""
+WITH RECURSIVE pairs AS ({sql_simhash_near_dup()}),
+bidir AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(node, lbl) AS (
+  SELECT src, src FROM bidir
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN bidir e ON e.src = w.node
+),
+comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node),
+labeled AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labeled
 """
 
 
@@ -628,6 +714,72 @@ parts AS (
 )
 SELECT vec_id, round(dot/(sqrt(na)*sqrt(nb)), 4) AS cosine FROM parts
 ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest of 16 deterministic
+    centroids (the first 16 corpus vectors), probe the query's 4
+    nearest centroid lists, exact cosine top-10 within them."""
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return ann.ivf_topk(
+        emb, query, k=10, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE
+    )
+
+
+def sql_ivf_ann_topk(n_centroids: int = IVF_CENTROIDS, nprobe: int = IVF_NPROBE,
+                     k: int = 10) -> str:
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+  WHERE vec_id < {n_centroids}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+az AS (
+  SELECT e.vec_id, c.cent_id,
+         unnest(e.embedding) AS x, unnest(c.cv) AS y
+  FROM embeddings e, cents c
+),
+acos AS (
+  SELECT vec_id, cent_id,
+    round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+          / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+             * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6) AS c
+  FROM az GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+    FROM acos
+  ) WHERE rn = 1
+),
+qz AS (SELECT c.cent_id, unnest(c.cv) AS y, unnest(q.qv) AS x FROM cents c, q),
+probe AS (
+  SELECT cent_id FROM (
+    SELECT cent_id,
+      round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+            / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+               * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6) AS qcos
+    FROM qz GROUP BY cent_id
+  ) ORDER BY qcos DESC, cent_id LIMIT {nprobe}
+),
+cand AS (SELECT a.vec_id FROM assign a JOIN probe p USING (cent_id)),
+cz AS (
+  SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qv) AS y
+  FROM embeddings e JOIN cand USING (vec_id), q
+)
+SELECT vec_id,
+  round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+           * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 4) AS cosine
+FROM cz GROUP BY vec_id
+ORDER BY cosine DESC, vec_id LIMIT {k}
 """
 
 

@@ -230,3 +230,58 @@ def test_srp_topk_contains_query(spark):
     top = srp_topk(emb, qv, k=5, num_planes=4)
     rows = top.collect()
     assert rows[0]["vec_id"] == 7 and rows[0]["cosine"] == 1.0
+
+
+def test_ivf_topk_exact_when_probing_all(spark):
+    """nprobe == n_centroids degrades IVF to exact brute force: the
+    result must equal cosine_topk on the full corpus."""
+    import math
+
+    from flyscrape_spark.operators.ann import cosine_topk, ivf_topk
+
+    vecs = [(i, [math.sin(i * d + 1) for d in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    query = emb.filter("vec_id = 7").selectExpr("embedding AS qv")
+    exact = [(r["vec_id"], r["cosine"])
+             for r in cosine_topk(emb, vecs[7][1], k=5).collect()]
+    ivf_all = [(r["vec_id"], r["cosine"])
+               for r in ivf_topk(emb, query, k=5, n_centroids=8, nprobe=8).collect()]
+    assert ivf_all == exact
+
+
+def test_ivf_topk_probes_subset(spark):
+    import math
+
+    from flyscrape_spark.operators.ann import ivf_assign, ivf_topk
+
+    vecs = [(i, [math.sin(i * d + 1) for d in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    query = emb.filter("vec_id = 7").selectExpr("embedding AS qv")
+    top = ivf_topk(emb, query, k=5, n_centroids=8, nprobe=2).collect()
+    # the query vector itself is always in a probed list
+    assert top[0]["vec_id"] == 7 and top[0]["cosine"] == 1.0
+    # every vector is assigned exactly one centroid
+    assign = ivf_assign(emb, n_centroids=8)
+    assert assign.count() == 60
+    assert assign.select("vec_id").distinct().count() == 60
+    assert assign.select("cent_id").distinct().count() <= 8
+
+
+def test_repetition_scores(spark):
+    from flyscrape_spark.operators.text import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),        # no repetition
+            (2, "spam spam spam spam"),    # max repetition
+            (3, "one"),                    # single word: no bigrams
+            (4, ""),                       # empty
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_scores(docs).collect()}
+    assert rows[1]["dup_word_frac"] == 0.0
+    assert rows[2]["dup_word_frac"] == 0.75      # 4 words, 1 distinct
+    assert rows[2]["top_bigram_frac"] == 1.0     # "spam spam" x3
+    assert rows[3]["top_bigram_frac"] == 0.0
+    assert rows[4]["top_bigram_frac"] == 0.0

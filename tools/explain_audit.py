@@ -102,6 +102,23 @@ CHECKS = {
         "broadcast": r"BroadcastHashJoin",
         "partial_agg": r"partial_",
     },
+    "ivf_ann_topk": {
+        # centroids broadcast; assignment argmax partially aggregated;
+        # final top-k never materializes a global sort
+        "broadcast": r"BroadcastHashJoin|BroadcastNestedLoopJoin",
+        "partial_agg": r"partial_",
+        "topk_no_global_sort": r"TakeOrderedAndProject",
+    },
+    "repetition_scores": {
+        "max_exchanges": 0,
+    },
+    "dedup_clusters": {
+        # connected components: every round is window-min + union on
+        # node-hash partitions — a cartesian anywhere means the star
+        # operations degenerated
+        "no_cartesian": r"!CartesianProduct|BroadcastNestedLoopJoin",
+        "partial_agg": r"partial_",
+    },
     "script_extract": {
         # the script runs once per Arrow batch (vectorized), and a
         # per-page map needs no shuffle at all
