@@ -29,6 +29,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seen_antijoin": Q.q_seen_antijoin,
         "url_canonicalize": Q.q_url_canonicalize,
         "host_counts": Q.q_host_counts,
+        "cookie_match": Q.q_cookie_match,
         "robots_filter": Q.q_robots_filter,
         "interleaved_spans": Q.q_interleaved_spans,
         "nested_scrape": Q.q_nested_scrape,
@@ -43,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": Q.q_ngram_jaccard,
         "embedding_near_dup": Q.q_embedding_near_dup,
         "dedup_clusters": Q.q_dedup_clusters,
+        "corpus_curate": Q.q_corpus_curate,
         # text analysis
         "fingerprint": Q.q_fingerprint,
         "text_quality": Q.q_text_quality,
@@ -72,6 +74,7 @@ def oracle_sql() -> dict[str, str]:
         "seen_antijoin": Q.sql_seen_antijoin(),
         "url_canonicalize": Q.sql_url_canonicalize(),
         "host_counts": Q.sql_host_counts(),
+        "cookie_match": Q.sql_cookie_match(),
         "robots_filter": Q.sql_robots_filter(),
         "interleaved_spans": Q.sql_interleaved_spans(),
         "nested_scrape": Q.sql_nested_scrape(),
@@ -85,6 +88,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": Q.sql_ngram_jaccard(),
         "embedding_near_dup": Q.sql_embedding_near_dup(),
         "dedup_clusters": Q.sql_dedup_clusters(),
+        "corpus_curate": Q.sql_corpus_curate(),
         "fingerprint": Q.sql_fingerprint(),
         "text_quality": Q.sql_text_quality(),
         "repetition_scores": Q.sql_repetition_scores(),

@@ -61,6 +61,12 @@ class CrawlConfig:
     # versions.go:47-96); a set value wins over rotation but loses to
     # an explicit User-Agent entry in ``headers``.
     user_agent: str | None = None
+    # cookie store (modules/cookies/cookies.go:40-59): the reference
+    # attaches browser-profile cookies matching each request URL; this
+    # engine takes an explicit list of sources.cookies.Cookie records
+    # (no browser profile exists in the sandbox) and applies the same
+    # RFC 6265 match per request, JVM-side.
+    cookies: list | None = None
     # request headers set on every request
     # (modules/headers/headers.go:28-40); if User-Agent is absent a
     # browser UA is picked per request — the reference picks randomly

@@ -1,0 +1,117 @@
+"""End-to-end training-data curation pipeline: the composition the
+individual operators exist FOR — per-doc quality features → language
+gate → exact dedup → near-dup cluster representative selection, each
+document labeled kept / drop_reason.
+
+This is the standard LLM-corpus curation funnel (Gopher/RefinedWeb-
+style, public methodology): cheap per-row filters first so the
+expensive dedup stages see only survivors, then duplicate removal
+keeps one representative per duplicate class.
+
+Scale shape (the whole point of the composition):
+- Stage 1 (features + quality gate) is ONE projection — zero
+  shuffles, embarrassingly parallel, and it PRUNES before anything
+  that shuffles. At 100 TB this is where ~half the corpus dies for
+  the cost of a scan.
+- Stage 2 (exact dedup) shuffles the survivors once on a 64-bit
+  content hash (map-side partial agg).
+- Stage 3 (near-dup) reuses the banded SimHash pairing + alternating
+  large-star/small-star connected components — linear shuffles, never
+  O(n²).
+- Final labeling is equi-joins on (content_hash, cluster_id, doc_id);
+  the per-reason precedence is a row-local CASE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from flyscrape_spark.functions.hashing import portable_hash64
+from flyscrape_spark.operators import cluster as cluster_ops
+from flyscrape_spark.operators import dedup
+from flyscrape_spark.operators.dedup import normalized_text
+from flyscrape_spark.operators.text import (
+    dup_word_frac_expr, lang_pred_expr, token_count,
+)
+
+
+def curate(
+    documents: DataFrame,
+    min_tokens: int = 5,
+    max_dup_word_frac: float = 0.6,
+    keep_lang: str = "en",
+    simhash_bits: int = 64,
+    simhash_bands: int = 4,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Label every document with its curation outcome.
+
+    Returns (doc_id, lang_pred, n_tokens, cluster_id, kept,
+    drop_reason) where drop_reason ∈ {quality, exact_duplicate,
+    near_duplicate, NULL=kept}:
+
+    - ``quality``: fails the per-row gate (too short, too repetitive,
+      or not ``keep_lang``).
+    - ``exact_duplicate``: same normalized content as a lower-doc_id
+      quality survivor.
+    - ``near_duplicate``: in the same SimHash component as a lower
+      doc_id exact-surviving document.
+
+    Near-dup defaults are the standard web-dedup setting (64-bit
+    SimHash, hamming <= 3 — Manku et al. 2007, public): at 16 bits the
+    banded join is cheap but chains a similar corpus into one giant
+    component; 64 bits keeps components tight.
+    """
+    toks = F.split(normalized_text(), " ")
+    feats = documents.select(
+        "doc_id",
+        token_count().alias("n_tokens"),
+        dup_word_frac_expr(toks).alias("dup_word_frac"),
+        lang_pred_expr(toks).alias("lang_pred"),
+        portable_hash64(normalized_text()).alias("content_hash"),
+    ).withColumn(
+        "quality_ok",
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("dup_word_frac") <= max_dup_word_frac)
+        & (F.col("lang_pred") == keep_lang),
+    )
+
+    exact_rep = (
+        feats.filter("quality_ok")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("exact_rep"))
+    )
+
+    pairs = dedup.simhash_near_dup(
+        documents, bits=simhash_bits, bands=simhash_bands,
+        max_distance=max_distance,
+    )
+    clusters = cluster_ops.dedup_clusters(documents, pairs).select(
+        "doc_id", "cluster_id"
+    )
+
+    survivors = (
+        feats.filter("quality_ok")
+        .join(exact_rep, "content_hash")
+        .filter(F.col("doc_id") == F.col("exact_rep"))
+        .join(clusters, "doc_id")
+    )
+    near_rep = survivors.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("cluster_rep")
+    )
+
+    drop_reason = (
+        F.when(~F.col("quality_ok"), F.lit("quality"))
+        .when(F.col("doc_id") != F.col("exact_rep"), F.lit("exact_duplicate"))
+        .when(F.col("doc_id") != F.col("cluster_rep"), F.lit("near_duplicate"))
+    )
+    return (
+        feats.join(clusters, "doc_id")
+        .join(exact_rep, "content_hash", "left")
+        .join(near_rep, "cluster_id", "left")
+        .withColumn("drop_reason", drop_reason)
+        .select(
+            "doc_id", "lang_pred", "n_tokens", "cluster_id",
+            F.col("drop_reason").isNull().alias("kept"), "drop_reason",
+        )
+    )

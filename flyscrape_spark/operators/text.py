@@ -77,12 +77,7 @@ def repetition_scores(documents: DataFrame) -> DataFrame:
     document length (10²-10⁴ words), and it stays inside the JVM
     instead of paying an explode + two shuffles per metric."""
     toks = F.split(normalized_text(), " ")
-    n_tok = F.size(toks).cast("double")
-    dup_word_frac = F.round(
-        (n_tok - F.size(F.array_distinct(toks)).cast("double"))
-        / F.greatest(n_tok, F.lit(1.0)),
-        6,
-    )
+    dup_word_frac = dup_word_frac_expr(toks)
     bigrams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
         lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
@@ -103,11 +98,19 @@ def repetition_scores(documents: DataFrame) -> DataFrame:
     )
 
 
-def lang_id(documents: DataFrame) -> DataFrame:
-    """Marker-word language heuristic: count hits per language's marker
-    set; argmax with fixed tie order (de > en > es > fr alphabetical).
-    Deterministic and SQL-twinnable."""
-    toks = F.split(normalized_text(), " ")
+def dup_word_frac_expr(toks):
+    """Gopher duplicate-word fraction as a reusable expression."""
+    n_tok = F.size(toks).cast("double")
+    return F.round(
+        (n_tok - F.size(F.array_distinct(toks)).cast("double"))
+        / F.greatest(n_tok, F.lit(1.0)),
+        6,
+    )
+
+
+def lang_pred_expr(toks):
+    """Marker-argmax language prediction as a reusable expression
+    (fixed alphabetical tie order, 'unknown' on zero hits)."""
 
     def _hits(markers):
         m = list(markers)  # bind by closure; a 2-arg lambda would make
@@ -115,14 +118,24 @@ def lang_id(documents: DataFrame) -> DataFrame:
         return F.size(F.filter(toks, lambda t: t.isin(m)))
 
     scores = {lang: _hits(markers) for lang, markers in LANG_MARKERS.items()}
-    langs = sorted(scores)  # alphabetical tie-break
     pred = F.lit("unknown")
     best = F.lit(0)
-    for lang in langs:
+    for lang in sorted(scores):  # alphabetical tie-break
         s = scores[lang]
         pred = F.when(s > best, F.lit(lang)).otherwise(pred)
         best = F.when(s > best, s).otherwise(best)
-    return documents.select("doc_id", F.col("lang").alias("lang_true"), pred.alias("lang_pred"))
+    return pred
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Marker-word language heuristic: count hits per language's marker
+    set; argmax with fixed tie order (de > en > es > fr alphabetical).
+    Deterministic and SQL-twinnable."""
+    toks = F.split(normalized_text(), " ")
+    return documents.select(
+        "doc_id", F.col("lang").alias("lang_true"),
+        lang_pred_expr(toks).alias("lang_pred"),
+    )
 
 
 def fingerprint(documents: DataFrame) -> DataFrame:

@@ -254,6 +254,41 @@ FROM documents, n
 """
 
 
+def q_cookie_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 6265 cookie matching (SURVEY §2.1 #17, reference
+    modules/cookies/cookies.go:40-59) over every synthetic frontier
+    URL: a fixed 5-cookie store exercising exact-domain, suffix,
+    path-bound, secure-only and host-only rules; output = the Cookie
+    header each request would carry. Pure JVM expressions, 0 shuffles."""
+    from flyscrape_spark.sources.cookies import Cookie, cookie_header
+
+    jar = [
+        Cookie("sess", "s0", "h0.example"),
+        Cookie("track", "t", "example"),              # suffix: every host
+        Cookie("docs", "d", "h1.example", path="/d"),
+        Cookie("tls", "x", "h2.example", secure=True),  # http -> never
+        Cookie("pin", "p", "h3.example", host_only=True),
+    ]
+    docs = load(spark, sf_dir, "documents")
+    urls = docs.select(_doc_url(F.col("doc_id")).alias("url"))
+    return urls.select("url", cookie_header(jar).alias("cookie"))
+
+
+def sql_cookie_match() -> str:
+    # ordering twin: longer cookie-path first (docs, len 2), then
+    # store order among "/" cookies (sess, track, pin); tls never
+    # matches over http
+    return f"""
+SELECT {_doc_url_sql('doc_id')} AS url,
+  concat_ws('; ',
+    CASE WHEN doc_id % {GRAPH_HOSTS} = 1 THEN 'docs=d' END,
+    CASE WHEN doc_id % {GRAPH_HOSTS} = 0 THEN 'sess=s0' END,
+    'track=t',
+    CASE WHEN doc_id % {GRAPH_HOSTS} = 3 THEN 'pin=p' END) AS cookie
+FROM documents
+"""
+
+
 def q_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host URL counts over the synthetic frontier — the skew /
     politeness statistic (host extracted JVM-side via parse_url)."""
@@ -448,10 +483,11 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.lang_id(load(spark, sf_dir, "documents"))
 
 
-def sql_lang_id() -> str:
+def _sql_lang_pred(toks: str = "toks") -> str:
+    """DuckDB twin of text.lang_pred_expr over a word-list column."""
     score = {
         lang: (
-            "len(list_filter(toks, t -> list_contains(['"
+            f"len(list_filter({toks}, t -> list_contains(['"
             + "', '".join(markers) + "'], t)))"
         )
         for lang, markers in text_ops.LANG_MARKERS.items()
@@ -461,9 +497,13 @@ def sql_lang_id() -> str:
         s = score[lang]
         pred = f"CASE WHEN {s} > {best} THEN '{lang}' ELSE {pred} END"
         best = f"CASE WHEN {s} > {best} THEN {s} ELSE {best} END"
+    return pred
+
+
+def sql_lang_id() -> str:
     return f"""
 WITH base AS (SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS toks FROM documents)
-SELECT doc_id, lang AS lang_true, {pred} AS lang_pred FROM base
+SELECT doc_id, lang AS lang_true, {_sql_lang_pred()} AS lang_pred FROM base
 """
 
 
@@ -575,6 +615,80 @@ labeled AS (
 SELECT doc_id, cluster_id,
        count(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM labeled
+"""
+
+
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation funnel (operators/curate.py): per-row
+    quality+language gate (0 shuffles, prunes before any shuffle) →
+    exact dedup among survivors → SimHash-component representative;
+    every doc labeled kept/drop_reason."""
+    from flyscrape_spark.operators.curate import curate
+
+    return curate(load(spark, sf_dir, "documents"))
+
+
+def sql_corpus_curate(min_tokens: int = 5, max_dup: float = 0.6,
+                      keep_lang: str = "en") -> str:
+    n_tokens = ("CAST(CASE WHEN trim(text) = '' THEN 0 "
+                "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)")
+    dup_frac = ("round((CAST(len(toks) AS DOUBLE) - len(list_distinct(toks)))"
+                " / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6)")
+    return f"""
+WITH RECURSIVE pairs AS ({sql_simhash_near_dup(bits=64)}),
+bidir AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+walk(node, lbl) AS (
+  SELECT src, src FROM bidir
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN bidir e ON e.src = w.node
+),
+comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node),
+clusters AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+base AS (SELECT doc_id, text, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+feats AS (
+  SELECT doc_id,
+    {n_tokens} AS n_tokens,
+    {dup_frac} AS dup_word_frac,
+    {_sql_lang_pred()} AS lang_pred,
+    {portable_hash64_sql(_NORM_SQL)} AS content_hash
+  FROM base
+),
+q AS (
+  SELECT *, (n_tokens >= {min_tokens} AND dup_word_frac <= {max_dup}
+             AND lang_pred = '{keep_lang}') AS quality_ok
+  FROM feats
+),
+exact_rep AS (
+  SELECT content_hash, min(doc_id) AS exact_rep FROM q
+  WHERE quality_ok GROUP BY content_hash
+),
+survivors AS (
+  SELECT q.doc_id, c.cluster_id FROM q
+  JOIN exact_rep e USING (content_hash)
+  JOIN clusters c USING (doc_id)
+  WHERE q.quality_ok AND q.doc_id = e.exact_rep
+),
+near_rep AS (
+  SELECT cluster_id, min(doc_id) AS cluster_rep FROM survivors
+  GROUP BY cluster_id
+)
+SELECT q.doc_id, q.lang_pred, q.n_tokens, c.cluster_id,
+  (CASE WHEN NOT q.quality_ok THEN 'quality'
+        WHEN q.doc_id <> e.exact_rep THEN 'exact_duplicate'
+        WHEN q.doc_id <> n.cluster_rep THEN 'near_duplicate' END) IS NULL AS kept,
+  CASE WHEN NOT q.quality_ok THEN 'quality'
+       WHEN q.doc_id <> e.exact_rep THEN 'exact_duplicate'
+       WHEN q.doc_id <> n.cluster_rep THEN 'near_duplicate' END AS drop_reason
+FROM q
+JOIN clusters c USING (doc_id)
+LEFT JOIN exact_rep e USING (content_hash)
+LEFT JOIN near_rep n USING (cluster_id)
 """
 
 

@@ -84,7 +84,12 @@ def with_request_headers(frontier: DataFrame, config: CrawlConfig) -> DataFrame:
         header_map = F.create_map(*kv)
     else:  # pragma: no cover - unreachable (UA branch covers empty)
         header_map = F.create_map()
-    return frontier.withColumn("request_headers", header_map)
+    frontier = frontier.withColumn("request_headers", header_map)
+    if config.cookies:
+        from flyscrape_spark.sources.cookies import with_cookie_header
+
+        frontier = with_cookie_header(frontier, config.cookies)
+    return frontier
 
 
 class Transport:

@@ -119,6 +119,17 @@ CHECKS = {
         "no_cartesian": r"!CartesianProduct|BroadcastNestedLoopJoin",
         "partial_agg": r"partial_",
     },
+    "corpus_curate": {
+        # candidate generation stays banded; quality gate is a scan
+        "no_cartesian": r"!CartesianProduct|BroadcastNestedLoopJoin",
+        "partial_agg": r"partial_",
+    },
+    "cookie_match": {
+        # RFC 6265 matching is pure expression work: whole-stage
+        # codegen, zero shuffles, zero Python
+        "codegen": r"\*\(\d+\)",
+        "max_exchanges": 0,
+    },
     "script_extract": {
         # the script runs once per Arrow batch (vectorized), and a
         # per-page map needs no shuffle at all
