@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": Q.q_repetition_scores,
         "token_counts": Q.q_token_counts,
         "lang_id": Q.q_lang_id,
+        "tfidf_terms": Q.q_tfidf_terms,
+        "top_bigrams": Q.q_top_bigrams,
         # similarity search
         "ann_cosine_topk": Q.q_ann_cosine_topk,
         "srp_ann_topk": Q.q_srp_ann_topk,
@@ -94,6 +96,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_scores": Q.sql_repetition_scores(),
         "token_counts": Q.sql_token_counts(),
         "lang_id": Q.sql_lang_id(),
+        "tfidf_terms": Q.sql_tfidf_terms(),
+        "top_bigrams": Q.sql_top_bigrams(),
         "ann_cosine_topk": Q.sql_ann_cosine_topk(),
         "srp_ann_topk": Q.sql_srp_ann_topk(),
         "ivf_ann_topk": Q.sql_ivf_ann_topk(),

@@ -143,3 +143,74 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id", portable_hash64(normalized_text()).alias("fingerprint")
     )
+
+
+def tfidf_top_terms(
+    documents: DataFrame, k: int = 5, broadcast_idf: bool = True
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic keyword-extraction
+    / topical-signature operator a corpus pipeline uses for cluster
+    labeling and domain mixing. Smoothed idf = ln((N+1)/(df+1)).
+
+    Scale shape: explode → groupBy (doc_id, term) [shuffle 1,
+    map-side combinable] → groupBy term for df [shuffle 2, small
+    output = vocabulary] → idf joined back (broadcast while the
+    vocabulary fits — ~10^7 terms; pass broadcast_idf=False past that
+    and it's a plain shuffle join on term) → per-doc top-k window
+    [shuffle 3 on doc_id]. Never materializes the full doc×term
+    matrix; ordering ties broken on the ROUNDED score then term so
+    the result is engine-independent.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(normalized_text(), " "), lambda t: t != "")
+    terms = documents.select("doc_id", F.explode(toks).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = documents.agg(F.count("*").alias("n_docs"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))).alias("idf"),
+    )
+    if broadcast_idf:
+        idf = F.broadcast(idf)
+    scored = tf.join(idf, "term").withColumn(
+        "score", F.round(F.col("tf") * F.col("idf"), 6)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", F.col("rank").cast("int").alias("rank"), "score")
+    )
+
+
+def top_ngrams(documents: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-level top-k word n-grams by occurrence count — the
+    n-gram LM / contamination-screen statistic (e.g. checking a
+    benchmark's 13-grams against the training corpus).
+
+    Scale shape: per-row gram construction (JVM array ops, no
+    shuffle) → explode → ONE map-side-combinable groupBy count →
+    global top-k via orderBy+limit, which Spark executes as
+    TakeOrderedAndProject (per-partition heaps + driver merge of k
+    rows, never a full sort shuffle). Ties at the k boundary are
+    broken by ngram text, so the selected set is deterministic.
+    """
+    toks = F.filter(F.split(normalized_text(), " "), lambda t: t != "")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+            lambda i: F.concat_ws(
+                " ", *[F.get(toks, i + F.lit(j)) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        documents.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(k)
+    )

@@ -507,6 +507,57 @@ SELECT doc_id, lang AS lang_true, {_sql_lang_pred()} AS lang_pred FROM base
 """
 
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.tfidf_top_terms(load(spark, sf_dir, "documents"), k=5)
+
+
+def sql_tfidf_terms(k: int = 5) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln((n.n_docs + 1.0) / (dfr.df + 1.0)), 6) AS score
+  FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term) AS INT) AS rank,
+         score
+  FROM scored
+)
+SELECT doc_id, term, rank, score FROM ranked WHERE rank <= {k}
+"""
+
+
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.top_ngrams(load(spark, sf_dir, "documents"), n=2, k=20)
+
+
+def sql_top_bigrams(n: int = 2, k: int = 20) -> str:
+    return f"""
+WITH t AS (
+  SELECT list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS w
+  FROM documents
+),
+g AS (
+  SELECT unnest(list_transform(range(0, greatest(len(w) - {n} + 1, 0)),
+                i -> concat_ws(' ', {", ".join(f"w[i + {j + 1}]" for j in range(n))})))
+         AS ngram
+  FROM t WHERE len(w) >= {n}
+)
+SELECT ngram, count(*) AS n_occurrences FROM g GROUP BY 1
+ORDER BY n_occurrences DESC, ngram LIMIT {k}
+"""
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(load(spark, sf_dir, "documents"), num_hashes=16, n=3)
 

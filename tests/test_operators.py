@@ -285,3 +285,54 @@ def test_repetition_scores(spark):
     assert rows[2]["top_bigram_frac"] == 1.0     # "spam spam" x3
     assert rows[3]["top_bigram_frac"] == 0.0
     assert rows[4]["top_bigram_frac"] == 0.0
+
+
+def test_tfidf_top_terms(spark):
+    from flyscrape_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "banana cherry cherry"),
+            (3, "durian durian durian"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 3: "durian" df=1 -> idf=ln(5/2), tf=3 — its only (and top) term
+    assert [r["term"] for r in by_doc[3]] == ["durian"]
+    import math
+    assert by_doc[3][0]["score"] == round(3 * math.log(5 / 2), 6)
+    # doc 1: "apple" (tf=2, df=1) outscores shared terms
+    assert by_doc[1][0]["term"] == "apple" and by_doc[1][0]["rank"] == 1
+    # empty doc yields no rows; ranks never exceed k
+    assert 4 not in by_doc and all(r["rank"] <= 2 for r in rows)
+    # shuffle-join path produces identical rows
+    nob = tfidf_top_terms(docs, k=2, broadcast_idf=False).collect()
+    assert sorted(map(tuple, nob)) == sorted(map(tuple, rows))
+
+
+def test_top_ngrams(spark):
+    from flyscrape_spark.operators.text import top_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "to be or not to be"),
+            (2, "to be is to be"),
+            (3, "one"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = top_ngrams(docs, n=2, k=3).collect()
+    assert [r["ngram"] for r in rows][0] == "to be"   # 4 occurrences
+    assert rows[0]["n_occurrences"] == 4
+    # short/empty docs contribute no grams; ties break on ngram text
+    counts = {r["ngram"]: r["n_occurrences"] for r in rows}
+    assert all(c <= 4 for c in counts.values()) and len(rows) == 3
+    tri = top_ngrams(docs, n=3, k=10).collect()
+    assert {r["ngram"] for r in tri} >= {"to be or", "to be is"}

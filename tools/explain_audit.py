@@ -56,6 +56,23 @@ CHECKS = {
         "codegen": r"\*\(\d+\)",
         "max_exchanges": 0,  # pure projection
     },
+    "tfidf_terms": {
+        # idf (vocabulary-sized) joins back broadcast, never shuffling
+        # the tf side for it; tf/df aggs are map-side combinable
+        "broadcast": r"BroadcastHashJoin",
+        "partial_agg": r"partial_count",
+        # tf agg (AQE-reused by the df branch) + df agg + per-doc
+        # window + a ONE-ROW SinglePartition exchange for the corpus
+        # count — 3 data shuffles
+        "max_exchanges": 4,
+    },
+    "top_bigrams": {
+        # global top-k must be per-partition heaps + driver merge,
+        # never a full sort shuffle
+        "topk_no_global_sort": r"TakeOrderedAndProject",
+        "partial_agg": r"partial_count",
+        "max_exchanges": 1,  # the single gram-count groupBy
+    },
     "ann_cosine_topk": {
         "topk_no_global_sort": r"TakeOrderedAndProject",
     },
