@@ -156,3 +156,62 @@ def test_proxy_rotation_http_transport(spark, proxy, origin):
         assert row["status"] == 200
         body = json.loads(row["body"])
         assert body["via"] == "proxy" and body["target"] == url
+
+
+class DownloadHandler(BaseHTTPRequestHandler):
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):
+        if self.path == "/cd":
+            body = b"attached bytes"
+            self.send_response(200)
+            self.send_header("Content-Disposition", 'attachment; filename="report.bin"')
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path == "/miss":
+            self.send_response(404)
+            self.end_headers()
+        else:
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"payload:" + self.path.encode())
+
+
+@pytest.fixture
+def dl_origin():
+    srv = _serve(DownloadHandler)
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def test_download_to_file_and_dir(dl_origin, tmp_path):
+    logs = []
+    d = client.Downloader(log=logs.append, retries=None)
+    # explicit file destination
+    d.download(f"{dl_origin}/a.txt", str(tmp_path / "out.txt"))
+    # directory destination -> URL basename
+    d.download(f"{dl_origin}/img.bin", str(tmp_path) + "/")
+    # directory destination + Content-Disposition filename wins
+    d.download(f"{dl_origin}/cd", str(tmp_path) + "/")
+    paths = d.wait()
+    assert (tmp_path / "out.txt").read_bytes() == b"payload:/a.txt"
+    assert (tmp_path / "img.bin").read_bytes() == b"payload:/img.bin"
+    assert (tmp_path / "report.bin").read_bytes() == b"attached bytes"
+    assert sorted(p.rsplit("/", 1)[-1] for p in paths) == [
+        "img.bin", "out.txt", "report.bin"]
+    assert logs == []
+
+
+def test_download_never_overwrites_and_logs_errors(dl_origin, tmp_path):
+    logs = []
+    existing = tmp_path / "keep.txt"
+    existing.write_bytes(b"original")
+    d = client.Downloader(log=logs.append, retries=None)
+    d.download(f"{dl_origin}/keep.txt", str(existing))   # exists: skipped
+    d.download(f"{dl_origin}/miss", str(tmp_path / "gone.txt"))  # 404: logged
+    paths = d.wait()
+    assert existing.read_bytes() == b"original"          # js_lib.go:174-176
+    assert not (tmp_path / "gone.txt").exists()
+    assert paths[0] == str(existing) and paths[1] is None
+    assert len(logs) == 1 and "unexpected status code 404" in logs[0]
