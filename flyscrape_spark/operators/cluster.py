@@ -65,8 +65,11 @@ def connected_components(
     """(node, component) for every node appearing in ``pairs``, where
     component = the minimum node id of its connected component.
 
-    Convergence check per round: (count, sum(a), sum(b)) of the edge
-    set — three scalars to the driver; the edge data itself never
+    Convergence check per round: (count, sum(a), sum(b),
+    bit_xor(xxhash64(a,b))) of the edge set — four scalars to the
+    driver (the hash term makes a coincidental collision between
+    distinct edge sets practically impossible; xor is order-free and
+    cannot overflow under ANSI mode); the edge data itself never
     leaves the cluster. Each round's edge set is localCheckpoint-ed
     (an Iceberg temp table on a real cluster) to truncate the
     iterative lineage.
@@ -80,9 +83,10 @@ def connected_components(
 
     def signature(e: DataFrame) -> tuple:
         row = e.agg(
-            F.count("*").alias("n"), F.sum("a").alias("sa"), F.sum("b").alias("sb")
+            F.count("*").alias("n"), F.sum("a").alias("sa"), F.sum("b").alias("sb"),
+            F.bit_xor(F.xxhash64("a", "b")).alias("sh"),
         ).collect()[0]
-        return (row["n"], row["sa"], row["sb"])
+        return (row["n"], row["sa"], row["sb"], row["sh"])
 
     sig = signature(edges)
     for _ in range(max_rounds):
