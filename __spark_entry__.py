@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": Q.q_lang_id,
         "tfidf_terms": Q.q_tfidf_terms,
         "top_bigrams": Q.q_top_bigrams,
+        "source_mix": Q.q_source_mix,
+        "token_budget_sample": Q.q_token_budget_sample,
         # similarity search
         "ann_cosine_topk": Q.q_ann_cosine_topk,
         "srp_ann_topk": Q.q_srp_ann_topk,
@@ -98,6 +100,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": Q.sql_lang_id(),
         "tfidf_terms": Q.sql_tfidf_terms(),
         "top_bigrams": Q.sql_top_bigrams(),
+        "source_mix": Q.sql_source_mix(),
+        "token_budget_sample": Q.sql_token_budget_sample(),
         "ann_cosine_topk": Q.sql_ann_cosine_topk(),
         "srp_ann_topk": Q.sql_srp_ann_topk(),
         "ivf_ann_topk": Q.sql_ivf_ann_topk(),

@@ -1,0 +1,117 @@
+"""Corpus mixing operators: per-source mixture statistics and
+deterministic token-budget sampling — the "data mixing" stage of a
+training pipeline (decide how much of each source enters the run,
+then take a reproducible prefix of each source up to its budget).
+
+Scale shapes:
+- ``source_mix_stats`` is one map-side-combinable groupBy plus a
+  one-row total joined back broadcast — the same 2-shuffle scalar
+  pattern as tfidf's corpus count.
+- ``token_budget_sample`` needs a per-source running token total in a
+  fixed document order. A ``Window.partitionBy(source)`` would put
+  each source's ENTIRE corpus slice in one task — with tens of
+  sources over 100 TB that is the canonical skew death. Instead it
+  reuses the engine's two-phase enumeration trick
+  (plans/frontier.py assign_global_order): range-repartition on
+  (source, doc_id) so one source spans many ordered partitions,
+  aggregate per-(partition, source) token sums (a tiny
+  partitions x sources collect), compute each partition's per-source
+  prefix offset driver-side, and add offset + within-partition
+  cumulative sum in a single Arrow pass. Parallelism stays at the
+  partition count regardless of source skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from flyscrape_spark.operators.text import token_count
+
+
+def source_mix_stats(documents: DataFrame) -> DataFrame:
+    """Per-source corpus composition: doc count, token total, mean
+    doc length, and share of all corpus tokens — the table a mixture
+    policy (uniform / proportional / capped) is computed from."""
+    per = documents.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count()).alias("total_tokens"),
+        F.round(F.avg(token_count().cast("double")), 4).alias("mean_tokens"),
+    )
+    total = per.agg(F.sum("total_tokens").alias("corpus_tokens"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "mean_tokens",
+        F.round(
+            F.col("total_tokens").cast("double")
+            / F.col("corpus_tokens").cast("double"),
+            6,
+        ).alias("token_share"),
+    )
+
+
+def token_budget_sample(
+    documents: DataFrame,
+    budget: int,
+    by: str = "source",
+    order: str = "doc_id",
+    parts: int | None = None,
+) -> DataFrame:
+    """The doc-ordered prefix of each source whose cumulative token
+    count stays within ``budget`` (a doc is kept iff the running total
+    INCLUDING it is <= budget). Deterministic: same input -> same
+    sample, independent of partitioning.
+
+    Returns (doc_id, source, n_tokens, cum_tokens) for kept docs.
+    """
+    spark = documents.sparkSession
+    if parts is None:
+        parts = spark.sparkContext.defaultParallelism
+    base = documents.select(
+        F.col(order), F.col(by), token_count().alias("n_tokens")
+    )
+    ranged = (
+        base.repartitionByRange(parts, F.col(by), F.col(order))
+        .sortWithinPartitions(by, order)
+        .localCheckpoint(eager=True)  # pin: sums + cumsum see one layout
+    )
+    part_sums = (
+        ranged.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid", by)
+        .agg(F.sum("n_tokens").alias("toks"))
+        .collect()
+    )
+    # prefix offset per (pid, source): tokens of the SAME source in
+    # all earlier partitions. Range partitioning keeps a source's rows
+    # in pid order, so partition-id order is document order.
+    offsets: dict[tuple[int, str], int] = {}
+    acc: dict[str, int] = {}
+    for row in sorted(part_sums, key=lambda r: (r[by], r["pid"])):
+        offsets[(row["pid"], row[by])] = acc.get(row[by], 0)
+        acc[row[by]] = acc.get(row[by], 0) + row["toks"]
+    schema = StructType(
+        list(ranged.schema.fields) + [StructField("cum_tokens", LongType())]
+    )
+
+    def cumsum(iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        emitted: dict[str, int] = {}
+        for pdf in iterator:
+            within = pdf.groupby(by, sort=False)["n_tokens"].cumsum()
+            start = pdf[by].map(
+                lambda s: offsets.get((pid, s), 0) + emitted.get(s, 0)
+            )
+            pdf["cum_tokens"] = within + start
+            for s, t in pdf.groupby(by, sort=False)["n_tokens"].sum().items():
+                emitted[s] = emitted.get(s, 0) + int(t)
+            yield pdf
+
+    return (
+        ranged.mapInPandas(cumsum, schema=schema)
+        .filter(F.col("cum_tokens") <= budget)
+        .select(order, by, "n_tokens", "cum_tokens")
+    )

@@ -507,6 +507,58 @@ SELECT doc_id, lang AS lang_true, {_sql_lang_pred()} AS lang_pred FROM base
 """
 
 
+_N_TOKENS_SQL = (
+    "CAST(CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)"
+)
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flyscrape_spark.operators import mixing
+
+    return mixing.source_mix_stats(load(spark, sf_dir, "documents"))
+
+
+def sql_source_mix() -> str:
+    return f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(ntok) AS BIGINT) AS total_tokens,
+         round(avg(CAST(ntok AS DOUBLE)), 4) AS mean_tokens
+  FROM (SELECT source, {_N_TOKENS_SQL} AS ntok FROM documents) GROUP BY 1
+),
+tot AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS corpus_tokens FROM per)
+SELECT source, n_docs, total_tokens, mean_tokens,
+       round(CAST(total_tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE), 6)
+         AS token_share
+FROM per CROSS JOIN tot
+"""
+
+
+TOKEN_BUDGET = 600
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flyscrape_spark.operators import mixing
+
+    return mixing.token_budget_sample(
+        load(spark, sf_dir, "documents"), budget=TOKEN_BUDGET
+    )
+
+
+def sql_token_budget_sample(budget: int = TOKEN_BUDGET) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, source, {_N_TOKENS_SQL} AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+              AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= {budget}
+"""
+
+
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.tfidf_top_terms(load(spark, sf_dir, "documents"), k=5)
 

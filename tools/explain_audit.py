@@ -66,6 +66,23 @@ CHECKS = {
         # count — 3 data shuffles
         "max_exchanges": 4,
     },
+    "source_mix": {
+        # one-row corpus total joined back broadcast; per-source agg
+        # is map-side combinable
+        "broadcast": r"BroadcastNestedLoopJoin|BroadcastHashJoin",
+        "partial_agg": r"partial_",
+    },
+    "token_budget_sample": {
+        # per-source running totals must NOT use a per-source window
+        # (one task per source = skew death); the two-phase plan
+        # cumsums over the checkpoint-pinned range layout in an Arrow
+        # pass (the rangepartitioning itself runs in the pinning job,
+        # upstream of this plan's ExistingRDD scan)
+        "pinned_layout": r"Scan ExistingRDD",
+        "no_per_source_window": r"!Window \[",
+        "arrow_cumsum": r"MapInPandas",
+        "max_exchanges": 0,  # the final pass reuses the pinned layout
+    },
     "top_bigrams": {
         # global top-k must be per-partition heaps + driver merge,
         # never a full sort shuffle
