@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_bigrams": Q.q_top_bigrams,
         "source_mix": Q.q_source_mix,
         "token_budget_sample": Q.q_token_budget_sample,
+        "decontaminate": Q.q_decontaminate,
         # similarity search
         "ann_cosine_topk": Q.q_ann_cosine_topk,
         "srp_ann_topk": Q.q_srp_ann_topk,
@@ -102,6 +103,7 @@ def oracle_sql() -> dict[str, str]:
         "top_bigrams": Q.sql_top_bigrams(),
         "source_mix": Q.sql_source_mix(),
         "token_budget_sample": Q.sql_token_budget_sample(),
+        "decontaminate": Q.sql_decontaminate(),
         "ann_cosine_topk": Q.sql_ann_cosine_topk(),
         "srp_ann_topk": Q.sql_srp_ann_topk(),
         "ivf_ann_topk": Q.sql_ivf_ann_topk(),

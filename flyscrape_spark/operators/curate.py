@@ -31,7 +31,7 @@ from flyscrape_spark.operators import cluster as cluster_ops
 from flyscrape_spark.operators import dedup
 from flyscrape_spark.operators.dedup import normalized_text
 from flyscrape_spark.operators.text import (
-    dup_word_frac_expr, lang_pred_expr, token_count,
+    dup_word_frac_expr, lang_pred_expr, token_count, word_ngrams_expr,
 )
 
 
@@ -113,5 +113,45 @@ def curate(
         .select(
             "doc_id", "lang_pred", "n_tokens", "cluster_id",
             F.col("drop_reason").isNull().alias("kept"), "drop_reason",
+        )
+    )
+
+
+def flag_contaminated(
+    documents: DataFrame, benchmark: DataFrame, n: int = 13
+) -> DataFrame:
+    """Benchmark decontamination by word-n-gram overlap (the GPT-3
+    appendix-C / PaLM-style procedure, public methodology): flag every
+    corpus document sharing at least one n-gram with the benchmark
+    set. n=13 is the published standard; lower n = stricter.
+
+    Scale shape: the benchmark side is TINY relative to the corpus
+    (eval sets are thousands of docs vs 10^10), so its distinct
+    n-gram set broadcasts and the corpus side never shuffles raw
+    grams — one explode, one broadcast semi-join-shaped inner join,
+    one groupBy on doc_id for hit counts. The corpus n-gram explode
+    is the only data-volume term, and it's embarrassingly parallel.
+
+    Returns (doc_id, n_hits, contaminated) for EVERY corpus doc.
+    """
+    grams = word_ngrams_expr(n)
+    doc_grams = documents.select(
+        "doc_id", F.explode(grams).alias("ngram")
+    ).dropDuplicates(["doc_id", "ngram"])
+    bench_grams = (
+        benchmark.select(F.explode(grams).alias("ngram")).distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "ngram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        documents.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
         )
     )

@@ -185,6 +185,21 @@ def tfidf_top_terms(
     )
 
 
+def word_ngrams_expr(n: int, col: str = "text"):
+    """Array of word n-grams of the normalized text (empty when the
+    doc has fewer than n words) — per-row JVM array ops, no shuffle."""
+    toks = F.filter(F.split(normalized_text(col), " "), lambda t: t != "")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+            lambda i: F.concat_ws(
+                " ", *[F.get(toks, i + F.lit(j)) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def top_ngrams(documents: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
     """Corpus-level top-k word n-grams by occurrence count — the
     n-gram LM / contamination-screen statistic (e.g. checking a
@@ -197,18 +212,8 @@ def top_ngrams(documents: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
     rows, never a full sort shuffle). Ties at the k boundary are
     broken by ngram text, so the selected set is deterministic.
     """
-    toks = F.filter(F.split(normalized_text(), " "), lambda t: t != "")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
-            lambda i: F.concat_ws(
-                " ", *[F.get(toks, i + F.lit(j)) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return (
-        documents.select(F.explode(grams).alias("ngram"))
+        documents.select(F.explode(word_ngrams_expr(n)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), F.asc("ngram"))

@@ -559,6 +559,42 @@ SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= {budget}
 """
 
 
+DECON_N = 3  # tiny synthetic vocab: 3-grams give meaningful overlap
+DECON_BENCH_DOCS = 3
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flyscrape_spark.operators.curate import flag_contaminated
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < DECON_BENCH_DOCS)
+    return flag_contaminated(docs, bench, n=DECON_N)
+
+
+def sql_decontaminate(n: int = DECON_N, bench_docs: int = DECON_BENCH_DOCS) -> str:
+    gram = ", ".join(f"w[i + {j + 1}]" for j in range(n))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, greatest(len(w) - {n} + 1, 0)),
+                i -> concat_ws(' ', {gram}))) AS ngram
+  FROM toks WHERE len(w) >= {n}
+),
+dg AS (SELECT DISTINCT doc_id, ngram FROM g),
+bg AS (SELECT DISTINCT ngram FROM g WHERE doc_id < {bench_docs}),
+hits AS (
+  SELECT dg.doc_id, count(*) AS n_hits FROM dg JOIN bg USING (ngram) GROUP BY 1
+)
+SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.tfidf_top_terms(load(spark, sf_dir, "documents"), k=5)
 

@@ -62,3 +62,26 @@ def test_curate_empty_and_all_dupes(spark):
     assert kept == [0]
     reasons = sorted(r["drop_reason"] for r in out if not r["kept"])
     assert reasons == ["exact_duplicate"] * 3
+
+
+def test_flag_contaminated(spark):
+    from flyscrape_spark.operators.curate import flag_contaminated
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),      # benchmark doc
+            (2, "x alpha beta gamma y"),        # shares 3-gram "alpha beta gamma"
+            (3, "completely different words here"),
+            (4, "beta gamma alpha"),            # same words, different order: clean
+            (5, "ab"),                          # shorter than n: clean
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id = 1")
+    out = {r["doc_id"]: r for r in flag_contaminated(docs, bench, n=3).collect()}
+    assert len(out) == 5                        # every doc labeled
+    assert out[1]["contaminated"] and out[1]["n_hits"] == 2
+    assert out[2]["contaminated"] and out[2]["n_hits"] == 1
+    assert not out[3]["contaminated"] and out[3]["n_hits"] == 0
+    assert not out[4]["contaminated"]
+    assert not out[5]["contaminated"]

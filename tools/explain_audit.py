@@ -83,6 +83,13 @@ CHECKS = {
         "arrow_cumsum": r"MapInPandas",
         "max_exchanges": 0,  # the final pass reuses the pinned layout
     },
+    "decontaminate": {
+        # the benchmark n-gram set must broadcast: the corpus-side
+        # gram explode never shuffles raw grams for the overlap join
+        "broadcast": r"BroadcastHashJoin",
+        "no_cartesian": r"!CartesianProduct|BroadcastNestedLoopJoin",
+        "partial_agg": r"partial_",
+    },
     "top_bigrams": {
         # global top-k must be per-partition heaps + driver merge,
         # never a full sort shuffle
