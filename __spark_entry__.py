@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_counts": Q.q_host_counts,
         "cookie_match": Q.q_cookie_match,
         "robots_filter": Q.q_robots_filter,
+        "host_budget": Q.q_host_budget,
         "interleaved_spans": Q.q_interleaved_spans,
         "nested_scrape": Q.q_nested_scrape,
         "manual_follow": Q.q_manual_follow,
@@ -56,6 +57,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": Q.q_source_mix,
         "token_budget_sample": Q.q_token_budget_sample,
         "decontaminate": Q.q_decontaminate,
+        "pii_scrub": Q.q_pii_scrub,
+        "source_length_stats": Q.q_source_length_stats,
         # similarity search
         "ann_cosine_topk": Q.q_ann_cosine_topk,
         "srp_ann_topk": Q.q_srp_ann_topk,
@@ -81,6 +84,7 @@ def oracle_sql() -> dict[str, str]:
         "host_counts": Q.sql_host_counts(),
         "cookie_match": Q.sql_cookie_match(),
         "robots_filter": Q.sql_robots_filter(),
+        "host_budget": Q.sql_host_budget(),
         "interleaved_spans": Q.sql_interleaved_spans(),
         "nested_scrape": Q.sql_nested_scrape(),
         "manual_follow": Q.sql_manual_follow(),
@@ -104,6 +108,8 @@ def oracle_sql() -> dict[str, str]:
         "source_mix": Q.sql_source_mix(),
         "token_budget_sample": Q.sql_token_budget_sample(),
         "decontaminate": Q.sql_decontaminate(),
+        "pii_scrub": Q.sql_pii_scrub(),
+        "source_length_stats": Q.sql_source_length_stats(),
         "ann_cosine_topk": Q.sql_ann_cosine_topk(),
         "srp_ann_topk": Q.sql_srp_ann_topk(),
         "ivf_ann_topk": Q.sql_ivf_ann_topk(),

@@ -52,6 +52,36 @@ def source_mix_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def source_length_quantiles(documents: DataFrame) -> DataFrame:
+    """Per-source document-length distribution: exact interpolated
+    p25/p50/p75/p90 of the whitespace token count, plus min/max.
+
+    Length-distribution drift per source is the standard corpus-QA
+    dashboard stat (a source whose p90 collapses between crawls is
+    broken upstream). Uses Spark's exact ``percentile`` (continuous
+    interpolation, matching DuckDB ``quantile_cont``) so the oracle
+    comparison is bit-stable after rounding.
+
+    Scale shape: one groupBy shuffle; exact percentile buffers one
+    source's lengths per task — fine while sources number in the
+    tens/hundreds (each group's state is the length multiset, not the
+    documents). For thousands of skewed sources swap in
+    ``percentile_approx`` (t-digest, partial-combinable) and accept
+    approximation; the column contract stays identical.
+    """
+    n_tok = token_count().cast("double")
+    pcts = F.percentile(n_tok, F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.9)]))
+    return documents.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.min(n_tok).cast("bigint").alias("min_tokens"),
+        F.round(pcts[0], 4).alias("p25_tokens"),
+        F.round(pcts[1], 4).alias("p50_tokens"),
+        F.round(pcts[2], 4).alias("p75_tokens"),
+        F.round(pcts[3], 4).alias("p90_tokens"),
+        F.max(n_tok).cast("bigint").alias("max_tokens"),
+    )
+
+
 def token_budget_sample(
     documents: DataFrame,
     budget: int,

@@ -61,6 +61,40 @@ def host_fanout(
     )
 
 
+def host_budget(
+    frontier: DataFrame,
+    max_per_host: int,
+    order_cols: tuple[str, ...] = ("depth", "url"),
+) -> DataFrame:
+    """Per-host crawl budget: admit at most ``max_per_host`` URLs per
+    host, in deterministic priority order (the frontier's canonical
+    (depth, discovery-order) priority; ``url`` as a stable final
+    tie-break).
+
+    The reference has no per-domain page cap (its only frontier bound
+    is the global queue cap, /root/reference/scrape.go:82,283-286);
+    this is the standard large-crawl "max pages per domain" admission
+    rule, a first-class frontier-scheduler feature at 10^10-URL scale
+    where a handful of infinite-calendar hosts would otherwise eat
+    the whole fetch budget.
+
+    Scale shape: ONE shuffle on host. The row_number window does put
+    each host in one task — but the budget itself caps the damage: a
+    task only needs the TOP max_per_host rows per host, and Spark's
+    rank-limit pushdown (WindowGroupLimit, Spark 3.5+) prunes beyond
+    the limit before the sort where possible. The per-host admitted
+    output is bounded at max_per_host rows by construction, so the
+    downstream generation has a hard skew ceiling.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("host").orderBy(*[F.col(c) for c in order_cols])
+    return (
+        frontier.withColumn("host_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("host_rank") <= max_per_host)
+    )
+
+
 def with_shards(frontier: DataFrame, fanout: DataFrame) -> DataFrame:
     """Attach (fanout, shard) — shard = xxhash64(url) % fanout.
     The fanout table is one row per distinct host: broadcast it."""

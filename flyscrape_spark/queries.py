@@ -1456,3 +1456,112 @@ def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     query_vec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
     return ann.srp_topk(emb, list(query_vec), k=10, num_planes=8)
+
+
+# --------------------------------------------- round-2 additions (2)
+
+HOST_BUDGET = 10
+
+
+def q_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl-budget admission over the synthetic frontier:
+    at most HOST_BUDGET URLs per host in (depth, url) priority order
+    (depth simulated as doc_id % 4 — four interleaved generations)."""
+    from flyscrape_spark.operators.politeness import host_budget
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    frontier = docs.select(
+        _doc_url(i).alias("url"),
+        host_of(_doc_url(i)).alias("host"),
+        (i % 4).cast("int").alias("depth"),
+    )
+    return host_budget(frontier, HOST_BUDGET, order_cols=("depth", "url"))
+
+
+def sql_host_budget(budget: int = HOST_BUDGET) -> str:
+    return f"""
+WITH f AS (
+  SELECT {_doc_url_sql('doc_id')} AS url,
+         'h' || (doc_id % {GRAPH_HOSTS}) || '.example' AS host,
+         CAST(doc_id % 4 AS INT) AS depth
+  FROM documents
+)
+SELECT url, host, depth,
+       CAST(row_number() OVER (PARTITION BY host ORDER BY depth, url) AS INT)
+         AS host_rank
+FROM f QUALIFY host_rank <= {budget}
+"""
+
+
+def _pii_text(i: F.Column) -> F.Column:
+    """Deterministic PII-bearing text derived from doc_id: the
+    documents corpus itself is PII-free word soup, so the scrub query
+    plants one email, one IPv4 and one phone per doc (same expression
+    on both engines) to make redaction observable."""
+    s = lambda c: c.cast("string")  # noqa: E731
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), s(i), F.lit("@mail"), s(i % 7),
+        F.lit(".example.com ip "),
+        s(i % 90 + 10), F.lit("."), s(i % 256), F.lit(".0."), s(i % 254 + 1),
+        F.lit(" tel +1 ("), s(i % 700 + 200), F.lit(") 555-"),
+        s(i % 9000 + 1000),
+    )
+
+
+_PII_TEXT_SQL = (
+    "text || ' contact user' || doc_id || '@mail' || (doc_id % 7)"
+    " || '.example.com ip ' || (doc_id % 90 + 10) || '.' || (doc_id % 256)"
+    " || '.0.' || (doc_id % 254 + 1) || ' tel +1 (' || (doc_id % 700 + 200)"
+    " || ') 555-' || (doc_id % 9000 + 1000)"
+)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flyscrape_spark.operators.pii import pii_scrub
+
+    docs = load(spark, sf_dir, "documents")
+    return pii_scrub(docs.withColumn("text", _pii_text(F.col("doc_id"))))
+
+
+def sql_pii_scrub() -> str:
+    from flyscrape_spark.operators.pii import (
+        EMAIL_RE, EMAIL_TOKEN, IP_TOKEN, IPV4_RE, PHONE_RE, PHONE_TOKEN,
+    )
+
+    return f"""
+WITH d AS (SELECT doc_id, {_PII_TEXT_SQL} AS text FROM documents),
+s1 AS (SELECT doc_id, text,
+              regexp_replace(text, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g') AS no_email
+       FROM d),
+s2 AS (SELECT doc_id, text, no_email,
+              regexp_replace(no_email, '{IPV4_RE}', '{IP_TOKEN}', 'g') AS no_ip
+       FROM s1)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(no_email, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(no_ip, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+  regexp_replace(no_ip, '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS redacted
+FROM s2
+"""
+
+
+def q_source_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flyscrape_spark.operators import mixing
+
+    return mixing.source_length_quantiles(load(spark, sf_dir, "documents"))
+
+
+def sql_source_length_stats() -> str:
+    return f"""
+WITH t AS (SELECT source, CAST({_N_TOKENS_SQL} AS DOUBLE) AS n FROM documents)
+SELECT source, count(*) AS n_docs,
+  CAST(min(n) AS BIGINT) AS min_tokens,
+  round(quantile_cont(n, 0.25), 4) AS p25_tokens,
+  round(quantile_cont(n, 0.50), 4) AS p50_tokens,
+  round(quantile_cont(n, 0.75), 4) AS p75_tokens,
+  round(quantile_cont(n, 0.90), 4) AS p90_tokens,
+  CAST(max(n) AS BIGINT) AS max_tokens
+FROM t GROUP BY 1
+"""
