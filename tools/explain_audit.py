@@ -177,6 +177,26 @@ CHECKS = {
         "arrow_vectorized": r"ArrowEvalPython",
         "max_exchanges": 0,
     },
+    "pii_scrub": {
+        # scrub is a pure codegen projection: zero shuffles, zero
+        # Python, pruned to (doc_id, text)
+        "codegen": r"\*\(\d+\)",
+        "pruned_schema": ("ReadSchema", lambda s: "lang" not in s),
+        "max_exchanges": 0,
+    },
+    "host_budget": {
+        # the budget rank-limit must push down MAP-SIDE (partial
+        # WindowGroupLimit before the exchange), so each host ships
+        # at most budget rows per input partition into the shuffle
+        "partial_group_limit": r"(?s)WindowGroupLimit.*Exchange",
+        "max_exchanges": 1,
+    },
+    "source_length_stats": {
+        # exact percentile still combines map-side (partial_percentile
+        # buffers) — one shuffle carrying per-source digests, not rows
+        "partial_agg": r"partial_percentile",
+        "max_exchanges": 1,
+    },
 }
 
 
