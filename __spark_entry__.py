@@ -59,6 +59,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": Q.q_decontaminate,
         "pii_scrub": Q.q_pii_scrub,
         "source_length_stats": Q.q_source_length_stats,
+        # web-graph / frontier prioritization
+        "link_degrees": Q.q_link_degrees,
+        "pagerank": Q.q_pagerank,
         # similarity search
         "ann_cosine_topk": Q.q_ann_cosine_topk,
         "srp_ann_topk": Q.q_srp_ann_topk,
@@ -110,6 +113,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": Q.sql_decontaminate(),
         "pii_scrub": Q.sql_pii_scrub(),
         "source_length_stats": Q.sql_source_length_stats(),
+        "link_degrees": Q.sql_link_degrees(),
+        "pagerank": Q.sql_pagerank(),
         "ann_cosine_topk": Q.sql_ann_cosine_topk(),
         "srp_ann_topk": Q.sql_srp_ann_topk(),
         "ivf_ann_topk": Q.sql_ivf_ann_topk(),

@@ -1,0 +1,95 @@
+"""Web-graph analytics over the crawl's link structure: degree
+statistics and fixed-iteration PageRank — the standard frontier
+prioritization signals (a large crawl orders its fetch queue by an
+importance estimate; PageRank-family scores are the public canonical
+choice, Page et al. 1999 / the OPIC line of work).
+
+The reference has no graph stage (flyscrape's frontier is plain FIFO,
+/root/reference/scrape.go:82-131); this module is engine-added for
+the 10^10-URL design point, where per-host or per-page importance
+decides which fraction of an effectively infinite frontier gets the
+politeness-limited fetch budget.
+
+Scale shapes:
+- ``degrees``: two map-side-combinable groupBys + one full-outer
+  equi-join on the node id — linear shuffles.
+- ``pagerank``: the classic iterative join-agg loop. Per iteration:
+  contributions = edges ⋈ ranks on src (shuffle on src), summed per
+  dst (shuffle on dst), damped back onto the node list (shuffle on
+  node — Catalyst folds this into the dst agg's partitioning when the
+  keys align). Iteration count is FIXED (a hyperparameter, not a
+  convergence loop), which keeps the whole computation expressible as
+  a static DAG: no driver-side convergence collect, and the DuckDB
+  oracle is the same loop unrolled in SQL.
+  At cluster scale: persist the edge list partitioned by src once
+  (it is reused every iteration) and localCheckpoint the rank vector
+  every few iterations to truncate lineage — the rank DataFrame's
+  plan doubles per iteration otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node (node, out_degree, in_degree) from an edge list.
+    Nodes appearing only as source or only as target get 0 for the
+    missing side."""
+    out_d = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count("*").alias("out_degree")
+    )
+    in_d = edges.groupBy(F.col(dst).alias("node")).agg(
+        F.count("*").alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    node_col: str = "node",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Fixed-iteration PageRank: returns (node, pr) after
+    ``iterations`` synchronous updates from the uniform start 1/N.
+
+    pr'(v) = (1-d)/N + d * Σ_{u→v} pr(u)/out_degree(u); dangling
+    nodes (out_degree 0) leak mass like the classic formulation —
+    acceptable for a priority signal, and exactly mirrored by the
+    SQL oracle.
+    """
+    n = nodes.count()
+    out_d = edges.groupBy(F.col("src").alias(node_col)).agg(
+        F.count("*").alias("out_degree")
+    )
+    # (src, dst, out_degree): resolved once, reused every iteration
+    e = (
+        edges.join(out_d.withColumnRenamed(node_col, "src"), "src")
+        .persist()
+    )
+    e.count()
+    ranks = nodes.select(F.col(node_col), F.lit(1.0 / n).alias("pr"))
+    base = F.lit((1.0 - damping) / n)
+    for it in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed(node_col, "src"), "src")
+            .groupBy(F.col("dst").alias(node_col))
+            .agg(F.sum(F.col("pr") / F.col("out_degree")).alias("mass"))
+        )
+        ranks = nodes.select(node_col).join(contrib, node_col, "left").select(
+            node_col,
+            (base + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias("pr"),
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

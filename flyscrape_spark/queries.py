@@ -1565,3 +1565,93 @@ SELECT source, count(*) AS n_docs,
   CAST(max(n) AS BIGINT) AS max_tokens
 FROM t GROUP BY 1
 """
+
+
+def _graph_edges(spark: SparkSession, sf_dir: str):
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    i = F.col("doc_id")
+    edges = docs.select(i.alias("src"), ((2 * i + 1) % n).alias("dst")).unionAll(
+        docs.select(i.alias("src"), ((3 * i + 2) % n).alias("dst"))
+    )
+    return docs, edges
+
+
+_GRAPH_EDGES_SQL = """
+n AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS src, (2 * doc_id + 1) % n.n AS dst FROM documents, n
+  UNION ALL
+  SELECT doc_id, (3 * doc_id + 2) % n.n FROM documents, n
+)"""
+
+
+def q_link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In/out-degree per doc over the synthetic link graph — the
+    cheapest frontier-prioritization signal (in-degree ~ authority)."""
+    from flyscrape_spark.operators.graph import degrees
+
+    docs, edges = _graph_edges(spark, sf_dir)
+    return degrees(edges)
+
+
+def sql_link_degrees() -> str:
+    return f"""
+WITH {_GRAPH_EDGES_SQL},
+o AS (SELECT src AS node, count(*) AS out_degree FROM e GROUP BY 1),
+i AS (SELECT dst AS node, count(*) AS in_degree FROM e GROUP BY 1)
+SELECT coalesce(o.node, i.node) AS node,
+       CAST(coalesce(out_degree, 0) AS BIGINT) AS out_degree,
+       CAST(coalesce(in_degree, 0) AS BIGINT) AS in_degree
+FROM o FULL OUTER JOIN i ON o.node = i.node
+"""
+
+
+PAGERANK_ITERS = 3
+PAGERANK_DAMPING = 0.85
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the synthetic link graph (the
+    crawl-priority score). Rounded to 8dp: plenty for a priority
+    signal, and wide enough above double ulp that the cross-engine
+    sum-order difference can't surface."""
+    from flyscrape_spark.operators.graph import pagerank
+
+    docs, edges = _graph_edges(spark, sf_dir)
+    ranks = pagerank(
+        docs.select(F.col("doc_id").alias("node")), edges,
+        iterations=PAGERANK_ITERS, damping=PAGERANK_DAMPING,
+    )
+    return ranks.select("node", F.round("pr", 8).alias("pr"))
+
+
+def sql_pagerank(iterations: int = PAGERANK_ITERS,
+                 damping: float = PAGERANK_DAMPING) -> str:
+    # all literals forced to DOUBLE: DuckDB otherwise does DECIMAL
+    # arithmetic on 0.85/1.0, which diverges from Spark's doubles
+    d = f"CAST({damping} AS DOUBLE)"
+    base = f"(CAST(1.0 AS DOUBLE) - {d}) / nd.nd"
+    ctes = [
+        "nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents)",
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS out_degree FROM e GROUP BY 1)",
+        "p0 AS (SELECT doc_id AS node, CAST(1.0 AS DOUBLE) / nd.nd AS pr"
+        " FROM documents, nd)",
+    ]
+    for it in range(iterations):
+        ctes.append(
+            f"c{it + 1} AS (SELECT e.dst AS node,"
+            f" sum(p{it}.pr / deg.out_degree) AS mass"
+            f" FROM e JOIN p{it} ON e.src = p{it}.node"
+            f" JOIN deg ON deg.src = e.src GROUP BY 1)"
+        )
+        ctes.append(
+            f"p{it + 1} AS (SELECT doc_id AS node,"
+            f" {base} + {d} * coalesce(mass, CAST(0 AS DOUBLE)) AS pr"
+            f" FROM documents CROSS JOIN nd"
+            f" LEFT JOIN c{it + 1} ON c{it + 1}.node = doc_id)"
+        )
+    return (
+        f"WITH {_GRAPH_EDGES_SQL},\n" + ",\n".join(ctes)
+        + f"\nSELECT node, round(pr, 8) AS pr FROM p{iterations}"
+    )

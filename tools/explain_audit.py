@@ -191,6 +191,16 @@ CHECKS = {
         "partial_group_limit": r"(?s)WindowGroupLimit.*Exchange",
         "max_exchanges": 1,
     },
+    "link_degrees": {
+        "partial_agg": r"partial_count",
+        "no_cartesian": r"!CartesianProduct",
+    },
+    "pagerank": {
+        # every iteration: edges ⋈ ranks then partial-combined
+        # contribution sum — equi-joins and map-side combine only
+        "partial_agg": r"partial_sum",
+        "no_cartesian": r"!CartesianProduct",
+    },
     "source_length_stats": {
         # exact percentile still combines map-side (partial_percentile
         # buffers) — one shuffle carrying per-source digests, not rows
