@@ -62,6 +62,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # web-graph / frontier prioritization
         "link_degrees": Q.q_link_degrees,
         "pagerank": Q.q_pagerank,
+        "frontier_prioritize": Q.q_frontier_prioritize,
+        "segment_dedup": Q.q_segment_dedup,
+        "recrawl_delta": Q.q_recrawl_delta,
         # similarity search
         "ann_cosine_topk": Q.q_ann_cosine_topk,
         "srp_ann_topk": Q.q_srp_ann_topk,
@@ -115,6 +118,9 @@ def oracle_sql() -> dict[str, str]:
         "source_length_stats": Q.sql_source_length_stats(),
         "link_degrees": Q.sql_link_degrees(),
         "pagerank": Q.sql_pagerank(),
+        "frontier_prioritize": Q.sql_frontier_prioritize(),
+        "segment_dedup": Q.sql_segment_dedup(),
+        "recrawl_delta": Q.sql_recrawl_delta(),
         "ann_cosine_topk": Q.sql_ann_cosine_topk(),
         "srp_ann_topk": Q.sql_srp_ann_topk(),
         "ivf_ann_topk": Q.sql_ivf_ann_topk(),

@@ -55,6 +55,14 @@ class CrawlConfig:
     # fetch time (they still enter the seen set, like any
     # validator-dropped URL, scrape.go:276-285 semantics).
     respect_robots: bool = False
+    # best-first admission: cap on URLs FETCHED per generation, chosen
+    # by priority score (CrawlEngine's ``priority_scores`` table, e.g.
+    # PageRank/in-degree from the previous crawl's link graph —
+    # operators/graph.py). None = reference behavior (fetch everything
+    # enqueued). Truncation happens at fetch time, so skipped URLs are
+    # still marked seen — identical to every other validator
+    # (scrape.go:276-285 enqueue-marks-seen semantics).
+    generation_budget: int | None = None
     # fixed User-Agent for every request. None (default) = rotate a
     # browser UA deterministically per URL (the reference's behavior
     # when no User-Agent header is configured, headers.go:28-40 via

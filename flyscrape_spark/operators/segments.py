@@ -1,0 +1,111 @@
+"""Sub-document (segment-level) deduplication: remove fixed-width
+word windows that repeat across many documents — the CCNet /
+RefinedWeb "line dedup" stage that strips boilerplate (navigation
+chrome, cookie banners, footers) which document-level dedup cannot
+touch because the surrounding page differs.
+
+The reference has no corpus post-processing at all (flyscrape stops
+at per-page extraction, /root/reference/scrape.go:210-268); this is
+engine-added for the training-data mission, alongside the document
+level suite in operators/dedup.py.
+
+Segmentation is a deterministic non-overlapping window of ``width``
+whitespace tokens (real pipelines split on newlines; the synthetic
+corpus is single-line, and a fixed window is the same operator with
+a different segmenter — the segmenter is an argument of the design,
+not of the shuffle shape).
+
+Scale shape (all linear, no self-join):
+- explode segments: narrow, no shuffle;
+- boilerplate detection: distinct-doc count per segment via a
+  two-level groupBy ((seg, doc) then seg) — both map-side
+  combinable, never count(DISTINCT) over a skewed key;
+- flagging: segments ⋈ boilerplate keys on the segment hash — the
+  boilerplate side is small by construction (freq ≥ min_docs), so
+  AQE picks a broadcast join at runtime (not forced: a pathological
+  corpus where everything repeats must not OOM the driver);
+- reassembly: one groupBy(doc_id) sort-within-group concat.
+At 10^10 docs: the only large shuffles are the seg-hash count and
+the doc_id reassembly, both partial-aggregated map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from flyscrape_spark.functions.hashing import portable_hash64
+
+
+def segment_table(
+    documents: DataFrame, width: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Explode each document into (doc_id, seg_idx, seg_text,
+    seg_key) rows of non-overlapping ``width``-token windows. The
+    final window may be shorter (slice clamps)."""
+    toks = F.split(F.col(text_col), " ")
+    seg_ids = F.sequence(
+        F.lit(0), F.ceil(F.size(toks) / F.lit(float(width))).cast("int") - 1
+    )
+    segs = F.transform(
+        seg_ids,
+        lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
+    )
+    return documents.select("doc_id", F.posexplode(segs).alias("seg_idx", "seg_text")).select(
+        "doc_id", "seg_idx", "seg_text", portable_hash64("seg_text").alias("seg_key")
+    )
+
+
+def boilerplate_segments(
+    segments: DataFrame, min_docs: int = 5
+) -> DataFrame:
+    """Segment keys that occur in ≥ ``min_docs`` distinct documents.
+
+    Two-level aggregation instead of count(DISTINCT doc_id): the
+    inner (seg_key, doc_id) groupBy combines map-side, so a segment
+    occurring millions of times ships one row per (segment,
+    partition), not one per occurrence.
+    """
+    return (
+        segments.groupBy("seg_key", "doc_id")
+        .agg(F.count("*").alias("_n"))
+        .groupBy("seg_key")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def dedup_segments(
+    documents: DataFrame,
+    width: int = 3,
+    min_docs: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Strip boilerplate segments from every document.
+
+    Returns (doc_id, n_segs, n_removed, clean_text) with clean_text
+    the surviving segments re-joined in original order (may be empty
+    if the whole document was boilerplate).
+    """
+    segs = segment_table(documents, width=width, text_col=text_col)
+    boiler = boilerplate_segments(segs, min_docs=min_docs).select("seg_key")
+    flagged = segs.join(boiler.withColumn("_is_boiler", F.lit(1)),
+                        "seg_key", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segs"),
+            F.count("_is_boiler").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_is_boiler").isNull(),
+                                   F.struct("seg_idx", "seg_text"))
+                        )
+                    ),
+                    lambda s: s["seg_text"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )

@@ -55,6 +55,7 @@ from flyscrape_spark.functions.urls import canonicalize, host_of
 from flyscrape_spark.operators.robots import allowed_filter, robots_table
 from flyscrape_spark.parse.udfs import make_page_udf
 from flyscrape_spark.plans.filters import validators
+from flyscrape_spark.plans.priority import prioritize_frontier
 from flyscrape_spark.sources.transport import Transport
 from urllib.parse import urlparse
 
@@ -152,6 +153,8 @@ class CrawlEngine:
         seen_store=None,  # optional BucketedSeenStore (shuffle-free anti-join)
         seen_bloom=None,  # optional BroadcastBloom (candidate-side prefilter)
         collect_metrics: bool = True,
+        priority_scores=None,  # optional (url_key, score) DataFrame for
+        # best-first admission under config.generation_budget
     ):
         self.spark = spark
         self.config = config
@@ -165,6 +168,7 @@ class CrawlEngine:
         self.small_generation_rows = small_generation_rows
         self.seen_store = seen_store
         self.seen_bloom = seen_bloom
+        self.priority_scores = priority_scores
         # checkpointed crawls always record full lineage metrics
         # (manifests carry them, north_rule); plain crawls may skip
         # the extra per-generation count job
@@ -406,6 +410,23 @@ class CrawlEngine:
             else:
                 fetchable = enqueued
             fetchable = fetchable.filter(valid)
+
+            # 6a. best-first admission (engine-only, north_rule): when
+            # the frontier outgrows the fetch budget, spend it on the
+            # highest-priority URLs (scores from a prior crawl's link
+            # graph, operators/graph.py). BEFORE robots/host work so
+            # skipped URLs cost nothing; they are already in the seen
+            # set (step 5), matching validator-dropped semantics.
+            if config.generation_budget is not None:
+                scores = self.priority_scores
+                if scores is None:
+                    scores = spark.createDataFrame(
+                        [], "url_key long, score double"
+                    )
+                fetchable = prioritize_frontier(
+                    fetchable, scores, config.generation_budget
+                ).drop("admit_rank")
+
             fetchable = fetchable.withColumn("host", host_of("url"))
 
             # 6b. robots.txt (RFC 9309, engine-only — north_rule): one

@@ -1655,3 +1655,135 @@ def sql_pagerank(iterations: int = PAGERANK_ITERS,
         f"WITH {_GRAPH_EDGES_SQL},\n" + ",\n".join(ctes)
         + f"\nSELECT node, round(pr, 8) AS pr FROM p{iterations}"
     )
+
+
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate removal: strip 3-token
+    segments that occur in >= 5 distinct documents, keep the rest in
+    original order."""
+    from flyscrape_spark.operators.segments import dedup_segments
+
+    docs = load(spark, sf_dir, "documents")
+    return dedup_segments(docs, width=3, min_docs=5).select(
+        "doc_id", "n_segs", "n_removed", "clean_text"
+    )
+
+
+def sql_segment_dedup(width: int = 3, min_docs: int = 5) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(t[(i*{width}+1):(i*{width}+{width})], ' ') AS seg_text
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(
+      0, CAST(ceil(len(t) / {width}.0) AS INT) - 1)) AS i) g
+),
+boiler AS (
+  SELECT seg_text FROM segs GROUP BY 1
+  HAVING count(DISTINCT doc_id) >= {min_docs}
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(count(b.seg_text) AS BIGINT) AS n_removed,
+       coalesce(string_agg(CASE WHEN b.seg_text IS NULL THEN s.seg_text END,
+                           ' ' ORDER BY s.seg_idx), '') AS clean_text
+FROM segs s LEFT JOIN boiler b USING (seg_text)
+GROUP BY 1
+"""
+
+
+def _recrawl_snapshots(spark: SparkSession, sf_dir: str):
+    """Deterministic snapshot pair from the documents table: docs
+    0-6 (mod 10) unchanged, 7-8 changed, 9 new in the current crawl;
+    plus one synthetic gone page per doc_id % 10 == 0 (id shifted
+    past the current range)."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    m = F.col("doc_id") % 10
+    cur = docs.select("doc_id", portable_hash64("text").alias("content_hash"))
+    prev = (
+        docs.filter(m <= 8)
+        .select(
+            "doc_id",
+            F.when(m <= 6, portable_hash64("text"))
+            .otherwise(portable_hash64(F.concat(F.col("text"), F.lit("#v0"))))
+            .alias("content_hash"),
+        )
+        .unionAll(
+            docs.filter(m == 0).select(
+                (F.col("doc_id") + n).alias("doc_id"),
+                portable_hash64("text").alias("content_hash"),
+            )
+        )
+    )
+    return cur, prev
+
+
+def q_recrawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl scheduling table: diff the current snapshot
+    against the previous one and label every page."""
+    from flyscrape_spark.operators.recrawl import snapshot_delta
+
+    cur, prev = _recrawl_snapshots(spark, sf_dir)
+    return snapshot_delta(cur, prev)
+
+
+def sql_recrawl_delta() -> str:
+    h = portable_hash64_sql("text")
+    hv = portable_hash64_sql("text || '#v0'")
+    return f"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+cur AS (SELECT doc_id, {h} AS h FROM documents),
+prev AS (
+  SELECT doc_id, CASE WHEN doc_id % 10 <= 6 THEN {h} ELSE {hv} END AS h
+  FROM documents WHERE doc_id % 10 <= 8
+  UNION ALL
+  SELECT doc_id + n.n, {h} FROM documents, n WHERE doc_id % 10 = 0
+)
+SELECT coalesce(cur.doc_id, prev.doc_id) AS doc_id,
+       CASE WHEN prev.h IS NULL THEN 'new'
+            WHEN cur.h IS NULL THEN 'gone'
+            WHEN cur.h = prev.h THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       (prev.h IS NULL OR (cur.h IS NOT NULL AND cur.h <> prev.h)) AS refetch
+FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id
+"""
+
+
+PRIORITY_BUDGET = 25
+
+
+def q_frontier_prioritize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-first admission: top-25 frontier URLs per depth by link
+    in-degree (the graph.py signal), FIFO tiebreak."""
+    from flyscrape_spark.plans.priority import prioritize_frontier
+
+    docs, edges = _graph_edges(spark, sf_dir)
+    frontier = docs.select(
+        F.col("doc_id").alias("url_key"),
+        (F.col("doc_id") % 4).cast("int").alias("depth"),
+        F.col("doc_id").alias("discovery_order"),
+    )
+    scores = edges.groupBy(F.col("dst").alias("url_key")).agg(
+        F.count("*").cast("double").alias("score")
+    )
+    return prioritize_frontier(frontier, scores, budget=PRIORITY_BUDGET)
+
+
+def sql_frontier_prioritize(budget: int = PRIORITY_BUDGET) -> str:
+    return f"""
+WITH {_GRAPH_EDGES_SQL},
+sc AS (SELECT dst AS url_key, CAST(count(*) AS DOUBLE) AS score FROM e GROUP BY 1),
+fr AS (SELECT doc_id AS url_key, CAST(doc_id % 4 AS INT) AS depth,
+              doc_id AS discovery_order FROM documents),
+r AS (
+  SELECT fr.*, CAST(row_number() OVER (
+           PARTITION BY depth
+           ORDER BY coalesce(sc.score, 0.0) DESC, discovery_order) AS INT)
+         AS admit_rank
+  FROM fr LEFT JOIN sc USING (url_key)
+)
+SELECT url_key, depth, discovery_order, admit_rank
+FROM r WHERE admit_rank <= {budget}
+"""

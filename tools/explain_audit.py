@@ -201,6 +201,24 @@ CHECKS = {
         "partial_agg": r"partial_sum",
         "no_cartesian": r"!CartesianProduct",
     },
+    "frontier_prioritize": {
+        # rank-limit pushdown truncates map partitions to the budget
+        # BEFORE the depth shuffle (depth cardinality is tiny)
+        "partial_group_limit": r"(?s)WindowGroupLimit.*Exchange",
+        "no_cartesian": r"!CartesianProduct",
+    },
+    "segment_dedup": {
+        # two-level distinct-doc count + reassembly, all map-side
+        # combined; boilerplate side joined without a cartesian
+        "partial_agg": r"partial_count",
+        "no_cartesian": r"!CartesianProduct",
+        "max_exchanges": 4,
+    },
+    "recrawl_delta": {
+        # one full-outer equi-join: a shuffle per snapshot side
+        "no_cartesian": r"!CartesianProduct",
+        "max_exchanges": 2,
+    },
     "source_length_stats": {
         # exact percentile still combines map-side (partial_percentile
         # buffers) — one shuffle carrying per-source digests, not rows
