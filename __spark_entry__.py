@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_degrees": Q.q_link_degrees,
         "pagerank": Q.q_pagerank,
         "frontier_prioritize": Q.q_frontier_prioritize,
+        "anchor_texts": Q.q_anchor_texts,
         "segment_dedup": Q.q_segment_dedup,
         "recrawl_delta": Q.q_recrawl_delta,
         # similarity search
@@ -119,6 +120,7 @@ def oracle_sql() -> dict[str, str]:
         "link_degrees": Q.sql_link_degrees(),
         "pagerank": Q.sql_pagerank(),
         "frontier_prioritize": Q.sql_frontier_prioritize(),
+        "anchor_texts": Q.sql_anchor_texts(),
         "segment_dedup": Q.sql_segment_dedup(),
         "recrawl_delta": Q.sql_recrawl_delta(),
         "ann_cosine_topk": Q.sql_ann_cosine_topk(),

@@ -1787,3 +1787,36 @@ r AS (
 SELECT url_key, depth, discovery_order, admit_rank
 FROM r WHERE admit_rank <= {budget}
 """
+
+
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation over the synthetic web: pages -> REAL
+    parse UDF -> link spans -> per-target (in-link count, distinct
+    source hosts, sorted anchor set). The oracle reconstructs the
+    deterministic link arithmetic in SQL."""
+    from flyscrape_spark.operators.anchors import anchor_stats
+    from flyscrape_spark.parse.udfs import parse_spans_udf
+
+    pages = synthetic_pages(spark, sf_dir)
+    parsed = pages.select("url", parse_spans_udf("html").alias("spans"))
+    return anchor_stats(parsed)
+
+
+def sql_anchor_texts() -> str:
+    return f"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+l AS (
+  SELECT (2*doc_id+1) % n.n AS tid, 'a' AS anchor,
+         'h' || (doc_id % {GRAPH_HOSTS}) || '.example' AS src_host
+  FROM documents, n
+  UNION ALL
+  SELECT (3*doc_id+2) % n.n, 'b',
+         'h' || (doc_id % {GRAPH_HOSTS}) || '.example'
+  FROM documents, n
+)
+SELECT {_doc_url_sql('tid')} AS target_url,
+       CAST(count(*) AS BIGINT) AS n_inlinks,
+       CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts,
+       array_to_string(list_sort(list(DISTINCT anchor)), ',') AS anchors
+FROM l GROUP BY tid
+"""

@@ -207,6 +207,13 @@ CHECKS = {
         "partial_group_limit": r"(?s)WindowGroupLimit.*Exchange",
         "no_cartesian": r"!CartesianProduct",
     },
+    "anchor_texts": {
+        # bounded-buffer shape: counts + distinct-then-count +
+        # rank-limited anchor window, never an unbounded collect_set
+        "partial_agg": r"partial_count",
+        "partial_group_limit": r"(?s)WindowGroupLimit.*Exchange",
+        "no_cartesian": r"!CartesianProduct",
+    },
     "segment_dedup": {
         # two-level distinct-doc count + reassembly, all map-side
         # combined; boilerplate side joined without a cartesian
