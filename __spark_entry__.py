@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": Q.q_anchor_texts,
         "segment_dedup": Q.q_segment_dedup,
         "recrawl_delta": Q.q_recrawl_delta,
+        "redirect_resolve": Q.q_redirect_resolve,
         # similarity search
         "ann_cosine_topk": Q.q_ann_cosine_topk,
         "srp_ann_topk": Q.q_srp_ann_topk,
@@ -123,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_texts": Q.sql_anchor_texts(),
         "segment_dedup": Q.sql_segment_dedup(),
         "recrawl_delta": Q.sql_recrawl_delta(),
+        "redirect_resolve": Q.sql_redirect_resolve(),
         "ann_cosine_topk": Q.sql_ann_cosine_topk(),
         "srp_ann_topk": Q.sql_srp_ann_topk(),
         "ivf_ann_topk": Q.sql_ivf_ann_topk(),

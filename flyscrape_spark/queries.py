@@ -1820,3 +1820,70 @@ SELECT {_doc_url_sql('tid')} AS target_url,
        array_to_string(list_sort(list(DISTINCT anchor)), ',') AS anchors
 FROM l GROUP BY tid
 """
+
+
+REDIRECT_MOD = 7
+REDIRECT_RESIDUE = 3
+REDIRECT_A = 9
+REDIRECT_B = 4
+
+
+def _redirect_tables(spark: SparkSession, sf_dir: str):
+    """Synthetic redirect map over the doc URL space: doc i with
+    i%7==3 is a 301 to doc (9i+4)%N — at sf0.01 this yields chains
+    of length 1-3 plus one genuine loop, at sf0.1 chains to 4 plus
+    two loops, so the hop-cap path is exercised for real."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    i = F.col("doc_id")
+    urls = docs.select(_doc_url(i).alias("url"))
+    redirects = docs.filter(i % REDIRECT_MOD == REDIRECT_RESIDUE).select(
+        _doc_url(i).alias("src"),
+        _doc_url((REDIRECT_A * i + REDIRECT_B) % n).alias("dst"),
+    )
+    return urls, redirects
+
+
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution via pointer doubling
+    (operators/redirects.py): every URL -> final destination, exact
+    hop count, net/http-style 10-hop cap with loop detection."""
+    from flyscrape_spark.operators.redirects import resolve_redirects
+
+    urls, redirects = _redirect_tables(spark, sf_dir)
+    return resolve_redirects(urls, redirects)
+
+
+def sql_redirect_resolve(max_hops: int = 10) -> str:
+    a, b, m, r = REDIRECT_A, REDIRECT_B, REDIRECT_MOD, REDIRECT_RESIDUE
+    return f"""
+WITH RECURSIVE n AS (SELECT count(*) AS n FROM documents),
+r AS (
+  SELECT doc_id AS src, ({a} * doc_id + {b}) % n.n AS dst
+  FROM documents, n WHERE doc_id % {m} = {r}
+),
+walk(src, cur, hops) AS (
+  SELECT src, dst, 1 FROM r
+  UNION ALL
+  SELECT w.src, r.dst, w.hops + 1 FROM walk w JOIN r ON r.src = w.cur
+  WHERE w.hops < {max_hops}
+),
+term AS (
+  SELECT src, cur, hops, cur NOT IN (SELECT src FROM r) AS terminated
+  FROM walk
+),
+final AS (
+  SELECT src,
+         CASE WHEN terminated THEN cur END AS final_id,
+         CASE WHEN terminated THEN hops ELSE {max_hops} END AS fhops,
+         terminated AS resolved
+  FROM term WHERE terminated OR hops = {max_hops}
+)
+SELECT {_doc_url_sql('doc_id')} AS url,
+       CASE WHEN f.src IS NULL THEN {_doc_url_sql('doc_id')}
+            WHEN f.resolved THEN {_doc_url_sql('f.final_id')}
+       END AS final_url,
+       CAST(coalesce(f.fhops, 0) AS INT) AS hops,
+       coalesce(f.resolved, TRUE) AS resolved
+FROM documents LEFT JOIN final f ON f.src = doc_id
+"""
