@@ -67,6 +67,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup": Q.q_segment_dedup,
         "recrawl_delta": Q.q_recrawl_delta,
         "redirect_resolve": Q.q_redirect_resolve,
+        "hits_scores": Q.q_hits_scores,
+        "trap_detect": Q.q_trap_detect,
+        "registrable_domains": Q.q_registrable_domains,
+        "sitemap_extract": Q.q_sitemap_extract,
+        # training-data curation (continued)
+        "lm_perplexity": Q.q_lm_perplexity,
+        "containment_dup": Q.q_containment_dup,
+        "stratified_sample": Q.q_stratified_sample,
         # similarity search
         "ann_cosine_topk": Q.q_ann_cosine_topk,
         "srp_ann_topk": Q.q_srp_ann_topk,
@@ -125,6 +133,13 @@ def oracle_sql() -> dict[str, str]:
         "segment_dedup": Q.sql_segment_dedup(),
         "recrawl_delta": Q.sql_recrawl_delta(),
         "redirect_resolve": Q.sql_redirect_resolve(),
+        "hits_scores": Q.sql_hits_scores(),
+        "trap_detect": Q.sql_trap_detect(),
+        "registrable_domains": Q.sql_registrable_domains(),
+        "sitemap_extract": Q.sql_sitemap_extract(),
+        "lm_perplexity": Q.sql_lm_perplexity(),
+        "containment_dup": Q.sql_containment_dup(),
+        "stratified_sample": Q.sql_stratified_sample(),
         "ann_cosine_topk": Q.sql_ann_cosine_topk(),
         "srp_ann_topk": Q.sql_srp_ann_topk(),
         "ivf_ann_topk": Q.sql_ivf_ann_topk(),

@@ -88,3 +88,56 @@ def resolve(origin: str, link: str) -> str | None:
     if scheme not in ("", "http", "https"):
         return None
     return absolute
+
+
+# --------------------------------------------------- registrable domain
+
+#: Default public-suffix subset for tests/fixtures. In production the
+#: full Mozilla Public Suffix List (publicsuffix.org, ~9k rules) is
+#: loaded from its published file and passed in — the expression size
+#: stays linear in the list and lives entirely in the plan, so even
+#: the full PSL compiles to one codegen'd per-row expression with
+#: zero shuffles and zero Python.
+DEFAULT_PUBLIC_SUFFIXES = [
+    "com", "org", "net", "io", "example", "test", "uk", "co.uk",
+    "org.uk", "ac.uk", "jp", "co.jp", "github.io", "edu", "gov",
+]
+
+
+def registrable_domain(
+    host: Column | str,
+    suffixes: list[str] | None = None,
+    max_suffix_labels: int | None = None,
+) -> Column:
+    """eTLD+1 (the "registrable domain") of a hostname: the public
+    suffix matched longest-first plus one more label — the unit at
+    which crawl policy applies (per-site budgets, dedup of mirrors,
+    ownership rollups; hosts ``www.x.co.uk`` and ``blog.x.co.uk``
+    both roll up to ``x.co.uk``).
+
+    Pure higher-order array expressions (split → candidate suffixes
+    of 1..k trailing labels → longest member of the suffix list →
+    slice one extra label): 0 shuffles, 0 Python, whole-stage
+    codegen. NULL when the host IS a public suffix or matches no
+    listed suffix (unknown TLD) — callers decide the fallback.
+    """
+    sfx = suffixes if suffixes is not None else DEFAULT_PUBLIC_SUFFIXES
+    k = max_suffix_labels or max(s.count(".") + 1 for s in sfx)
+    h = F.lower(host if isinstance(host, Column) else F.col(host))
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    cands = F.transform(
+        F.sequence(F.lit(1), F.least(F.lit(k), n)),
+        lambda i: F.array_join(F.slice(labels, n - i + 1, i), "."),
+    )
+    matched = F.filter(cands, lambda c: c.isin(*sfx))
+    # longest match wins (PSL rule); candidates are ordered by label
+    # count ascending, so the last match is the longest.
+    # try_element_at: plain element_at(-1) on a no-match empty array
+    # throws under Spark 4's default ANSI mode.
+    best = F.try_element_at(matched, F.lit(-1))
+    sfx_labels = F.size(F.split(best, r"\."))
+    return F.when(
+        (F.size(matched) > 0) & (n > sfx_labels),
+        F.array_join(F.slice(labels, n - sfx_labels, sfx_labels + 1), "."),
+    )

@@ -317,3 +317,58 @@ def simhash_near_dup(
         .filter(F.col("hamming") <= max_distance)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 100,
+    materialize: bool = True,
+) -> DataFrame:
+    """Directional near-duplicate detection by shingle containment
+    (Broder 1997's "containment" companion to resemblance/Jaccard):
+    C(A in B) = |A∩B| / |A| over distinct word n-gram shingle sets.
+    Catches subset duplication Jaccard misses — a short doc quoted
+    whole inside a long one scores ~1.0 containment but low Jaccard.
+
+    Same sparse inverted-index join shape as ngram_jaccard_pairs
+    (docs sharing no shingle never meet; stop-shingle frequency cap
+    guards hot-shingle quadratic skew): candidates are generated once
+    per unordered pair (doc_a < doc_b), and BOTH directions'
+    containments are computed from that one intersection count — no
+    second join. A pair is emitted if either direction clears the
+    threshold.
+    """
+    idx = shingle_index(documents, n)
+    if materialize:
+        idx = idx.localCheckpoint(eager=True)
+    sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    freq = idx.groupBy("shingle_hash").agg(F.count("*").alias("df"))
+    filtered = idx.join(
+        freq.filter(F.col("df") <= max_shingle_freq), "shingle_hash"
+    ).select("doc_id", "shingle_hash")
+    if materialize:
+        filtered = filtered.localCheckpoint(eager=True)
+
+    a = filtered.alias("a")
+    b = filtered.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle_hash") == F.col("b.shingle_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("intersection"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "size_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_shingles": "size_b"}), "doc_b")
+        .withColumn("containment_a_in_b",
+                    F.round(F.col("intersection") / F.col("size_a"), 6))
+        .withColumn("containment_b_in_a",
+                    F.round(F.col("intersection") / F.col("size_b"), 6))
+    )
+    return (
+        out.filter((F.col("containment_a_in_b") >= threshold)
+                   | (F.col("containment_b_in_a") >= threshold))
+        .select("doc_a", "doc_b", "containment_a_in_b", "containment_b_in_a")
+    )

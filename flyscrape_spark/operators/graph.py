@@ -93,3 +93,59 @@ def pagerank(
         if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 3,
+    node_col: str = "node",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999): returns
+    (node, authority, hub) after ``iterations`` synchronous updates
+    from the all-ones start, L1-normalized once at the end.
+
+    auth_t(v) = Σ_{u→v} hub_{t-1}(u);  hub_t(u) = Σ_{u→v} auth_t(v).
+    Because both updates are linear, per-iteration normalization only
+    rescales by a global constant — so we run the loop unnormalized
+    (growth is bounded by max_degree^iterations) and divide by the L1
+    mass at the end. That removes the per-iteration single-row
+    global-sum exchange; the one remaining scalar broadcast is the
+    final normalizer (same documented shape as the tfidf corpus
+    count). Per iteration: two shuffle joins on the edge endpoint +
+    two map-side-combinable aggs — linear, no all-pairs anywhere.
+    """
+    e = edges.select("src", "dst").persist()
+    e.count()
+    hub = nodes.select(F.col(node_col), F.lit(1.0).alias("hub"))
+    auth = None
+    for it in range(iterations):
+        auth_mass = (
+            e.join(hub.withColumnRenamed(node_col, "src"), "src")
+            .groupBy(F.col("dst").alias(node_col))
+            .agg(F.sum("hub").alias("mass"))
+        )
+        auth = nodes.select(node_col).join(auth_mass, node_col, "left").select(
+            node_col, F.coalesce("mass", F.lit(0.0)).alias("auth")
+        )
+        hub_mass = (
+            e.join(auth.withColumnRenamed(node_col, "dst"), "dst")
+            .groupBy(F.col("src").alias(node_col))
+            .agg(F.sum("auth").alias("mass"))
+        )
+        hub = nodes.select(node_col).join(hub_mass, node_col, "left").select(
+            node_col, F.coalesce("mass", F.lit(0.0)).alias("hub")
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            auth = auth.localCheckpoint(eager=False)
+            hub = hub.localCheckpoint(eager=False)
+    scores = auth.join(hub, node_col)
+    norms = scores.agg(
+        F.sum("auth").alias("auth_norm"), F.sum("hub").alias("hub_norm")
+    )
+    return scores.crossJoin(F.broadcast(norms)).select(
+        node_col,
+        (F.col("auth") / F.col("auth_norm")).alias("authority"),
+        (F.col("hub") / F.col("hub_norm")).alias("hub"),
+    )

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
+from flyscrape_spark.functions.hashing import portable_hash64
 from flyscrape_spark.operators.text import token_count
 
 
@@ -144,4 +145,49 @@ def token_budget_sample(
         ranged.mapInPandas(cumsum, schema=schema)
         .filter(F.col("cum_tokens") <= budget)
         .select(order, by, "n_tokens", "cum_tokens")
+    )
+
+
+def stratified_sample(
+    documents: DataFrame,
+    stratum_cols: list[str] | None = None,
+    target_per_stratum: int | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic hash-based stratified downsampling: sample each
+    stratum (default: ``lang``) at the rate that equalizes expected
+    stratum sizes — the balanced-mixture draw a training pipeline
+    runs after curation (e.g. capping dominant languages/sources).
+
+    A doc is kept iff pmod(portable_hash64(doc_id), scale) <
+    floor(rate * scale), rate = target / stratum_count (target
+    defaults to the smallest stratum). Hash-gating instead of
+    ``sample()`` makes the draw reproducible across runs, engines,
+    partitionings, and retries — the property that matters for
+    training-data lineage; Spark's sample() is seed-stable only per
+    partitioning.
+
+    Scale shape: stratum counts are one tiny map-side-combinable
+    groupBy (cardinality = #strata), broadcast back; the filter
+    itself is pure per-row codegen — no shuffle of the data.
+    """
+    stratum_cols = stratum_cols or ["lang"]
+    counts = documents.groupBy(*stratum_cols).agg(F.count("*").alias("n_stratum"))
+    if target_per_stratum is None:
+        target = counts.agg(F.min("n_stratum").alias("t"))
+        counts = counts.crossJoin(F.broadcast(target))
+    else:
+        counts = counts.withColumn("t", F.lit(target_per_stratum))
+    counts = counts.select(
+        *stratum_cols,
+        F.floor(F.least(F.col("t") / F.col("n_stratum"), F.lit(1.0)) * scale)
+        .alias("gate"),
+    )
+    return (
+        documents.join(F.broadcast(counts), stratum_cols)
+        .filter(
+            F.pmod(portable_hash64(F.col("doc_id").cast("string")), F.lit(scale))
+            < F.col("gate")
+        )
+        .drop("gate")
     )

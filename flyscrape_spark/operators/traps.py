@@ -1,0 +1,65 @@
+"""Crawl-trap detection: flag hosts whose URL space is mechanically
+generated (calendars, session ids, faceted search, infinite
+pagination) by comparing how many distinct URLs collapse onto each
+URL *template* (digit runs → ``N``).
+
+The reference has no defense against traps beyond the depth cap
+(/root/reference/modules/depth/depth.go:26-28) and the 1<<20 queue
+drop (/root/reference/scrape.go:82); at the 10^10-URL design point a
+single calendar trap can dominate an entire host's politeness-limited
+fetch budget, so the frontier needs a host-level signal to throttle
+or blocklist trap hosts. Template collapsing is the classic public
+heuristic (URL "path signatures" in the crawler literature — e.g.
+IRLbot's spam/URL-space analysis line of work).
+
+Scale shape: one projection (template = regexp_replace, pure
+codegen) and ONE groupBy(host) computing both distinct counts via
+Spark's expand-based multi-distinct — linear shuffle on host, no
+joins. Output is one row per host (bounded by host cardinality, tiny
+next to the URL table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: hosts whose URLs-per-template ratio exceeds this are trap-flagged
+TRAP_RATIO = 50.0
+
+
+def url_template(col="url") -> F.Column:
+    """Collapse every digit run in the URL to ``N`` — the template
+    key under which mechanically generated URLs collide."""
+    return F.regexp_replace(F.col(col), r"[0-9]+", "N")
+
+
+def trap_stats(
+    urls: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    ratio: float = TRAP_RATIO,
+) -> DataFrame:
+    """Per-host (host, n_urls, n_templates, urls_per_template,
+    is_trap): distinct URLs, distinct templates, their ratio, and the
+    trap flag at ``ratio``."""
+    t = urls.select(
+        F.col(host_col).alias("host"),
+        F.col(url_col).alias("url"),
+        url_template(url_col).alias("template"),
+    )
+    return (
+        t.groupBy("host")
+        .agg(
+            F.countDistinct("url").alias("n_urls"),
+            F.countDistinct("template").alias("n_templates"),
+        )
+        .select(
+            "host",
+            "n_urls",
+            "n_templates",
+            F.round(F.col("n_urls") / F.col("n_templates"), 4).alias(
+                "urls_per_template"
+            ),
+            (F.col("n_urls") / F.col("n_templates") >= ratio).alias("is_trap"),
+        )
+    )

@@ -1887,3 +1887,334 @@ SELECT {_doc_url_sql('doc_id')} AS url,
        coalesce(f.resolved, TRUE) AS resolved
 FROM documents LEFT JOIN final f ON f.src = doc_id
 """
+
+
+HITS_ITERS = 2
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration HITS hubs/authorities over the synthetic link
+    graph (operators/graph.py) — the authority-style companion to
+    pagerank for frontier prioritization. L1-normalized, 8dp."""
+    from flyscrape_spark.operators.graph import hits
+
+    docs, edges = _graph_edges(spark, sf_dir)
+    scores = hits(
+        docs.select(F.col("doc_id").alias("node")), edges, iterations=HITS_ITERS
+    )
+    return scores.select(
+        "node",
+        F.round("authority", 8).alias("authority"),
+        F.round("hub", 8).alias("hub"),
+    )
+
+
+def sql_hits_scores(iterations: int = HITS_ITERS) -> str:
+    ctes = ["h0 AS (SELECT doc_id AS node, CAST(1.0 AS DOUBLE) AS hub"
+            " FROM documents)"]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"am{t} AS (SELECT e.dst AS node, sum(h{t - 1}.hub) AS mass"
+            f" FROM e JOIN h{t - 1} ON e.src = h{t - 1}.node GROUP BY 1)"
+        )
+        ctes.append(
+            f"a{t} AS (SELECT doc_id AS node,"
+            f" coalesce(mass, CAST(0 AS DOUBLE)) AS auth"
+            f" FROM documents LEFT JOIN am{t} ON am{t}.node = doc_id)"
+        )
+        ctes.append(
+            f"hm{t} AS (SELECT e.src AS node, sum(a{t}.auth) AS mass"
+            f" FROM e JOIN a{t} ON e.dst = a{t}.node GROUP BY 1)"
+        )
+        ctes.append(
+            f"h{t} AS (SELECT doc_id AS node,"
+            f" coalesce(mass, CAST(0 AS DOUBLE)) AS hub"
+            f" FROM documents LEFT JOIN hm{t} ON hm{t}.node = doc_id)"
+        )
+    t = iterations
+    return (
+        f"WITH {_GRAPH_EDGES_SQL},\n" + ",\n".join(ctes) + f""",
+norms AS (SELECT (SELECT sum(auth) FROM a{t}) AS an,
+                 (SELECT sum(hub) FROM h{t}) AS hn)
+SELECT a{t}.node, round(auth / an, 8) AS authority,
+       round(hub / hn, 8) AS hub
+FROM a{t} JOIN h{t} ON a{t}.node = h{t}.node CROSS JOIN norms
+"""
+    )
+
+
+def _trap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc URLs plus a synthetic calendar trap: every 5th doc also
+    emits http://trap.example/cal?y=2000+i%50&m=i%12 — many distinct
+    URLs, one digit-collapsed template. (At sf0.1 the h-hosts' own
+    /d/{i} families exceed the ratio too and are flagged — correct:
+    they ARE mechanically generated; the oracle agrees at any SF.)"""
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    doc_urls = docs.select(
+        _doc_url(i).alias("url"),
+        F.concat(F.lit("h"), (i % GRAPH_HOSTS).cast("string"),
+                 F.lit(".example")).alias("host"),
+    )
+    trap_urls = docs.filter(i % 5 == 0).select(
+        F.concat(
+            F.lit("http://trap.example/cal?y="), (2000 + i % 50).cast("string"),
+            F.lit("&m="), (i % 12).cast("string"),
+        ).alias("url"),
+        F.lit("trap.example").alias("host"),
+    )
+    return doc_urls.unionByName(trap_urls)
+
+
+def q_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap detection (operators/traps.py): per-host distinct
+    URLs vs distinct digit-collapsed templates; ratio >= 50 flags."""
+    from flyscrape_spark.operators.traps import trap_stats
+
+    return trap_stats(_trap_urls(spark, sf_dir))
+
+
+def sql_trap_detect(ratio: float = 50.0) -> str:
+    return f"""
+WITH u AS (
+  SELECT {_doc_url_sql('doc_id')} AS url,
+         'h' || (doc_id % {GRAPH_HOSTS}) || '.example' AS host
+  FROM documents
+  UNION ALL
+  SELECT 'http://trap.example/cal?y=' || (2000 + doc_id % 50)
+           || '&m=' || (doc_id % 12),
+         'trap.example'
+  FROM documents WHERE doc_id % 5 = 0
+),
+t AS (SELECT host, url, regexp_replace(url, '[0-9]+', 'N', 'g') AS template
+      FROM u),
+s AS (SELECT host, count(DISTINCT url) AS n_urls,
+             count(DISTINCT template) AS n_templates
+      FROM t GROUP BY 1)
+SELECT host, n_urls, n_templates,
+       round(CAST(n_urls AS DOUBLE) / n_templates, 4) AS urls_per_template,
+       CAST(n_urls AS DOUBLE) / n_templates >= {ratio} AS is_trap
+FROM s
+"""
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM quality scoring (operators/lm.py):
+    per-doc mean log-probability under the corpus's own add-one-
+    smoothed bigram model, keep flag at the -9.0 threshold."""
+    from flyscrape_spark.operators.lm import lm_scores
+
+    return lm_scores(load(spark, sf_dir, "documents"))
+
+
+def sql_lm_perplexity(keep_threshold: float = -9.0) -> str:
+    return f"""
+WITH words AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+bg0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> {{'w1': w[i], 'w2': w[i+1]}})) AS p
+  FROM words WHERE len(w) >= 2
+),
+bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg0),
+bgc AS (SELECT w1, w2, count(*) AS c_bigram FROM bg GROUP BY 1, 2),
+ugc AS (SELECT w1, count(*) AS c_unigram FROM bg GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT x) AS DOUBLE) AS vocab
+      FROM (SELECT w1 AS x FROM bg UNION ALL SELECT w2 FROM bg)),
+scored AS (
+  SELECT bg.doc_id,
+         ln(CAST(coalesce(c_bigram, 0) + 1 AS DOUBLE)
+            / (CAST(coalesce(c_unigram, 0) AS DOUBLE) + vocab)) AS lp
+  FROM bg LEFT JOIN bgc USING (w1, w2) LEFT JOIN ugc USING (w1) CROSS JOIN v
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logprob
+  FROM scored GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       avg_logprob,
+       coalesce(avg_logprob >= {keep_threshold}, FALSE) AS keep_lm
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def q_containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle-containment near-dup (Broder 1997):
+    |A∩B|/|A| over 3-gram shingles, either direction >= 0.6 — the
+    subset-duplication detector Jaccard misses."""
+    return dedup.containment_pairs(
+        load(spark, sf_dir, "documents"),
+        n=3, threshold=CONTAINMENT_THRESHOLD, max_shingle_freq=100,
+    )
+
+
+def sql_containment_dup(n: int = 3, threshold: float = CONTAINMENT_THRESHOLD,
+                        max_freq: int = 100) -> str:
+    h = portable_hash64_sql("shingle")
+    return f"""
+WITH words AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+idx0 AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_transform(
+      range(0, greatest(len(w)-{n}, 0)+1),
+      i -> array_to_string(w[i+1:i+{n}], ' ')))) AS shingle
+  FROM words
+),
+idx AS (SELECT doc_id, {h} AS shingle_hash FROM idx0),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM idx GROUP BY doc_id),
+freq AS (SELECT shingle_hash FROM idx GROUP BY shingle_hash HAVING count(*) <= {max_freq}),
+filtered AS (SELECT i.doc_id, i.shingle_hash FROM idx i JOIN freq USING (shingle_hash)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersection
+  FROM filtered a JOIN filtered b
+    ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT doc_a, doc_b,
+         round(CAST(intersection AS DOUBLE) / sa.n_shingles, 6) AS containment_a_in_b,
+         round(CAST(intersection AS DOUBLE) / sb.n_shingles, 6) AS containment_b_in_a
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT * FROM c
+WHERE containment_a_in_b >= {threshold} OR containment_b_in_a >= {threshold}
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-gated stratified sampling by language
+    (operators/mixing.py): every stratum downsampled to the smallest
+    stratum's expected size, reproducible across runs/engines."""
+    from flyscrape_spark.operators.mixing import stratified_sample
+
+    return stratified_sample(load(spark, sf_dir, "documents"), ["lang"])
+
+
+def sql_stratified_sample(scale: int = 1_000_000) -> str:
+    h = portable_hash64_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH c AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY 1),
+t AS (SELECT min(n_stratum) AS t FROM c),
+g AS (SELECT lang,
+             CAST(floor(least(CAST(t.t AS DOUBLE) / n_stratum, 1.0) * {scale})
+                  AS BIGINT) AS gate
+      FROM c, t)
+SELECT d.* FROM documents d JOIN g USING (lang)
+WHERE {h} % {scale} < gate
+"""
+
+
+def _site_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic multi-suffix host population: doc i lives on a host
+    whose public suffix rotates through co.uk / com / github.io /
+    org.uk / an unknown TLD (.zz) by i%5, with 7 distinct sites."""
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    site = F.concat(F.lit("site"), (i % 7).cast("string"))
+    host = (
+        F.when(i % 5 == 0, F.concat(F.lit("www."), site, F.lit(".co.uk")))
+        .when(i % 5 == 1, F.concat(F.lit("blog."), site, F.lit(".com")))
+        .when(i % 5 == 2, F.concat(site, F.lit(".github.io")))
+        .when(i % 5 == 3, F.concat(F.lit("a.b."), site, F.lit(".org.uk")))
+        .otherwise(F.concat(F.lit("cdn."), site, F.lit(".zz")))
+    )
+    return docs.select("doc_id", host.alias("host"))
+
+
+def q_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 rollup (functions/urls.registrable_domain): hosts
+    grouped by registrable domain — the unit of crawl policy. NULL
+    group = unknown-TLD hosts."""
+    from flyscrape_spark.functions.urls import registrable_domain
+
+    hosts = _site_hosts(spark, sf_dir)
+    return (
+        hosts.select("doc_id", registrable_domain("host").alias("registrable"),
+                     "host")
+        .groupBy("registrable")
+        .agg(F.count("*").alias("n_urls"),
+             F.countDistinct("host").alias("n_hosts"))
+    )
+
+
+def sql_registrable_domains() -> str:
+    # ground-truth eTLD+1 from the synthesis rule itself (i%5 picks
+    # the suffix; .zz is not a listed public suffix -> NULL)
+    return """
+WITH h AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'www.site' || (doc_id % 7) || '.co.uk'
+           WHEN 1 THEN 'blog.site' || (doc_id % 7) || '.com'
+           WHEN 2 THEN 'site' || (doc_id % 7) || '.github.io'
+           WHEN 3 THEN 'a.b.site' || (doc_id % 7) || '.org.uk'
+           ELSE 'cdn.site' || (doc_id % 7) || '.zz'
+         END AS host,
+         CASE doc_id % 5
+           WHEN 0 THEN 'site' || (doc_id % 7) || '.co.uk'
+           WHEN 1 THEN 'site' || (doc_id % 7) || '.com'
+           WHEN 2 THEN 'site' || (doc_id % 7) || '.github.io'
+           WHEN 3 THEN 'site' || (doc_id % 7) || '.org.uk'
+           ELSE NULL
+         END AS registrable
+  FROM documents
+)
+SELECT registrable, count(*) AS n_urls, count(DISTINCT host) AS n_hosts
+FROM h GROUP BY 1
+"""
+
+
+def _sitemap_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synthetic sitemap per host: all of the host's doc URLs in
+    doc_id order, lastmod 2026-01-(1 + i%28)."""
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    lastmod = F.concat(
+        F.lit("2026-01-"), F.lpad(((i % 28) + 1).cast("string"), 2, "0")
+    )
+    entry = F.concat(
+        F.lit("<url><loc>"), _doc_url(i), F.lit("</loc><lastmod>"),
+        lastmod, F.lit("</lastmod></url>"),
+    )
+    per_host = docs.select(
+        F.concat(F.lit("h"), (i % GRAPH_HOSTS).cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.struct(i.alias("doc_id"), entry.alias("entry")).alias("e"),
+    )
+    return per_host.groupBy("host").agg(
+        F.concat(
+            F.lit('<?xml version="1.0" encoding="UTF-8"?><urlset>'),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("e")), lambda s: s["entry"]),
+                "",
+            ),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    )
+
+
+def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (sources/sitemaps.py): build each host's
+    urlset XML, then parse it back JVM-side with from_xml into
+    (host, url, lastmod, position) seed rows. The oracle computes
+    the expected rows arithmetically — the parse must invert the
+    build exactly."""
+    from flyscrape_spark.sources.sitemaps import parse_sitemaps
+
+    return parse_sitemaps(_sitemap_xml(spark, sf_dir))
+
+
+def sql_sitemap_extract() -> str:
+    return f"""
+SELECT 'h' || (doc_id % {GRAPH_HOSTS}) || '.example' AS host,
+       {_doc_url_sql('doc_id')} AS url,
+       '2026-01-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0') AS lastmod,
+       CAST(doc_id // {GRAPH_HOSTS} AS INT) AS position
+FROM documents
+"""

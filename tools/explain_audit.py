@@ -232,6 +232,63 @@ CHECKS = {
         "partial_agg": r"partial_percentile",
         "max_exchanges": 1,
     },
+    "redirect_resolve": {
+        # pointer doubling: every round is an equi-join on the current
+        # target — never a cartesian, never a per-hop loop shape
+        "no_cartesian": r"!CartesianProduct",
+        # over-cap/loop detection is the anti-join against redirect
+        # sources, not a row-at-a-time walk
+        "anti_join_termination": r"LeftAnti",
+    },
+    "hits_scores": {
+        # same loop shape as pagerank: equi-joins + map-side-combined
+        # sums; the only nested-loop is the 1-row normalizer broadcast
+        "partial_agg": r"partial_sum",
+        "no_cartesian": r"!CartesianProduct",
+    },
+    "trap_detect": {
+        # ONE groupBy(host) computing both distincts via expand —
+        # linear shuffles on host, no joins at all
+        "partial_agg": r"partial_count",
+        "no_join": r"!Join",
+        "max_exchanges": 2,  # expand-based multi-distinct: two phases
+    },
+    "lm_perplexity": {
+        # model joins are equi-joins on the bigram/history key; the
+        # only nested-loop is the 1-row vocab-size broadcast
+        "partial_agg": r"partial_count",
+        "no_cartesian": r"!CartesianProduct",
+    },
+    "containment_dup": {
+        # candidate generation stays on the shingle inverted index —
+        # a cartesian anywhere is the O(n^2) plan that dies at scale
+        "no_cartesian": r"!CartesianProduct|BroadcastNestedLoopJoin",
+        "partial_agg": r"partial_",
+    },
+    "stratified_sample": {
+        # stratum gates broadcast back; the data side never shuffles —
+        # the only exchanges carry stratum-cardinality rows (the count
+        # agg, instantiated twice: once for gates, once for the min
+        # target)
+        "broadcast": r"BroadcastHashJoin",
+        "partial_agg": r"partial_count",
+        "max_exchanges": 2,
+    },
+    "registrable_domains": {
+        # eTLD+1 is pure codegen'd expression work; the rollup is one
+        # map-side-combined agg (expand for the host distinct)
+        "codegen": r"\*\(\d+\)",
+        "partial_agg": r"partial_count",
+        "no_join": r"!Join",
+        "max_exchanges": 2,
+    },
+    "sitemap_extract": {
+        # from_xml + posexplode must stay JVM-side: no Python eval
+        # anywhere; the one exchange builds the per-host fixture XML
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "generate_explode": r"Generate posexplode",
+        "max_exchanges": 1,
+    },
 }
 
 
