@@ -71,6 +71,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trap_detect": Q.q_trap_detect,
         "registrable_domains": Q.q_registrable_domains,
         "sitemap_extract": Q.q_sitemap_extract,
+        "robots_sitemaps": Q.q_robots_sitemaps,
+        "change_rate": Q.q_change_rate,
+        "kmeans_clusters": Q.q_kmeans_clusters,
         # training-data curation (continued)
         "lm_perplexity": Q.q_lm_perplexity,
         "containment_dup": Q.q_containment_dup,
@@ -137,6 +140,9 @@ def oracle_sql() -> dict[str, str]:
         "trap_detect": Q.sql_trap_detect(),
         "registrable_domains": Q.sql_registrable_domains(),
         "sitemap_extract": Q.sql_sitemap_extract(),
+        "robots_sitemaps": Q.sql_robots_sitemaps(),
+        "change_rate": Q.sql_change_rate(),
+        "kmeans_clusters": Q.sql_kmeans_clusters(),
         "lm_perplexity": Q.sql_lm_perplexity(),
         "containment_dup": Q.sql_containment_dup(),
         "stratified_sample": Q.sql_stratified_sample(),

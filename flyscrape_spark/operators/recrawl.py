@@ -47,3 +47,69 @@ def snapshot_delta(
         status.alias("status"),
         status.isin("new", "changed").alias("refetch"),
     )
+
+
+def change_rate(
+    history: DataFrame,
+    horizon: float = 86400.0,
+    key_col: str = "url",
+    ts_col: str = "fetch_ts",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Per-URL Poisson change-rate estimate from a fetch history —
+    the signal an incremental crawler schedules refresh by (Cho &
+    Garcia-Molina, "Estimating Frequency of Change", TOIT 2003).
+
+    Input: (url, fetch_ts: double seconds, content_hash) with one row
+    per observation of each URL. Output per URL:
+      n_intervals   consecutive-fetch pairs observed
+      n_changes     pairs whose content hash differed
+      lambda_hat    the bias-reduced estimator
+                    -ln((n - X + 0.5) / (n + 0.5)) / mean_interval
+                    (changes per second; 0 when never changed)
+      next_due      last fetch + min(1/lambda_hat, horizon) — never
+                    wait longer than ``horizon`` even for static pages
+                    (rounded to 4dp; lambda_hat to 10dp)
+
+    Scale shape: ONE shuffle on url shared by the lag window and the
+    per-url aggregate (same partitioning, Catalyst reuses the
+    exchange — the events_sessionize pattern). History tables are
+    append-only fetch logs; at 10^10 URLs × K observations this is a
+    linear scan + linear shuffle.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy("ts")
+    obs = history.select(
+        F.col(key_col).alias("url"),
+        F.col(ts_col).cast("double").alias("ts"),
+        F.col(hash_col).alias("h"),
+    ).select(
+        "url", "ts",
+        (F.col("h") != F.lag("h").over(w)).alias("changed"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    agg = obs.groupBy("url").agg(
+        F.count("prev_ts").alias("n_intervals"),
+        F.sum(F.when(F.col("changed"), 1).otherwise(0)).alias("n_changes"),
+        F.max("ts").alias("last_ts"),
+        F.min("ts").alias("first_ts"),
+    )
+    n = F.col("n_intervals").cast("double")
+    x = F.col("n_changes").cast("double")
+    mean_iv = (F.col("last_ts") - F.col("first_ts")) / n
+    lam = F.when(
+        (F.col("n_intervals") > 0) & (F.col("n_changes") > 0),
+        -F.log((n - x + F.lit(0.5)) / (n + F.lit(0.5))) / mean_iv,
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "url", "n_intervals", "n_changes",
+        F.round(lam, 10).alias("lambda_hat"),
+        F.round(
+            F.col("last_ts")
+            + F.when(F.round(lam, 10) > 0,
+                     F.least(F.lit(1.0) / F.round(lam, 10), F.lit(horizon)))
+            .otherwise(F.lit(horizon)),
+            4,
+        ).alias("next_due"),
+    )

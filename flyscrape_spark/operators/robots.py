@@ -230,3 +230,35 @@ def allowed_filter(
     return joined.withColumn(
         "robots_allowed", match_udf(F.col("url"), F.col("rules"))
     ).drop("rules")
+
+
+def sitemap_directives(
+    robots_bodies: DataFrame, body_col: str = "body", host_col: str = "host"
+) -> DataFrame:
+    """(host, sitemap_url, position) for every ``Sitemap:`` line of
+    every robots.txt body, in file order.
+
+    The ``Sitemap:`` directive is the standard robots.txt extension
+    (sitemaps.org protocol; RFC 9309 §2.3 leaves such "other records"
+    to their own specs): it names absolute sitemap URLs, is
+    case-insensitive, may appear anywhere in the file (outside any
+    User-agent group), and may repeat. These URLs feed
+    ``sources/sitemaps.py`` — fetch via the crawl Transport, parse,
+    and union into the frontier as discovery seeds.
+
+    Unlike the rule parser (grouped, stateful → pandas UDF), sitemap
+    lines are context-free, so this is pure JVM regexp work: one
+    ``regexp_extract_all`` + ``posexplode`` — zero Python, zero
+    shuffles, fans out partition-locally.
+    """
+    lines = F.regexp_extract_all(
+        F.col(body_col), F.lit(r"(?im)^\s*sitemap\s*:\s*(\S+)"), 1
+    )
+    return (
+        robots_bodies.select(
+            F.col(host_col).alias("host"),
+            F.posexplode_outer(lines).alias("position", "sitemap_url"),
+        )
+        .filter(F.col("sitemap_url").isNotNull())
+        .select("host", "sitemap_url", "position")
+    )

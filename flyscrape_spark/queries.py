@@ -2218,3 +2218,199 @@ SELECT 'h' || (doc_id % {GRAPH_HOSTS}) || '.example' AS host,
        CAST(doc_id // {GRAPH_HOSTS} AS INT) AS position
 FROM documents
 """
+
+
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt (operators/robots.py
+    sitemap_directives): host h{k} publishes k%3+1 ``Sitemap:`` lines
+    among its rule groups; extraction is pure JVM regexp."""
+    from flyscrape_spark.operators.robots import sitemap_directives
+
+    k = F.col("id")
+    host = F.concat(F.lit("h"), k.cast("string"), F.lit(".example"))
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(F.lit(0), k % 3),
+                lambda j: F.concat(
+                    F.lit("Sitemap: http://h"), k.cast("string"),
+                    F.lit(".example/sitemap"), j.cast("string"), F.lit(".xml"),
+                ),
+            ),
+        ),
+        F.lit("\nUser-agent: badbot\nDisallow: /\n"),
+    )
+    bodies = spark.range(GRAPH_HOSTS).select(host.alias("host"), body.alias("body"))
+    return sitemap_directives(bodies)
+
+
+def sql_robots_sitemaps() -> str:
+    return f"""
+WITH h AS (SELECT unnest(range(0, {GRAPH_HOSTS})) AS k),
+s AS (SELECT k, unnest(range(0, k % 3 + 1)) AS j FROM h)
+SELECT 'h' || k || '.example' AS host,
+       'http://h' || k || '.example/sitemap' || j || '.xml' AS sitemap_url,
+       CAST(j AS INT) AS position
+FROM s
+"""
+
+
+RECRAWL_SNAPSHOTS = 6
+RECRAWL_INTERVAL = 100.0
+
+
+def _fetch_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic fetch log: every doc observed at ts 0,100,…,500; doc
+    i's content changes at snapshot s iff (i + 7s) % 4 == 0, so the
+    per-URL change count varies 0..3 across the corpus. The content
+    hash is the cumulative change count (changes exactly when a
+    change happens)."""
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = F.col("snap")
+    # guard snap=0: Spark's sequence(1, 0) is DESCENDING [1, 0], not
+    # empty — the s=0 observation must be version 0
+    version = F.when(s == 0, F.lit(0)).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(1), s),
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when((i + 7 * t) % 4 == 0, F.lit(1)).otherwise(F.lit(0)),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(RECRAWL_SNAPSHOTS - 1))
+            ).alias("snap"),
+        )
+        .select(
+            _doc_url(i).alias("url"),
+            (s.cast("double") * RECRAWL_INTERVAL).alias("fetch_ts"),
+            F.concat(F.lit("v"), version.cast("string")).alias("content_hash"),
+        )
+    )
+
+
+def q_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson change-rate estimation over the synthetic fetch log
+    (operators/recrawl.py change_rate, Cho & Garcia-Molina 2003):
+    per-URL lambda_hat + next_due refresh schedule."""
+    from flyscrape_spark.operators.recrawl import change_rate
+
+    return change_rate(_fetch_history(spark, sf_dir), horizon=86400.0)
+
+
+def sql_change_rate(horizon: float = 86400.0) -> str:
+    ns, iv = RECRAWL_SNAPSHOTS, RECRAWL_INTERVAL
+    return f"""
+WITH hist AS (
+  SELECT {_doc_url_sql('doc_id')} AS url,
+         CAST(s AS DOUBLE) * {iv} AS ts,
+         'v' || coalesce(list_sum(list_transform(range(1, s + 1),
+             t -> CASE WHEN (doc_id + 7 * t) % 4 = 0 THEN 1 ELSE 0 END)), 0) AS h
+  FROM documents, (SELECT unnest(range(0, {ns})) AS s)
+),
+obs AS (
+  SELECT url, ts,
+         h <> lag(h) OVER (PARTITION BY url ORDER BY ts) AS changed,
+         lag(ts) OVER (PARTITION BY url ORDER BY ts) AS prev_ts
+  FROM hist
+),
+agg AS (
+  SELECT url,
+         count(prev_ts) AS n_intervals,
+         CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+         max(ts) AS last_ts, min(ts) AS first_ts
+  FROM obs GROUP BY url
+),
+est AS (
+  SELECT url, n_intervals, n_changes, last_ts,
+         CASE WHEN n_intervals > 0 AND n_changes > 0 THEN
+           round(-ln((CAST(n_intervals AS DOUBLE) - n_changes + 0.5)
+                     / (n_intervals + 0.5))
+                 / ((last_ts - first_ts) / n_intervals), 10)
+         ELSE CAST(0 AS DOUBLE) END AS lambda_hat
+  FROM agg
+)
+SELECT url, n_intervals, n_changes, lambda_hat,
+       round(last_ts + CASE WHEN lambda_hat > 0
+                            THEN least(1.0 / lambda_hat, {horizon})
+                            ELSE {horizon} END, 4) AS next_due
+FROM est
+"""
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 1
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration Lloyd k-means over the embeddings table
+    (operators/kmeans.py): one real centroid update from the
+    smallest-id init, then the final assignment."""
+    from flyscrape_spark.operators.kmeans import kmeans
+
+    return kmeans(
+        load(spark, sf_dir, "embeddings"), k=KMEANS_K, iterations=KMEANS_ITERS
+    )
+
+
+def sql_kmeans_clusters(k: int = KMEANS_K) -> str:
+    # one Lloyd round unrolled: assign under init centroids c0, mean
+    # per (cluster, dim) -> c1 (empty clusters fall back to c0), final
+    # assignment under c1. Distances rounded to 6dp before the argmin
+    # (ties to smaller cluster id), means to 9dp — same as Spark.
+    return f"""
+WITH c0 AS (
+  SELECT vec_id AS cent_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id < {k}
+),
+az1 AS (
+  SELECT e.vec_id, c.cent_id,
+         unnest(e.embedding) AS x, unnest(c.cv) AS y
+  FROM embeddings e, c0 c
+),
+d1 AS (
+  SELECT vec_id, cent_id,
+         round(sum((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 6) AS d2
+  FROM az1 GROUP BY 1, 2
+),
+a1 AS (
+  SELECT vec_id, cent_id AS cluster FROM d1
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1
+),
+elong AS (
+  SELECT e.vec_id,
+         unnest(list_transform(e.embedding, (x, i) -> {{'d': i, 'v': x}})) AS u
+  FROM embeddings e
+),
+u1 AS (
+  SELECT a.cluster AS cent_id, el.u.d AS dim,
+         round(avg(CAST(el.u.v AS DOUBLE)), 9) AS cval
+  FROM elong el JOIN a1 a ON a.vec_id = el.vec_id
+  GROUP BY 1, 2
+),
+c0long AS (
+  SELECT cent_id, unnest(list_transform(cv, (x, i) -> {{'d': i, 'v': x}})) AS u
+  FROM c0
+),
+c1 AS (
+  SELECT c.cent_id, c.u.d AS dim, coalesce(u1.cval, c.u.v) AS cval
+  FROM c0long c LEFT JOIN u1 ON u1.cent_id = c.cent_id AND u1.dim = c.u.d
+),
+d2tbl AS (
+  SELECT el.vec_id, c1.cent_id,
+         round(sum((CAST(el.u.v AS DOUBLE) - c1.cval)
+                   * (CAST(el.u.v AS DOUBLE) - c1.cval)), 6) AS d2
+  FROM elong el JOIN c1 ON c1.dim = el.u.d
+  GROUP BY 1, 2
+)
+SELECT vec_id, cent_id AS cluster, d2 AS dist FROM d2tbl
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1
+"""

@@ -289,6 +289,27 @@ CHECKS = {
         "generate_explode": r"Generate posexplode",
         "max_exchanges": 1,
     },
+    "robots_sitemaps": {
+        # Sitemap: lines are context-free -> pure JVM regexp + explode
+        # (unlike the grouped rule parser): no Python, no shuffles
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "generate_explode": r"Generate posexplode",
+        "max_exchanges": 0,
+    },
+    "change_rate": {
+        # the lag window and the per-url aggregate share ONE shuffle
+        # on url (the events_sessionize pattern)
+        "no_cartesian": r"!CartesianProduct",
+        "max_exchanges": 1,
+    },
+    "kmeans_clusters": {
+        # centroids broadcast each round; assignment argmin is a
+        # partial-agg-combined min-over-struct (shuffle carries N
+        # rows, never N×k); the only nested-loop is that broadcast
+        "broadcast": r"BroadcastNestedLoopJoin|BroadcastHashJoin",
+        "partial_agg": r"partial_min",
+        "no_cartesian": r"!CartesianProduct",
+    },
 }
 
 
