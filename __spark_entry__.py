@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": Q.q_robots_sitemaps,
         "change_rate": Q.q_change_rate,
         "kmeans_clusters": Q.q_kmeans_clusters,
+        "strip_tracking": Q.q_strip_tracking,
+        "domain_reputation": Q.q_domain_reputation,
         # training-data curation (continued)
         "lm_perplexity": Q.q_lm_perplexity,
         "containment_dup": Q.q_containment_dup,
@@ -143,6 +145,8 @@ def oracle_sql() -> dict[str, str]:
         "robots_sitemaps": Q.sql_robots_sitemaps(),
         "change_rate": Q.sql_change_rate(),
         "kmeans_clusters": Q.sql_kmeans_clusters(),
+        "strip_tracking": Q.sql_strip_tracking(),
+        "domain_reputation": Q.sql_domain_reputation(),
         "lm_perplexity": Q.sql_lm_perplexity(),
         "containment_dup": Q.sql_containment_dup(),
         "stratified_sample": Q.sql_stratified_sample(),

@@ -141,3 +141,55 @@ def registrable_domain(
         (F.size(matched) > 0) & (n > sfx_labels),
         F.array_join(F.slice(labels, n - sfx_labels, sfx_labels + 1), "."),
     )
+
+
+# ----------------------------------------------- tracking-param strip
+
+#: Query parameters that identify campaigns/clicks, not resources.
+#: Stripping them is standard crawl canonicalization (they explode
+#: the URL space without changing content — the same page under
+#: thousands of utm permutations).
+TRACKING_PARAMS_PATTERN = (
+    r"^(utm_[^=]*|gclid|fbclid|msclkid|yclid|igshid|mc_eid|spm|ref_src)="
+)
+
+
+def strip_tracking_params(
+    url: Column | str, pattern: str = TRACKING_PARAMS_PATTERN
+) -> Column:
+    """Remove tracking query parameters from a URL, keeping the rest
+    of the query string in order; drops the ``?`` entirely when
+    nothing survives. Pure higher-order array expressions (split on
+    ``?`` then ``&``, filter, re-join): 0 shuffles, 0 Python, fully
+    codegen — composes with :func:`canonicalize` in the same
+    projection. Fragments are assumed already removed (canonicalize
+    does); a trailing ``#...`` would be treated as query content.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    qpos = F.instr(u, "?")
+    base = F.when(qpos > 0, F.substring(u, F.lit(1), qpos - 1)).otherwise(u)
+    query = F.when(qpos > 0, F.substr(u, qpos + 1)).otherwise(F.lit(""))
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: ~F.lower(p).rlike(pattern) & (p != ""),
+    )
+    return F.when(
+        (qpos == 0) | (F.size(kept) == 0), base
+    ).otherwise(F.concat(base, F.lit("?"), F.array_join(kept, "&")))
+
+
+def strip_tracking_params_sql(
+    expr: str, pattern: str = TRACKING_PARAMS_PATTERN
+) -> str:
+    """DuckDB twin of :func:`strip_tracking_params`."""
+    qpos = f"instr({expr}, '?')"
+    base = f"CASE WHEN {qpos} > 0 THEN substr({expr}, 1, {qpos} - 1) ELSE {expr} END"
+    query = f"CASE WHEN {qpos} > 0 THEN substr({expr}, {qpos} + 1) ELSE '' END"
+    kept = (
+        f"list_filter(string_split({query}, '&'), "
+        f"p -> NOT regexp_matches(lower(p), '{pattern}') AND p <> '')"
+    )
+    return (
+        f"CASE WHEN {qpos} = 0 OR len({kept}) = 0 THEN {base} "
+        f"ELSE ({base}) || '?' || array_to_string({kept}, '&') END"
+    )

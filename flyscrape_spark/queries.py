@@ -2414,3 +2414,104 @@ d2tbl AS (
 SELECT vec_id, cent_id AS cluster, d2 AS dist FROM d2tbl
 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1
 """
+
+
+def q_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracking-parameter canonicalization (functions/urls.py
+    strip_tracking_params): synthetic URLs carrying interleaved utm/
+    gclid/real params are reduced to their resource identity — the
+    crawl-side defense against campaign-parameter URL-space blowup."""
+    from flyscrape_spark.functions.urls import strip_tracking_params
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.when(
+        i % 4 == 0,
+        F.concat(_doc_url(i), F.lit("?id="), i.cast("string"),
+                 F.lit("&utm_source=s"), (i % 3).cast("string"),
+                 F.lit("&page="), (i % 7).cast("string")),
+    ).when(
+        i % 4 == 1,
+        F.concat(_doc_url(i), F.lit("?utm_campaign=c"), (i % 5).cast("string"),
+                 F.lit("&gclid=g"), i.cast("string")),
+    ).when(
+        i % 4 == 2,
+        F.concat(_doc_url(i), F.lit("?q=term"), (i % 11).cast("string")),
+    ).otherwise(_doc_url(i))
+    return docs.select(
+        url.alias("url"), strip_tracking_params(url).alias("clean_url")
+    )
+
+
+def sql_strip_tracking() -> str:
+    from flyscrape_spark.functions.urls import strip_tracking_params_sql
+
+    base = _doc_url_sql("doc_id")
+    url = f"""CASE doc_id % 4
+      WHEN 0 THEN {base} || '?id=' || doc_id || '&utm_source=s'
+                  || (doc_id % 3) || '&page=' || (doc_id % 7)
+      WHEN 1 THEN {base} || '?utm_campaign=c' || (doc_id % 5)
+                  || '&gclid=g' || doc_id
+      WHEN 2 THEN {base} || '?q=term' || (doc_id % 11)
+      ELSE {base} END"""
+    return f"""
+WITH u AS (SELECT ({url}) AS url FROM documents)
+SELECT url, {strip_tracking_params_sql('url')} AS clean_url FROM u
+"""
+
+
+def q_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level reputation rollup: per registrable domain (eTLD+1)
+    aggregate the corpus quality signals — the site-granularity prior
+    a frontier joins back (broadcast) to prioritize or demote whole
+    sites. Composition of registrable_domain × text_quality; one
+    groupBy on the (tiny-cardinality) domain key."""
+    from flyscrape_spark.functions.urls import registrable_domain
+    from flyscrape_spark.operators.text import text_quality
+
+    docs = load(spark, sf_dir, "documents")
+    quality = text_quality(docs)
+    hosts = _site_hosts(spark, sf_dir)
+    return (
+        hosts.join(quality, "doc_id")
+        .select(registrable_domain("host").alias("registrable"),
+                "n_tokens", "stopword_ratio")
+        .groupBy("registrable")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
+        )
+    )
+
+
+def sql_domain_reputation() -> str:
+    return f"""
+WITH q AS (
+  SELECT doc_id,
+    CAST(CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+    round(CAST(len(list_filter(string_split({_NORM_SQL}, ' '),
+                               t -> list_contains({STOPWORDS_SQL}, t))) AS DOUBLE)
+          / greatest(CAST(len(string_split({_NORM_SQL}, ' ')) AS DOUBLE), 1.0),
+          4) AS stopword_ratio
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'site' || (doc_id % 7) || '.co.uk'
+           WHEN 1 THEN 'site' || (doc_id % 7) || '.com'
+           WHEN 2 THEN 'site' || (doc_id % 7) || '.github.io'
+           WHEN 3 THEN 'site' || (doc_id % 7) || '.org.uk'
+           ELSE NULL
+         END AS registrable
+  FROM documents
+)
+SELECT registrable,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(stopword_ratio), 6) AS avg_stopword_ratio
+FROM h JOIN q USING (doc_id)
+GROUP BY 1
+"""

@@ -229,13 +229,17 @@ def parse_retry_after(value: str) -> float | None:
 def _http_fetch_one(url: str, headers: dict, timeout: float,
                     retry_statuses: frozenset, retry_delays: tuple,
                     sleep, proxy: str | None = None,
-                    ) -> tuple[int, str | None, str | None, int]:
+                    ) -> tuple[int, str | None, str | None, int,
+                               str | None, str | None]:
     """One URL through the reference's retry loop
     (modules/retry/retry.go:43-141): retry on retryable statuses and
     transport errors with the fixed delay schedule, honoring a numeric
     Retry-After header (retry.go:102-110). ``proxy`` routes the
     request through an HTTP proxy (modules/proxy/proxy.go:34-61).
-    Returns (status, body, error, attempts)."""
+    Returns (status, body, error, attempts, etag, last_modified) —
+    the trailing validators feed conditional revalidation
+    (RevalidatingTransport); 304 Not Modified is a SUCCESS here
+    (error None, no body — the caller substitutes its cached copy)."""
     import urllib.error
     import urllib.request
 
@@ -247,7 +251,8 @@ def _http_fetch_one(url: str, headers: dict, timeout: float,
         open_fn = urllib.request.urlopen
 
     attempts = 0
-    last: tuple[int, str | None, str | None] = (0, None, "not fetched")
+    last: tuple[int, str | None, str | None, str | None, str | None] = (
+        0, None, "not fetched", None, None)
     for delay in list(retry_delays) + [None]:
         attempts += 1
         retry_after = None
@@ -256,25 +261,32 @@ def _http_fetch_one(url: str, headers: dict, timeout: float,
             with open_fn(req, timeout=timeout) as resp:
                 status = resp.status
                 body = resp.read().decode("utf-8", "replace")
-            last = (status, body, None)
+                etag = resp.headers.get("ETag")
+                lastmod = resp.headers.get("Last-Modified")
+            last = (status, body, None, etag, lastmod)
             if status not in retry_statuses:
-                return (*last, attempts)
+                return _ret(last, attempts)
         except urllib.error.HTTPError as e:
+            if e.code == 304:
+                # Not Modified: success for a conditional request —
+                # validators may be resent per RFC 9110 §15.4.5
+                return _ret((304, None, None, e.headers.get("ETag"),
+                             e.headers.get("Last-Modified")), attempts)
             body = None
             try:
                 body = e.read().decode("utf-8", "replace")
             except Exception:
                 pass
-            last = (e.code, body, f"{e.code} error")
+            last = (e.code, body, f"{e.code} error", None, None)
             if e.code not in retry_statuses:
-                return (*last, attempts)
+                return _ret(last, attempts)
             ra = e.headers.get("Retry-After")
             if ra is not None:
                 retry_after = parse_retry_after(ra)
         except Exception as e:  # transport error (net.Error analog)
-            last = (0, None, f"Get {url}: {e}")
+            last = (0, None, f"Get {url}: {e}", None, None)
         if delay is None:
-            return (*last, attempts)
+            return _ret(last, attempts)
         if retry_after is not None:
             # honor Retry-After but clamp it: a hostile/misconfigured
             # server must not park an executor thread for hours (the
@@ -282,7 +294,13 @@ def _http_fetch_one(url: str, headers: dict, timeout: float,
             sleep(max(delay, min(retry_after, RETRY_AFTER_CAP)))
         else:
             sleep(delay)
-    return (*last, attempts)  # pragma: no cover
+    return _ret(last, attempts)  # pragma: no cover
+
+
+def _ret(last, attempts):
+    """(status, body, error, attempts, etag, last_modified)."""
+    status, body, error, etag, lastmod = last
+    return (status, body, error, attempts, etag, lastmod)
 
 
 class HttpTransport(Transport):
@@ -339,6 +357,8 @@ class HttpTransport(Transport):
                 StructField("body", StringType()),
                 StructField("error", StringType()),
                 StructField("attempts", IntegerType()),
+                StructField("etag", StringType()),
+                StructField("last_modified", StringType()),
             ]
         )
         timeout = self.timeout
@@ -366,8 +386,12 @@ class HttpTransport(Transport):
                     wait = row["fetch_time"] - (_time.monotonic() - start)
                     if wait > 0:
                         _time.sleep(wait)
+                headers = dict(row.get("request_headers") or {})
+                # conditional validators (RevalidatingTransport) win
+                # over any configured header of the same name
+                headers.update(row.get("conditional_headers") or {})
                 return _http_fetch_one(
-                    row["url"], row.get("request_headers") or {}, timeout,
+                    row["url"], headers, timeout,
                     retry_statuses, retry_delays, _time.sleep,
                     proxy=pick_proxy(row["url"]),
                 )
@@ -380,6 +404,70 @@ class HttpTransport(Transport):
                     pdf["body"] = [r[1] for r in results]
                     pdf["error"] = [r[2] for r in results]
                     pdf["attempts"] = [r[3] for r in results]
+                    pdf["etag"] = [r[4] for r in results]
+                    pdf["last_modified"] = [r[5] for r in results]
                     yield pdf
 
         return scheduled.mapInPandas(run_batches, schema=out_schema)
+
+
+class RevalidatingTransport(Transport):
+    """Conditional-revalidation wrapper (RFC 9110 §13.1): joins the
+    previous crawl's stored validators onto the frontier, sends
+    ``If-None-Match`` (ETag) / ``If-Modified-Since`` (Last-Modified)
+    with each request, and answers 304 Not Modified from the stored
+    body — the page costs headers, not bytes.
+
+    The reference's cache never revalidates (modules/cache/cache.go
+    serves hits verbatim; the only refresh is the bypass header,
+    utils.go:14) — engine-added, because an incremental recrawl at
+    the 10^10-URL design point refetches mostly-unchanged pages and
+    lives on 304s.
+
+    ``prior``: (url, etag, last_modified, body) — from the previous
+    snapshot's fetched table (HttpTransport now surfaces etag /
+    last_modified columns). Shape: two equi-joins on url (validators
+    in, bodies back); revalidated rows come back status 200 with the
+    cached body and ``not_modified`` true, so downstream parse /
+    extract treats them like any fetched page.
+    """
+
+    def __init__(self, inner: Transport, prior: DataFrame):
+        self.inner = inner
+        self.prior = prior
+
+    def fetch(self, frontier: DataFrame) -> DataFrame:
+        entries = F.filter(
+            F.array(
+                F.struct(F.lit("If-None-Match").alias("k"),
+                         F.col("etag").alias("v")),
+                F.struct(F.lit("If-Modified-Since").alias("k"),
+                         F.col("last_modified").alias("v")),
+            ),
+            lambda s: s["v"].isNotNull(),
+        )
+        cond = self.prior.select(
+            "url", F.map_from_entries(entries).alias("conditional_headers")
+        )
+        fetched = self.inner.fetch(frontier.join(cond, "url", "left"))
+        prior_bodies = self.prior.select(
+            "url", F.col("body").alias("_prior_body"),
+            F.col("etag").alias("_prior_etag"),
+            F.col("last_modified").alias("_prior_lm"),
+        )
+        hit = F.col("status") == 304
+        return (
+            fetched.join(prior_bodies, "url", "left")
+            .withColumn("not_modified", F.coalesce(hit, F.lit(False)))
+            .withColumn("body", F.when(hit, F.col("_prior_body"))
+                        .otherwise(F.col("body")))
+            .withColumn("status", F.when(hit, F.lit(200))
+                        .otherwise(F.col("status")))
+            .withColumn("etag", F.when(hit, F.coalesce("etag", "_prior_etag"))
+                        .otherwise(F.col("etag")))
+            .withColumn("last_modified",
+                        F.when(hit, F.coalesce("last_modified", "_prior_lm"))
+                        .otherwise(F.col("last_modified")))
+            .drop("conditional_headers", "_prior_body", "_prior_etag",
+                  "_prior_lm")
+        )

@@ -87,3 +87,106 @@ def test_http_crawl_end_to_end(spark, server):
     seen = {row["url"] for row in r.seen.collect()}
     assert seen == {f"{server}/", f"{server}/a", f"{server}/flaky",
                     f"{server}/missing"}
+
+
+class RevalHandler(BaseHTTPRequestHandler):
+    """ETag'd page: 304 when If-None-Match matches, else 200 + body.
+    Counts how many full bodies were served."""
+
+    etag = '"v1"'
+    full_serves = 0
+    conditional_seen = 0
+
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):
+        inm = self.headers.get("If-None-Match")
+        if inm is not None:
+            RevalHandler.conditional_seen += 1
+        if inm == RevalHandler.etag:
+            self.send_response(304)
+            self.send_header("ETag", RevalHandler.etag)
+            self.end_headers()
+            return
+        RevalHandler.full_serves += 1
+        body = b"<p>fresh body</p>"
+        self.send_response(200)
+        self.send_header("ETag", RevalHandler.etag)
+        self.send_header("Last-Modified", "Mon, 01 Jan 2026 00:00:00 GMT")
+        self.send_header("Content-Type", "text/html")
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture
+def reval_server():
+    RevalHandler.full_serves = 0
+    RevalHandler.conditional_seen = 0
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), RevalHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def test_conditional_revalidation_304(spark, reval_server):
+    from pyspark.sql import functions as F
+
+    from flyscrape_spark.sources.transport import RevalidatingTransport
+
+    cfg = CrawlConfig()
+    frontier = spark.createDataFrame(
+        [(f"{reval_server}/page", "127.0.0.1", 0)],
+        "url string, host string, depth int",
+    )
+    # first crawl: full fetch captures the validators
+    first = HttpTransport(cfg, pace=False).fetch(frontier).collect()[0]
+    assert first["status"] == 200 and first["body"] == "<p>fresh body</p>"
+    assert first["etag"] == '"v1"'
+    assert first["last_modified"] == "Mon, 01 Jan 2026 00:00:00 GMT"
+    assert RevalHandler.full_serves == 1
+
+    # second crawl revalidates: 304 answered from the stored body
+    prior = spark.createDataFrame(
+        [(first["url"], first["etag"], first["last_modified"], first["body"])],
+        "url string, etag string, last_modified string, body string",
+    )
+    reval = RevalidatingTransport(HttpTransport(cfg, pace=False), prior)
+    second = reval.fetch(frontier).collect()[0]
+    assert second["not_modified"] is True
+    assert second["status"] == 200
+    assert second["body"] == "<p>fresh body</p>"
+    assert second["etag"] == '"v1"'
+    assert RevalHandler.full_serves == 1        # no second body transfer
+    assert RevalHandler.conditional_seen >= 1   # validator actually sent
+
+
+def test_revalidation_changed_page_refetches(spark, reval_server):
+    from flyscrape_spark.sources.transport import RevalidatingTransport
+
+    cfg = CrawlConfig()
+    frontier = spark.createDataFrame(
+        [(f"{reval_server}/page", "127.0.0.1", 0)],
+        "url string, host string, depth int",
+    )
+    # stale validator: server's etag is "v1", ours is "v0" -> full 200
+    prior = spark.createDataFrame(
+        [(f"{reval_server}/page", '"v0"', None, "<p>stale</p>")],
+        "url string, etag string, last_modified string, body string",
+    )
+    out = RevalidatingTransport(HttpTransport(cfg, pace=False), prior) \
+        .fetch(frontier).collect()[0]
+    assert out["not_modified"] is False
+    assert out["status"] == 200 and out["body"] == "<p>fresh body</p>"
+    # frontier rows with NO prior entry fetch unconditionally
+    frontier2 = spark.createDataFrame(
+        [(f"{reval_server}/page", "127.0.0.1", 0)],
+        "url string, host string, depth int",
+    )
+    empty_prior = spark.createDataFrame(
+        [], "url string, etag string, last_modified string, body string",
+    )
+    out2 = RevalidatingTransport(HttpTransport(cfg, pace=False), empty_prior) \
+        .fetch(frontier2).collect()[0]
+    assert out2["status"] == 200 and out2["not_modified"] is False

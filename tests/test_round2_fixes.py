@@ -80,7 +80,7 @@ def test_retry_after_clamped():
         )
 
     with mock.patch("urllib.request.urlopen", side_effect=fake_urlopen):
-        status, body, error, attempts = _http_fetch_one(
+        status, body, error, attempts, _etag, _lm = _http_fetch_one(
             "http://x.test/", {}, 1.0,
             frozenset({503}), (1.0, 2.0), sleeps.append,
         )

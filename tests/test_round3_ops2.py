@@ -132,3 +132,22 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     # 0,1 near origin-ish centroids; 2,3 on the far centroid
     assert clusters[2] == clusters[3] == 2
     assert clusters[0] in (0, 1) and clusters[1] in (0, 1)
+
+
+def test_strip_tracking_params(spark):
+    from flyscrape_spark.functions.urls import strip_tracking_params
+
+    cases = [
+        ("http://a/p?id=1&utm_source=x&page=2", "http://a/p?id=1&page=2"),
+        ("http://a/p?utm_campaign=c&gclid=g1", "http://a/p"),
+        ("http://a/p?q=term", "http://a/p?q=term"),
+        ("http://a/p", "http://a/p"),
+        ("http://a/p?UTM_SOURCE=x&ok=1", "http://a/p?ok=1"),  # case-insensitive
+        ("http://a/p?fbclid=f&msclkid=m&spm=s", "http://a/p"),
+        ("http://a/p?", "http://a/p"),  # empty query drops the '?'
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r["url"]: r["c"] for r in
+           df.select("url", strip_tracking_params("url").alias("c")).collect()}
+    for url, want in cases:
+        assert got[url] == want, url

@@ -310,6 +310,19 @@ CHECKS = {
         "partial_agg": r"partial_min",
         "no_cartesian": r"!CartesianProduct",
     },
+    "strip_tracking": {
+        # pure codegen'd per-row expression: zero shuffles, no Python
+        "codegen": r"\*\(\d+\)",
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "max_exchanges": 0,
+    },
+    "domain_reputation": {
+        # quality features + eTLD+1 are per-row expressions fused into
+        # the scan side; ONE map-side-combined agg on the domain key
+        "partial_agg": r"partial_",
+        "no_cartesian": r"!CartesianProduct",
+        "max_exchanges": 2,  # doc_id equi-join + domain agg
+    },
 }
 
 
