@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": Q.q_kmeans_clusters,
         "strip_tracking": Q.q_strip_tracking,
         "domain_reputation": Q.q_domain_reputation,
+        "host_health": Q.q_host_health,
+        "pack_sequences": Q.q_pack_sequences,
         # training-data curation (continued)
         "lm_perplexity": Q.q_lm_perplexity,
         "containment_dup": Q.q_containment_dup,
@@ -147,6 +149,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": Q.sql_kmeans_clusters(),
         "strip_tracking": Q.sql_strip_tracking(),
         "domain_reputation": Q.sql_domain_reputation(),
+        "host_health": Q.sql_host_health(),
+        "pack_sequences": Q.sql_pack_sequences(),
         "lm_perplexity": Q.sql_lm_perplexity(),
         "containment_dup": Q.sql_containment_dup(),
         "stratified_sample": Q.sql_stratified_sample(),

@@ -191,3 +191,78 @@ def stratified_sample(
         )
         .drop("gate")
     )
+
+
+def pack_sequences(
+    documents: DataFrame,
+    seq_len: int,
+    order: str = "doc_id",
+    parts: int | None = None,
+) -> DataFrame:
+    """Sequence packing: when the corpus is concatenated in ``order``
+    and split into fixed ``seq_len``-token training windows, compute
+    each document's placement — (doc_id, n_tokens, cum_before,
+    seq_start, seq_end, offset): the first/last window the doc's
+    tokens land in and its token offset inside seq_start. The standard
+    pretraining dataloader layout, computed corpus-side so shards can
+    be written pre-packed.
+
+    Deterministic and partitioning-independent: the global running
+    token count uses the same skew-free two-phase prefix-sum shape as
+    :func:`token_budget_sample` (range-repartition by ``order``, pin
+    the layout, per-partition sums to the driver — ``parts`` numbers,
+    not rows — then one Arrow cumsum pass). No window over a single
+    global partition anywhere: at 10^10 docs a naive
+    ``Window.orderBy(order)`` cumsum is one task; this is ``parts``
+    parallel tasks plus a ``parts``-sized driver reduction.
+
+    Empty docs (0 tokens) occupy no window: seq_end = seq_start - 1
+    by the closed-interval formula; filter on ``n_tokens > 0``
+    downstream if needed.
+    """
+    spark = documents.sparkSession
+    if parts is None:
+        parts = spark.sparkContext.defaultParallelism
+    base = documents.select(F.col(order), token_count().alias("n_tokens"))
+    ranged = (
+        base.repartitionByRange(parts, F.col(order))
+        .sortWithinPartitions(order)
+        .localCheckpoint(eager=True)
+    )
+    part_sums = (
+        ranged.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.sum("n_tokens").alias("toks"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(part_sums, key=lambda r: r["pid"]):
+        offsets[row["pid"]] = acc
+        acc += row["toks"]
+    schema = StructType(
+        list(ranged.schema.fields) + [StructField("cum_before", LongType())]
+    )
+
+    def cumsum(iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        emitted = 0
+        for pdf in iterator:
+            within = pdf["n_tokens"].cumsum() - pdf["n_tokens"]
+            pdf["cum_before"] = within + offsets.get(pid, 0) + emitted
+            emitted += int(pdf["n_tokens"].sum())
+            yield pdf
+
+    packed = ranged.mapInPandas(cumsum, schema=schema)
+    # DIV, not /: float division loses exactness past 2^53 total
+    # tokens — well inside the 100 TB design envelope
+    return packed.select(
+        order,
+        "n_tokens",
+        "cum_before",
+        F.expr(f"cum_before DIV {seq_len}").alias("seq_start"),
+        F.expr(f"(cum_before + n_tokens - 1) DIV {seq_len}").alias("seq_end"),
+        (F.col("cum_before") % seq_len).alias("offset"),
+    )

@@ -169,3 +169,43 @@ def partition_skew(frontier_with_shards: DataFrame) -> dict:
         "ratio": round(sizes[-1] / max(median, 1), 3),
         "n_partitions": len(sizes),
     }
+
+
+def host_health(
+    fetch_log: DataFrame,
+    error_statuses: tuple = (429, 500, 502, 503, 504),
+    cooldown_ratio: float = 0.5,
+    min_fetches: int = 10,
+) -> DataFrame:
+    """Per-host health from a generation's fetch log: fetch count,
+    server-error count/ratio, and a ``cooldown`` flag — the circuit
+    breaker a large crawl needs on top of pacing (a host answering
+    mostly 5xx/429 should stop consuming the politeness-limited fetch
+    budget until it recovers; the reference retries per-request,
+    /root/reference/modules/retry/retry.go:43-81, but nothing stops
+    it hammering a dying host across requests).
+
+    cooldown = error_ratio >= ``cooldown_ratio`` once at least
+    ``min_fetches`` requests were observed (small samples don't trip
+    the breaker). Feed the flagged hosts into the next generation as
+    a blocklist/deprioritization (plans/priority.py scores).
+
+    Scale shape: one map-side-combinable groupBy(host); output is
+    host-cardinality. Transport errors (status 0) count as errors.
+    """
+    is_err = F.col("status").isin(*[int(s) for s in error_statuses]) | (
+        F.col("status") == 0
+    )
+    agg = fetch_log.groupBy("host").agg(
+        F.count("*").alias("n_fetches"),
+        F.sum(F.when(is_err, 1).otherwise(0)).alias("n_errors"),
+    )
+    ratio = F.round(
+        F.col("n_errors").cast("double") / F.col("n_fetches").cast("double"), 6
+    )
+    return agg.select(
+        "host", "n_fetches", "n_errors",
+        ratio.alias("error_ratio"),
+        ((F.col("n_fetches") >= min_fetches)
+         & (ratio >= cooldown_ratio)).alias("cooldown"),
+    )

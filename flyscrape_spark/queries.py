@@ -2515,3 +2515,82 @@ SELECT registrable,
 FROM h JOIN q USING (doc_id)
 GROUP BY 1
 """
+
+
+SEQ_LEN = 512
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (operators/mixing.py): each doc's
+    window placement when the corpus concatenates in doc_id order and
+    splits into 512-token sequences — skew-free two-phase prefix sums,
+    no global-orderBy window anywhere."""
+    from flyscrape_spark.operators.mixing import pack_sequences
+
+    return pack_sequences(load(spark, sf_dir, "documents"), seq_len=SEQ_LEN)
+
+
+def sql_pack_sequences(seq_len: int = SEQ_LEN) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM t
+)
+SELECT doc_id, n_tokens, cum_before,
+       cum_before // {seq_len} AS seq_start,
+       (cum_before + n_tokens - 1) // {seq_len} AS seq_end,
+       cum_before % {seq_len} AS offset
+FROM c
+"""
+
+
+def q_host_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host circuit breaker (operators/politeness.py host_health):
+    synthetic fetch log where hosts h2/h5 serve 503 on every third
+    doc — error ratio ~1/3 trips the 0.25 cooldown; all other hosts
+    stay healthy."""
+    from flyscrape_spark.operators.politeness import host_health
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    log = docs.select(
+        _doc_url(i).alias("url"),
+        F.concat(F.lit("h"), (i % GRAPH_HOSTS).cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.when(((i % GRAPH_HOSTS).isin(2, 5)) & (i % 3 == 0), F.lit(503))
+        .otherwise(F.lit(200)).alias("status"),
+    )
+    return host_health(log, cooldown_ratio=0.25, min_fetches=10)
+
+
+def sql_host_health(ratio: float = 0.25, min_fetches: int = 10) -> str:
+    return f"""
+WITH log AS (
+  SELECT 'h' || (doc_id % {GRAPH_HOSTS}) || '.example' AS host,
+         CASE WHEN (doc_id % {GRAPH_HOSTS}) IN (2, 5) AND doc_id % 3 = 0
+              THEN 503 ELSE 200 END AS status
+  FROM documents
+),
+agg AS (
+  SELECT host, count(*) AS n_fetches,
+         CAST(sum(CASE WHEN status IN (429, 500, 502, 503, 504)
+                       OR status = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+  FROM log GROUP BY 1
+)
+SELECT host, n_fetches, n_errors,
+       round(CAST(n_errors AS DOUBLE) / n_fetches, 6) AS error_ratio,
+       n_fetches >= {min_fetches}
+         AND round(CAST(n_errors AS DOUBLE) / n_fetches, 6) >= {ratio}
+         AS cooldown
+FROM agg
+"""

@@ -151,3 +151,62 @@ def test_strip_tracking_params(spark):
            df.select("url", strip_tracking_params("url").alias("c")).collect()}
     for url, want in cases:
         assert got[url] == want, url
+
+
+def test_pack_sequences_by_hand(spark):
+    from flyscrape_spark.operators.mixing import pack_sequences
+
+    # docs of 3, 5, 0, 4 tokens; seq_len 4:
+    # cum_before: 0, 3, 8, 8
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e f g h"), (2, "   "), (3, "i j k l")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(docs, seq_len=4).collect()}
+    assert (out[0]["cum_before"], out[0]["seq_start"], out[0]["seq_end"],
+            out[0]["offset"]) == (0, 0, 0, 0)
+    # doc1 spans windows 0 and 1 (tokens 3..7)
+    assert (out[1]["cum_before"], out[1]["seq_start"], out[1]["seq_end"],
+            out[1]["offset"]) == (3, 0, 1, 3)
+    # empty doc occupies nothing: seq_end < seq_start
+    assert out[2]["n_tokens"] == 0 and out[2]["seq_end"] == out[2]["seq_start"] - 1
+    assert (out[3]["cum_before"], out[3]["seq_start"], out[3]["seq_end"]) == (8, 2, 2)
+
+
+def test_pack_sequences_partitioning_independent(spark):
+    from flyscrape_spark.operators.mixing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join("w" for _ in range(1 + i % 7))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, pack_sequences(docs, 16, parts=2).collect()))
+    b = sorted(map(tuple, pack_sequences(docs.repartition(13), 16, parts=5).collect()))
+    assert a == b
+    # global invariant: cum_before is the prefix sum in doc_id order
+    rows = sorted(pack_sequences(docs, 16).collect(), key=lambda r: r["doc_id"])
+    acc = 0
+    for r in rows:
+        assert r["cum_before"] == acc
+        acc += r["n_tokens"]
+
+
+def test_host_health_breaker(spark):
+    from flyscrape_spark.operators.politeness import host_health
+
+    rows = (
+        [("bad.x", 503)] * 6 + [("bad.x", 200)] * 4      # 60% errors
+        + [("ok.x", 200)] * 20 + [("ok.x", 500)] * 2     # ~9% errors
+        + [("tiny.x", 0)] * 3                            # errors but n<10
+    )
+    log = spark.createDataFrame(
+        [(f"http://{h}/{i}", h, s) for i, (h, s) in enumerate(rows)],
+        "url string, host string, status int",
+    )
+    out = {r["host"]: r for r in host_health(log).collect()}
+    assert out["bad.x"]["cooldown"] is True
+    assert out["bad.x"]["n_errors"] == 6
+    assert out["ok.x"]["cooldown"] is False
+    # transport errors (status 0) count, but the sample is too small
+    assert out["tiny.x"]["n_errors"] == 3
+    assert out["tiny.x"]["cooldown"] is False

@@ -323,6 +323,21 @@ CHECKS = {
         "no_cartesian": r"!CartesianProduct",
         "max_exchanges": 2,  # doc_id equi-join + domain agg
     },
+    "host_health": {
+        # one map-side-combined groupBy(host); no joins at all
+        "partial_agg": r"partial_",
+        "no_join": r"!Join",
+        "max_exchanges": 1,
+    },
+    "pack_sequences": {
+        # global prefix sums over the pinned range layout in an Arrow
+        # pass — same shape contract as token_budget_sample: no
+        # global-orderBy window, no shuffle in the final pass
+        "pinned_layout": r"Scan ExistingRDD",
+        "no_global_window": r"!Window \[",
+        "arrow_cumsum": r"MapInPandas",
+        "max_exchanges": 0,
+    },
 }
 
 
