@@ -63,6 +63,15 @@ class CrawlConfig:
     # still marked seen — identical to every other validator
     # (scrape.go:276-285 enqueue-marks-seen semantics).
     generation_budget: int | None = None
+    # host circuit breaker (engine-only): once a host's cumulative
+    # server-error ratio (5xx/429/transport errors) reaches this
+    # threshold over >= host_cooldown_min_fetches observed fetches,
+    # its URLs are dropped at fetch time in later generations (they
+    # still enter the seen set — validator-dropped semantics,
+    # scrape.go:276-285). None = breaker off (reference behavior:
+    # per-request retry only, modules/retry/retry.go:43-81).
+    host_cooldown_ratio: float | None = None
+    host_cooldown_min_fetches: int = 10
     # fixed User-Agent for every request. None (default) = rotate a
     # browser UA deterministically per URL (the reference's behavior
     # when no User-Agent header is configured, headers.go:28-40 via

@@ -171,9 +171,21 @@ def partition_skew(frontier_with_shards: DataFrame) -> dict:
     }
 
 
+#: statuses that count against a host's health (plus transport
+#: errors, which surface as status 0)
+DEFAULT_ERROR_STATUSES = (429, 500, 502, 503, 504)
+
+
+def error_status_expr(error_statuses: tuple = DEFAULT_ERROR_STATUSES):
+    """Column predicate: this fetch counts as a host-health error."""
+    return F.col("status").isin(*[int(s) for s in error_statuses]) | (
+        F.col("status") == 0
+    )
+
+
 def host_health(
     fetch_log: DataFrame,
-    error_statuses: tuple = (429, 500, 502, 503, 504),
+    error_statuses: tuple = DEFAULT_ERROR_STATUSES,
     cooldown_ratio: float = 0.5,
     min_fetches: int = 10,
 ) -> DataFrame:
@@ -193,9 +205,7 @@ def host_health(
     Scale shape: one map-side-combinable groupBy(host); output is
     host-cardinality. Transport errors (status 0) count as errors.
     """
-    is_err = F.col("status").isin(*[int(s) for s in error_statuses]) | (
-        F.col("status") == 0
-    )
+    is_err = error_status_expr(error_statuses)
     agg = fetch_log.groupBy("host").agg(
         F.count("*").alias("n_fetches"),
         F.sum(F.when(is_err, 1).otherwise(0)).alias("n_errors"),

@@ -277,6 +277,7 @@ class CrawlEngine:
         seen_frames: list[DataFrame] = []
         robots_frames: list[DataFrame] = []
         result_frames: list[DataFrame] = []
+        health_frames: list[DataFrame] = []  # per-gen (host, n, errors)
         metrics: list[dict] = []
         next_order = 0
 
@@ -429,6 +430,28 @@ class CrawlEngine:
 
             fetchable = fetchable.withColumn("host", host_of("url"))
 
+            # 6a'. host circuit breaker (engine-only): hosts whose
+            # cumulative error ratio tripped the threshold in EARLIER
+            # generations are dropped at fetch time — they are already
+            # seen (step 5), so this is validator-dropped semantics,
+            # same as budget truncation above. The health frames are
+            # host-cardinality partial aggregates, so the anti-join's
+            # build side stays tiny at any crawl size.
+            if config.host_cooldown_ratio is not None and health_frames:
+                h = health_frames[0]
+                for hf in health_frames[1:]:
+                    h = h.unionByName(hf)
+                tot = h.groupBy("host").agg(
+                    F.sum("n_fetches").alias("n"),
+                    F.sum("n_errors").alias("e"),
+                )
+                cooled = tot.filter(
+                    (F.col("n") >= config.host_cooldown_min_fetches)
+                    & (F.col("e").cast("double") / F.col("n")
+                       >= config.host_cooldown_ratio)
+                ).select("host")
+                fetchable = fetchable.join(cooled, "host", "left_anti")
+
             # 6b. robots.txt (RFC 9309, engine-only — north_rule): one
             # robots fetch per NEWLY seen host, accumulated like the
             # seen set; disallowed URLs are dropped here, at fetch
@@ -518,6 +541,23 @@ class CrawlEngine:
                 )
             fetched = self._materialize(fetched, "fetched", gen)
             result_frames.append(fetched)
+
+            if config.host_cooldown_ratio is not None:
+                from flyscrape_spark.operators.politeness import (
+                    error_status_expr,
+                )
+
+                health_frames.append(
+                    fetched.groupBy("host")
+                    .agg(
+                        F.count("*").alias("n_fetches"),
+                        F.sum(
+                            F.when(error_status_expr(), 1).otherwise(0)
+                        ).alias("n_errors"),
+                    )
+                    # lazy: folds into the next generation's first job
+                    .localCheckpoint(eager=False)
+                )
 
             # 10. link fan-out -> next generation's candidates.
             #     Non-2xx pages still follow links (deferred

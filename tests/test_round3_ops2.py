@@ -210,3 +210,50 @@ def test_host_health_breaker(spark):
     # transport errors (status 0) count, but the sample is too small
     assert out["tiny.x"]["n_errors"] == 3
     assert out["tiny.x"]["cooldown"] is False
+
+
+def test_engine_host_cooldown(spark):
+    """Engine-level circuit breaker: a host serving only 503s is cut
+    off after the generation that observes it; its later URLs stay
+    seen (validator-dropped semantics) but never fetch."""
+    from flyscrape_spark.config import CrawlConfig
+    from flyscrape_spark.plans.frontier import CrawlEngine
+    from flyscrape_spark.sources.transport import JoinTransport
+
+    pages = spark.createDataFrame(
+        [
+            ("http://good.test/", "good.test", 200,
+             '<a href="http://bad.test/1">b</a><a href="/g1">g</a>'),
+            ("http://bad.test/1", "bad.test", 503,
+             '<a href="http://bad.test/2">b2</a>'),
+            ("http://good.test/g1", "good.test", 200,
+             '<a href="http://bad.test/3">b3</a><a href="/g2">g2</a>'),
+            ("http://bad.test/2", "bad.test", 503, "<p>x</p>"),
+            ("http://bad.test/3", "bad.test", 503, "<p>x</p>"),
+            ("http://good.test/g2", "good.test", 200, "<p>leaf</p>"),
+        ],
+        "url string, host string, status int, html string",
+    )
+    cfg = CrawlConfig(depth=3, domain_filter=False,
+                      host_cooldown_ratio=0.5, host_cooldown_min_fetches=1)
+    r = CrawlEngine(spark, cfg, JoinTransport(pages, cfg, broadcast=True),
+                    collect_metrics=False).run(["http://good.test/"])
+    fetched = {row["url"] for row in r.results.collect()}
+    # gen1 fetches bad/1 (first observation); from gen2 the breaker
+    # holds: bad/2, bad/3 never fetch, good pages still crawl fully
+    assert "http://bad.test/1" in fetched
+    assert "http://bad.test/2" not in fetched
+    assert "http://bad.test/3" not in fetched
+    assert {"http://good.test/", "http://good.test/g1",
+            "http://good.test/g2"} <= fetched
+    # skipped URLs are STILL seen — they never re-enter the frontier
+    seen = {row["url"] for row in r.seen.collect()}
+    assert {"http://bad.test/2", "http://bad.test/3"} <= seen
+
+    # breaker off: reference behavior, everything fetches
+    cfg2 = CrawlConfig(depth=3, domain_filter=False)
+    r2 = CrawlEngine(spark, cfg2, JoinTransport(pages, cfg2, broadcast=True),
+                     collect_metrics=False).run(["http://good.test/"])
+    fetched2 = {row["url"] for row in r2.results.collect()}
+    assert {"http://bad.test/1", "http://bad.test/2",
+            "http://bad.test/3"} <= fetched2
