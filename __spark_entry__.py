@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_reputation": Q.q_domain_reputation,
         "host_health": Q.q_host_health,
         "pack_sequences": Q.q_pack_sequences,
+        "crawl_merge": Q.q_crawl_merge,
         # training-data curation (continued)
         "lm_perplexity": Q.q_lm_perplexity,
         "containment_dup": Q.q_containment_dup,
@@ -151,6 +152,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_reputation": Q.sql_domain_reputation(),
         "host_health": Q.sql_host_health(),
         "pack_sequences": Q.sql_pack_sequences(),
+        "crawl_merge": Q.sql_crawl_merge(),
         "lm_perplexity": Q.sql_lm_perplexity(),
         "containment_dup": Q.sql_containment_dup(),
         "stratified_sample": Q.sql_stratified_sample(),

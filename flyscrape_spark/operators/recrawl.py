@@ -113,3 +113,49 @@ def change_rate(
             4,
         ).alias("next_due"),
     )
+
+
+def merge_crawls(
+    seens: list[tuple[str, DataFrame]],
+    key_col: str = "url",
+) -> DataFrame:
+    """Merge the seen/frontier state of multiple crawls into one
+    authoritative table: per URL, the best (minimum) depth wins, ties
+    broken by crawl label order — the operation behind combining an
+    old crawl with a fresh discovery pass, or federating per-region
+    crawls into one global seen set before the next generation's
+    anti-join.
+
+    Input: ``[(label, seen_df), ...]`` where each seen_df has
+    (url, depth[, discovery_order]). Output: (url, depth, crawl,
+    n_crawls) — winning depth, which crawl supplied it, and how many
+    crawls had seen the URL at all.
+
+    Scale shape: union (no shuffle) → ONE map-side-combinable
+    groupBy(url) with a min-over-struct (depth, label-rank) — the
+    same partial-agg argmin idiom as kmeans assignment; never a
+    window, never a join.
+    """
+    parts = []
+    for rank, (label, df) in enumerate(seens):
+        parts.append(
+            df.select(
+                F.col(key_col).alias("url"),
+                F.col("depth").cast("int").alias("depth"),
+                F.lit(rank).alias("crawl_rank"),
+                F.lit(label).alias("crawl"),
+            )
+        )
+    allseen = parts[0]
+    for p in parts[1:]:
+        allseen = allseen.unionByName(p)
+    best = allseen.groupBy("url").agg(
+        F.min(F.struct("depth", "crawl_rank", "crawl")).alias("best"),
+        F.count("*").alias("n_crawls"),
+    )
+    return best.select(
+        "url",
+        F.col("best.depth").alias("depth"),
+        F.col("best.crawl").alias("crawl"),
+        "n_crawls",
+    )

@@ -2594,3 +2594,45 @@ SELECT host, n_fetches, n_errors,
          AS cooldown
 FROM agg
 """
+
+
+def q_crawl_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-crawl seen-state merge (operators/recrawl.py
+    merge_crawls): crawl 'a' saw every doc at depth (3i)%7, crawl 'b'
+    saw the even docs at depth (5i)%7 — per URL the minimum depth
+    wins, ties to crawl 'a'."""
+    from flyscrape_spark.operators.recrawl import merge_crawls
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    a = docs.select(_doc_url(i).alias("url"), ((3 * i) % 7).alias("depth"))
+    b = docs.filter(i % 2 == 0).select(
+        _doc_url(i).alias("url"), ((5 * i) % 7).alias("depth")
+    )
+    return merge_crawls([("a", a), ("b", b)])
+
+
+def sql_crawl_merge() -> str:
+    return f"""
+WITH s AS (
+  SELECT {_doc_url_sql('doc_id')} AS url,
+         CAST((3 * doc_id) % 7 AS INT) AS depth, 0 AS crawl_rank,
+         'a' AS crawl
+  FROM documents
+  UNION ALL
+  SELECT {_doc_url_sql('doc_id')}, CAST((5 * doc_id) % 7 AS INT), 1, 'b'
+  FROM documents WHERE doc_id % 2 = 0
+),
+best AS (
+  SELECT url, count(*) AS n_crawls
+  FROM s GROUP BY 1
+),
+win AS (
+  SELECT url, depth, crawl
+  FROM s
+  QUALIFY row_number() OVER (PARTITION BY url
+                             ORDER BY depth, crawl_rank) = 1
+)
+SELECT w.url, w.depth, w.crawl, b.n_crawls
+FROM win w JOIN best b ON b.url = w.url
+"""

@@ -175,3 +175,39 @@ def windowed_host_counts(
         .agg(F.count("*").alias("n_urls"))
         .select("win.start", "win.end", "host", "n_urls")
     )
+
+
+def windowed_host_health(
+    fetches: DataFrame, window: str = "1 minute", slide: str | None = None,
+    watermark: str = "2 minutes", cooldown_ratio: float = 0.5,
+    min_fetches: int = 10,
+) -> DataFrame:
+    """Streaming edge of the host circuit breaker
+    (operators/politeness.host_health / CrawlConfig.host_cooldown_*):
+    watermarked per-host error ratios over sliding windows from a
+    live fetch-result stream (host, status, ts). A window whose ratio
+    trips the threshold emits cooldown=true — feed it back to the
+    scheduler to pause the host for the next windows.
+
+    Windowed (not global) on purpose: a breaker must RESET when the
+    host recovers; the batch engine's cumulative ratio is the
+    per-crawl ledger, this stream is the live control signal. Same
+    map-side-combinable groupBy shape as windowed_host_counts."""
+    from flyscrape_spark.operators.politeness import error_status_expr
+
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    n = F.count("*")
+    e = F.sum(F.when(error_status_expr(), 1).otherwise(0))
+    return (
+        fetches.withWatermark("ts", watermark)
+        .groupBy(win.alias("win"), "host")
+        .agg(n.alias("n_fetches"), e.alias("n_errors"))
+        .select(
+            "win.start", "win.end", "host", "n_fetches", "n_errors",
+            F.round(F.col("n_errors").cast("double") / F.col("n_fetches"), 6)
+            .alias("error_ratio"),
+            ((F.col("n_fetches") >= min_fetches)
+             & (F.col("n_errors").cast("double") / F.col("n_fetches")
+                >= cooldown_ratio)).alias("cooldown"),
+        )
+    )

@@ -160,3 +160,54 @@ def test_windowed_host_counts(spark, tmp_path):
     assert rows[("2024-01-01T00:00:00", "a.test")] == 2
     assert rows[("2024-01-01T00:00:00", "b.test")] == 1
     assert rows[("2024-01-01T00:01:00", "a.test")] == 1
+
+
+def _write_fetch_feed(path, rows, ts="2024-01-01T00:00:30"):
+    path.mkdir(parents=True, exist_ok=True)
+    fname = path / f"feed-{time.time_ns()}.json"
+    with open(fname, "w") as f:
+        for host, status in rows:
+            f.write(json.dumps({"host": host, "status": status, "ts": ts}) + "\n")
+
+
+def test_windowed_host_health_breaker(spark, tmp_path):
+    """Streaming circuit breaker: a window where a host serves mostly
+    5xx trips cooldown; the next window (recovered) resets it."""
+    from flyscrape_spark.streaming.ingest import windowed_host_health
+
+    feed = tmp_path / "fetchfeed"
+    # window 0: bad.test 3/4 errors (trips at min_fetches=4);
+    #           ok.test clean
+    _write_fetch_feed(
+        feed,
+        [("bad.test", 503)] * 3 + [("bad.test", 200)]
+        + [("ok.test", 200)] * 4,
+        ts="2024-01-01T00:00:30",
+    )
+    # window 1: bad.test recovered
+    _write_fetch_feed(feed, [("bad.test", 200)] * 4,
+                      ts="2024-01-01T00:01:30")
+
+    src = (
+        spark.readStream.schema("host string, status int, ts timestamp")
+        .json(str(feed))
+    )
+    health = windowed_host_health(src, window="1 minute", min_fetches=4)
+    q = (
+        health.writeStream.format("memory")
+        .queryName("host_health_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["start"].isoformat(), r["host"]): r
+        for r in spark.sql("select * from host_health_stream").collect()
+    }
+    w0bad = rows[("2024-01-01T00:00:00", "bad.test")]
+    assert w0bad["n_errors"] == 3 and w0bad["cooldown"] is True
+    assert rows[("2024-01-01T00:00:00", "ok.test")]["cooldown"] is False
+    # recovery: the breaker resets with the window
+    w1bad = rows[("2024-01-01T00:01:00", "bad.test")]
+    assert w1bad["n_errors"] == 0 and w1bad["cooldown"] is False

@@ -329,6 +329,14 @@ CHECKS = {
         "no_join": r"!Join",
         "max_exchanges": 1,
     },
+    "crawl_merge": {
+        # union -> ONE map-side-combined min-over-struct groupBy on
+        # url; never a window, never a join
+        "partial_agg": r"partial_min",
+        "no_join": r"!Join",
+        "no_window": r"!Window \[",
+        "max_exchanges": 1,
+    },
     "pack_sequences": {
         # global prefix sums over the pinned range layout in an Arrow
         # pass — same shape contract as token_budget_sample: no
