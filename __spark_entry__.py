@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_health": Q.q_host_health,
         "pack_sequences": Q.q_pack_sequences,
         "crawl_merge": Q.q_crawl_merge,
+        "chunk_documents": Q.q_chunk_documents,
         # training-data curation (continued)
         "lm_perplexity": Q.q_lm_perplexity,
         "containment_dup": Q.q_containment_dup,
@@ -153,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         "host_health": Q.sql_host_health(),
         "pack_sequences": Q.sql_pack_sequences(),
         "crawl_merge": Q.sql_crawl_merge(),
+        "chunk_documents": Q.sql_chunk_documents(),
         "lm_perplexity": Q.sql_lm_perplexity(),
         "containment_dup": Q.sql_containment_dup(),
         "stratified_sample": Q.sql_stratified_sample(),

@@ -219,3 +219,44 @@ def top_ngrams(documents: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
         .limit(k)
     )
+
+
+def chunk_documents(
+    documents: DataFrame, size: int = 128, overlap: int = 32
+) -> DataFrame:
+    """Split every document into overlapping fixed-size token windows
+    — the chunking stage ahead of embedding/retrieval indexing (each
+    chunk becomes one embedding row; ``overlap`` preserves context
+    across boundaries). Returns (doc_id, chunk_idx, n_chunk_tokens,
+    chunk_text); empty documents yield no chunks.
+
+    Pure higher-order array expressions + one posexplode: per-row JVM
+    work with partition-local fan-out — zero shuffles, zero Python,
+    embarrassingly parallel at any corpus size. Chunk starts step by
+    ``size - overlap``; the final window may be shorter (slice
+    clamps), and a start is only emitted while it lands inside the
+    document, so no chunk is ever fully contained in its predecessor.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("require 0 <= overlap < size")
+    step = size - overlap
+    toks = F.split(normalized_text(), " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.least(F.lit(size), n - s).alias("n_chunk_tokens"),
+            F.array_join(F.slice(toks, s + 1, size), " ").alias("chunk_text"),
+        ),
+    )
+    return (
+        documents.filter(F.trim(F.col("text")) != "")
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "c"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.col("c.n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+    )

@@ -2636,3 +2636,39 @@ win AS (
 SELECT w.url, w.depth, w.crawl, b.n_crawls
 FROM win w JOIN best b ON b.url = w.url
 """
+
+
+CHUNK_SIZE = 24
+CHUNK_OVERLAP = 8
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/text.py
+    chunk_documents) — the embedding/RAG prep stage; 24-token windows
+    stepping by 16 so most docs produce several chunks."""
+    from flyscrape_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        load(spark, sf_dir, "documents"), size=CHUNK_SIZE, overlap=CHUNK_OVERLAP
+    )
+
+
+def sql_chunk_documents(size: int = CHUNK_SIZE,
+                        overlap: int = CHUNK_OVERLAP) -> str:
+    step = size - overlap
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+  WHERE trim(text) <> ''
+),
+s AS (
+  SELECT doc_id, w,
+         unnest(range(0, greatest(len(w) - 1, 0) + 1, {step})) AS start
+  FROM words
+)
+SELECT doc_id,
+       CAST(start / {step} AS INT) AS chunk_idx,
+       CAST(least({size}, len(w) - start) AS INT) AS n_chunk_tokens,
+       array_to_string(w[start + 1:start + {size}], ' ') AS chunk_text
+FROM s
+"""

@@ -257,3 +257,30 @@ def test_engine_host_cooldown(spark):
     fetched2 = {row["url"] for row in r2.results.collect()}
     assert {"http://bad.test/1", "http://bad.test/2",
             "http://bad.test/3"} <= fetched2
+
+
+def test_chunk_documents_by_hand(spark):
+    from flyscrape_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+         (1, "a b"),                                  # shorter than size
+         (2, "   ")],                                 # empty: no chunks
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, size=4, overlap=2).collect()
+    rows = sorted((r["doc_id"], r["chunk_idx"], r["n_chunk_tokens"],
+                   r["chunk_text"]) for r in out)
+    # doc0: starts 0,2,4,6,8 -> windows of 4 (last two shorter)
+    assert [(d, i, n) for d, i, n, _ in rows if d == 0] == [
+        (0, 0, 4), (0, 1, 4), (0, 2, 4), (0, 3, 4), (0, 4, 2)]
+    assert rows[0][3] == "w0 w1 w2 w3"
+    assert rows[1][3] == "w2 w3 w4 w5"   # overlap of 2
+    assert rows[4][3] == "w8 w9"         # clamped tail
+    # doc1: a single short chunk; doc2: none
+    assert [(d, i, n, t) for d, i, n, t in rows if d == 1] == [(1, 0, 2, "a b")]
+    assert not [r for r in rows if r[0] == 2]
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_documents(docs, size=4, overlap=4)

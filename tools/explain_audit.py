@@ -329,6 +329,12 @@ CHECKS = {
         "no_join": r"!Join",
         "max_exchanges": 1,
     },
+    "chunk_documents": {
+        # pure per-row explode: codegen'd, no Python, zero shuffles
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "generate_explode": r"Generate posexplode",
+        "max_exchanges": 0,
+    },
     "crawl_merge": {
         # union -> ONE map-side-combined min-over-struct groupBy on
         # url; never a window, never a join
