@@ -139,7 +139,11 @@ def load_script(path: str):
 
 
 def _run_once(path: str, overrides: dict, spark=None, pages_path: str | None = None):
-    from flyscrape_spark.operators.sinks import to_json_array, write_ndjson
+    from flyscrape_spark.operators.sinks import (
+        iter_ndjson_lines,
+        to_json_array,
+        write_ndjson,
+    )
     from flyscrape_spark.parse.script import make_script_udf
     from flyscrape_spark.plans.frontier import CrawlEngine
     from flyscrape_spark.session import get_spark
@@ -176,6 +180,12 @@ def _run_once(path: str, overrides: dict, spark=None, pages_path: str | None = N
     out_format = out_format or js.output_format
     if out_format == "ndjson" and out_file:
         write_ndjson(result.results, out_file)
+    elif out_format == "ndjson":
+        # reference ndjson module streams newline-delimited records to
+        # stdout when no file is configured (modules/output/ndjson/
+        # ndjson.go:47)
+        for line in iter_ndjson_lines(result.results):
+            print(line)
     else:
         payload = to_json_array(result.results)
         if out_file:
@@ -186,6 +196,27 @@ def _run_once(path: str, overrides: dict, spark=None, pages_path: str | None = N
     return result
 
 
+def make_dev_rerun(path: str, overrides: dict):
+    """Build the dev-watch rerun callback. Any error — config
+    (SystemExit/JsConfigError) or a transient mid-save script
+    SyntaxError — is reported to stderr and the watch loop KEEPS
+    RUNNING, mirroring the reference dev mode which prints compile
+    errors and keeps watching (flyscrape.go:81-85)."""
+
+    def rerun(_contents):
+        # dev mode forces depth=0 (flyscrape.go:93: iterate on the
+        # extraction against the seed page only, re-fetch cached)
+        dev_overrides = dict(overrides, depth="0")
+        try:
+            _run_once(path, dev_overrides)
+        except SystemExit as e:  # config error: report, keep watching
+            print(e, file=sys.stderr)
+        except Exception as e:
+            print(f"{type(e).__name__}: {e}", file=sys.stderr)
+
+    return rerun
+
+
 def main(argv: list[str] | None = None) -> int:
     args = list(sys.argv[1:] if argv is None else argv)
     cmd = args.pop(0) if args else ""
@@ -194,8 +225,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if cmd == "new":
         path = args[0] if args else "scrape.py"
-        with open(path, "x", encoding="utf-8") as f:
-            f.write(TEMPLATE)
+        try:
+            with open(path, "x", encoding="utf-8") as f:
+                f.write(TEMPLATE)
+        except FileExistsError:
+            print(f"file exists: {path}", file=sys.stderr)
+            return 1
         print(f"wrote {path}")
         return 0
     if cmd in ("run", "dev"):
@@ -209,16 +244,7 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         from flyscrape_spark.devwatch import watch
 
-        def rerun(_contents):
-            # dev mode forces depth=0 (flyscrape.go:93: iterate on the
-            # extraction against the seed page only, re-fetch cached)
-            dev_overrides = dict(overrides, depth="0")
-            try:
-                _run_once(path, dev_overrides)
-            except SystemExit as e:  # config error: report, keep watching
-                print(e, file=sys.stderr)
-
-        watch(path, rerun)
+        watch(path, make_dev_rerun(path, overrides))
         return 0
     print(USAGE)
     return 1

@@ -105,6 +105,8 @@ class _Parser:
                 self.error("expected ',' or ']' in array")
 
     def key(self) -> str:
+        if self.i >= len(self.t):
+            self.error("expected object key")
         if self.t[self.i] in "\"'":
             return self.string()
         j = self.i

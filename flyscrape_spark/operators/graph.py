@@ -59,9 +59,17 @@ def pagerank(
     damping: float = 0.85,
     node_col: str = "node",
     checkpoint_every: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank: returns (node, pr) after
     ``iterations`` synchronous updates from the uniform start 1/N.
+
+    ``materialize=True`` (default) eagerly computes the O(nodes)
+    result and releases the edge cache before returning — a driver
+    sweep runs 60+ queries in one session and leaked edge blocks
+    otherwise accumulate (round-2 advice). ``materialize=False``
+    returns the lazy iteration plan (used by the plan audit); the
+    caller then owns the edge-cache lifetime.
 
     pr'(v) = (1-d)/N + d * Σ_{u→v} pr(u)/out_degree(u); dangling
     nodes (out_degree 0) leak mass like the classic formulation —
@@ -77,22 +85,28 @@ def pagerank(
         edges.join(out_d.withColumnRenamed(node_col, "src"), "src")
         .persist()
     )
-    e.count()
-    ranks = nodes.select(F.col(node_col), F.lit(1.0 / n).alias("pr"))
-    base = F.lit((1.0 - damping) / n)
-    for it in range(iterations):
-        contrib = (
-            e.join(ranks.withColumnRenamed(node_col, "src"), "src")
-            .groupBy(F.col("dst").alias(node_col))
-            .agg(F.sum(F.col("pr") / F.col("out_degree")).alias("mass"))
-        )
-        ranks = nodes.select(node_col).join(contrib, node_col, "left").select(
-            node_col,
-            (base + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias("pr"),
-        )
-        if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+    try:
+        e.count()  # noqa: B018 — materialize the reused edge cache
+        ranks = nodes.select(F.col(node_col), F.lit(1.0 / n).alias("pr"))
+        base = F.lit((1.0 - damping) / n)
+        for it in range(iterations):
+            contrib = (
+                e.join(ranks.withColumnRenamed(node_col, "src"), "src")
+                .groupBy(F.col("dst").alias(node_col))
+                .agg(F.sum(F.col("pr") / F.col("out_degree")).alias("mass"))
+            )
+            ranks = nodes.select(node_col).join(contrib, node_col, "left").select(
+                node_col,
+                (base + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias("pr"),
+            )
+            if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+                ranks = ranks.localCheckpoint(eager=False)
+        if not materialize:
+            return ranks
+        return ranks.localCheckpoint(eager=True)
+    finally:
+        if materialize:
+            e.unpersist()
 
 
 def hits(
@@ -101,6 +115,7 @@ def hits(
     iterations: int = 3,
     node_col: str = "node",
     checkpoint_every: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg 1999): returns
     (node, authority, hub) after ``iterations`` synchronous updates
@@ -117,7 +132,20 @@ def hits(
     two map-side-combinable aggs — linear, no all-pairs anywhere.
     """
     e = edges.select("src", "dst").persist()
-    e.count()
+    try:
+        e.count()  # noqa: B018 — materialize the reused edge cache
+        scores = _hits_loop(e, nodes, iterations, node_col, checkpoint_every)
+        if not materialize:
+            return scores
+        # eager O(nodes) materialization so the result no longer
+        # references the (unpersisted) edge cache — see pagerank()
+        return scores.localCheckpoint(eager=True)
+    finally:
+        if materialize:
+            e.unpersist()
+
+
+def _hits_loop(e, nodes, iterations, node_col, checkpoint_every):
     hub = nodes.select(F.col(node_col), F.lit(1.0).alias("hub"))
     auth = None
     for it in range(iterations):

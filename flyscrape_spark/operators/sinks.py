@@ -34,6 +34,22 @@ def write_ndjson(results: DataFrame, path: str) -> None:
     _records(results).write.mode("overwrite").json(path)
 
 
+def iter_ndjson_lines(results: DataFrame):
+    """Yield NDJSON lines in canonical order (stdout path — the
+    reference streams newline-delimited records to stdout when no
+    output file is configured, modules/output/ndjson/ndjson.go:47).
+    Uses toLocalIterator so only one partition is resident at a time."""
+    for r in _records(results).toLocalIterator():
+        yield json.dumps(
+            {
+                "url": r["url"],
+                "data": json.loads(r["data"]) if r["data"] else None,
+                "error": r["error"],
+                "timestamp": r["timestamp"].isoformat() if r["timestamp"] else None,
+            }
+        )
+
+
 def to_json_array(results: DataFrame) -> str:
     """Exact single-file JSON array (collects — only for result sets
     that fit the driver, like the reference's single-process sink)."""

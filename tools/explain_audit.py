@@ -355,6 +355,39 @@ CHECKS = {
 }
 
 
+def _lazy_pagerank(spark, sf_dir):
+    # pagerank()/hits() eagerly materialize by default so the driver
+    # sweep doesn't leak edge caches; the audit wants the ITERATION
+    # plan, so rebuild with materialize=False (caller-owned cache).
+    from pyspark.sql import functions as F
+
+    from flyscrape_spark import queries as Q
+    from flyscrape_spark.operators.graph import pagerank
+
+    docs, edges = Q._graph_edges(spark, sf_dir)
+    ranks = pagerank(docs.select(F.col("doc_id").alias("node")), edges,
+                     iterations=Q.PAGERANK_ITERS, damping=Q.PAGERANK_DAMPING,
+                     materialize=False)
+    return ranks.select("node", F.round("pr", 8).alias("pr"))
+
+
+def _lazy_hits(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from flyscrape_spark import queries as Q
+    from flyscrape_spark.operators.graph import hits
+
+    docs, edges = Q._graph_edges(spark, sf_dir)
+    scores = hits(docs.select(F.col("doc_id").alias("node")), edges,
+                  iterations=Q.HITS_ITERS, materialize=False)
+    return scores.select(
+        "node", F.round("authority", 8).alias("authority"),
+        F.round("hub", 8).alias("hub"))
+
+
+PLAN_BUILDERS = {"pagerank": _lazy_pagerank, "hits_scores": _lazy_hits}
+
+
 def audit(sf_dir: str) -> list[tuple[str, str, bool, str]]:
     import __spark_entry__ as entrymod
     from flyscrape_spark.session import get_spark
@@ -363,7 +396,7 @@ def audit(sf_dir: str) -> list[tuple[str, str, bool, str]]:
     queries = entrymod.queries()
     results = []
     for name, checks in CHECKS.items():
-        df = queries[name](spark, sf_dir)
+        df = PLAN_BUILDERS.get(name, queries[name])(spark, sf_dir)
         # collect() (not count()) finalizes THIS df's AdaptiveSparkPlan
         # in place, so the string shows codegen stages; count() would
         # execute a different (wrapped) query
