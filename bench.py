@@ -54,10 +54,18 @@ def clear_persisted(spark) -> None:
         rdd.unpersist()
 
 
-def frontier_kernel(spark, n_urls: int) -> dict:
-    """The headline metric's hot path: canonicalize + hash + exact
-    anti-join dedup of a synthetic frontier against a seen set
-    (URLs 'fetched+deduped'/sec, BASELINE.json "metric")."""
+def frontier_kernel(spark, n_urls: int, mode: str = "fp128") -> dict:
+    """The headline metric's hot path: canonicalize + hash + anti-join
+    dedup of a synthetic frontier against a seen set (URLs
+    'fetched+deduped'/sec, BASELINE.json "metric").
+
+    mode="fp128" (the 10^10 design point, CrawlConfig.seen_fingerprint):
+    both sides of the anti-join carry TWO 64-bit keys — 16 bytes/row
+    through the shuffle instead of the URL string. Equality with exact
+    mode is pytest-pinned (tests/test_fingerprint_mode.py); collision
+    odds at 10^10 URLs ~1.5e-19.
+    mode="exact": (url_key, url) string-tiebreak join — the
+    reference-equality mode, and the round-1/2 recorded kernel."""
     from pyspark.sql import functions as F
 
     from flyscrape_spark.functions.urls import canonicalize
@@ -67,20 +75,40 @@ def frontier_kernel(spark, n_urls: int) -> dict:
     frontier = synthetic_frontier(spark, n_urls, n_hosts=10_000, skew=3.0)
     # seen set: half of the URL space, materialized like a prior
     # generation's snapshot would be
-    seen = (
-        frontier.filter(F.col("id") % 2 == 0)
-        .select(F.xxhash64(canonicalize(F.col("url"))).alias("seen_key"),
-                F.col("url").alias("seen_url"))
-        .localCheckpoint(eager=True)
-    )
-    cand = frontier.withColumn("url", F.trim("url")).withColumn(
-        "url_key", F.xxhash64(canonicalize(F.col("url")))
-    )
-    new = cand.join(
-        seen,
-        (cand["url_key"] == seen["seen_key"]) & (cand["url"] == seen["seen_url"]),
-        "left_anti",
-    )
+    canon = canonicalize(F.col("url"))
+    if mode == "fp128":
+        seen = (
+            frontier.filter(F.col("id") % 2 == 0)
+            .select(F.xxhash64(canon).alias("seen_key"),
+                    F.xxhash64(canon, F.lit(1)).alias("seen_key2"))
+            .localCheckpoint(eager=True)
+        )
+        cand = (
+            frontier.withColumn("url", F.trim("url"))
+            .withColumn("url_key", F.xxhash64(canon))
+            .withColumn("url_key2", F.xxhash64(canon, F.lit(1)))
+        )
+        new = cand.join(
+            seen,
+            (cand["url_key"] == seen["seen_key"])
+            & (cand["url_key2"] == seen["seen_key2"]),
+            "left_anti",
+        )
+    else:
+        seen = (
+            frontier.filter(F.col("id") % 2 == 0)
+            .select(F.xxhash64(canon).alias("seen_key"),
+                    F.col("url").alias("seen_url"))
+            .localCheckpoint(eager=True)
+        )
+        cand = frontier.withColumn("url", F.trim("url")).withColumn(
+            "url_key", F.xxhash64(canonicalize(F.col("url")))
+        )
+        new = cand.join(
+            seen,
+            (cand["url_key"] == seen["seen_key"]) & (cand["url"] == seen["seen_url"]),
+            "left_anti",
+        )
     # steady-state measurement: one untimed warm-up run (JIT/codegen
     # compilation), then best-of-3 timed runs. Warm-up: without it the
     # faster config pays a larger warm-up fraction and the scaling
@@ -94,6 +122,7 @@ def frontier_kernel(spark, n_urls: int) -> dict:
         times.append(time.time() - t0)
     dt = min(times)
     return {"n_urls": n_urls, "n_new": n_new, "sec": round(dt, 3),
+            "mode": mode,
             "all_secs": [round(t, 3) for t in times],
             "urls_per_sec": round(n_urls / dt)}
 
@@ -176,7 +205,8 @@ def run_bench(cpus: int, include_queries: bool = True) -> dict:
         out["queries"] = qtimes
 
     out["engine"] = engine_kernel(spark, N_ENGINE_PAGES)
-    out["frontier"] = frontier_kernel(spark, N_URLS)
+    out["frontier"] = frontier_kernel(spark, N_URLS, mode="fp128")
+    out["frontier_exact"] = frontier_kernel(spark, N_URLS, mode="exact")
     spark.stop()
     return out
 
@@ -199,8 +229,10 @@ def main():
             runs = [engine_kernel(spark, n_pages, seeds=500_000, depth=1)
                     for _ in range(2)]
             result = max(runs, key=lambda r: r["urls_per_sec"])
+        elif kind == "kernel_exact":
+            result = frontier_kernel(spark, N_URLS, mode="exact")
         else:
-            result = frontier_kernel(spark, N_URLS)
+            result = frontier_kernel(spark, N_URLS, mode="fp128")
         spark.stop()
         print("WORKER_JSON:" + json.dumps(result))
         return
@@ -220,6 +252,7 @@ def main():
         pairs = [tuple(int(x) for x in p.split(":"))
                  for p in pairs_env.split(",")]
         samples = int(os.environ.get("BENCH_SCALING_SAMPLES", "2"))
+        kinds = os.environ.get("BENCH_SCALING_KINDS", "kernel,engine").split(",")
 
         def worker(cpus: int, kind: str) -> dict:
             proc = subprocess.run(
@@ -240,7 +273,7 @@ def main():
         report = {}
         for n, wide in pairs:
             factor = wide / n
-            for kind in ("kernel", "engine"):
+            for kind in kinds:
                 rn = sample(n, kind)
                 rw = sample(wide, kind)
                 tpn, tpw = rn["urls_per_sec"], rw["urls_per_sec"]
@@ -271,6 +304,7 @@ def main():
         "queries": result.get("queries", {}),
         "sf": SF_DIR,
         "frontier_urls_per_sec": result["frontier"]["urls_per_sec"],
+        "frontier_exact_urls_per_sec": result["frontier_exact"]["urls_per_sec"],
         "frontier_n_urls": result["frontier"]["n_urls"],
         "engine_urls_per_sec": result["engine"]["urls_per_sec"],
         "engine_seen": result["engine"]["seen"],

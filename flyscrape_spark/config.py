@@ -47,6 +47,17 @@ class CrawlConfig:
     # set. False = reference semantics (exact strings, TrimSpace only,
     # scrape.go:271) — required for fixture-equality tests.
     canonicalize: bool = False
+    # 128-bit fingerprint seen keys (scale mode). The seen set and the
+    # per-generation anti-join carry TWO independent 64-bit xxhash64
+    # keys per URL instead of (64-bit key + full URL string): shuffle
+    # width drops from ~8+len(url) bytes to 16 bytes per row, and the
+    # 10^10-row seen side never shuffles strings at all. Collision
+    # math: P(any pair of distinct URLs agreeing on both keys) over
+    # n = 10^10 URLs is ~ n^2 / 2^129 ≈ 1.5e-19 — below hardware
+    # bit-flip rates, so the result is exact for every practical
+    # purpose (equality with exact mode is pytest-pinned). False =
+    # collision-exact string tiebreak (reference-equality mode).
+    seen_fingerprint: bool = False
     # max salt shards for a single hot host (politeness fan-out)
     max_host_fanout: int = 8
     # RFC 9309 robots.txt compliance (north_rule; the reference has no

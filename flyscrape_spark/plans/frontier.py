@@ -77,6 +77,12 @@ SEEN_SCHEMA = StructType(
     ]
 )
 
+# fingerprint mode (CrawlConfig.seen_fingerprint): the seen set also
+# carries the second 64-bit key so the anti-join never touches strings
+SEEN_SCHEMA_FP = StructType(
+    list(SEEN_SCHEMA.fields) + [StructField("url_key2", LongType())]
+)
+
 
 def assign_global_order(
     df: DataFrame, sort_cols: list[str], out_col: str, start: int = 0,
@@ -204,6 +210,14 @@ class CrawlEngine:
         base = canonicalize("url") if self.config.canonicalize else F.col("url")
         return F.xxhash64(base)
 
+    def _key2(self) -> F.Column:
+        """Second independent 64-bit key for fingerprint mode: xxhash64
+        over (url, 1) — the extra literal column changes the hashed
+        byte stream, giving an independent 64-bit family member at one
+        extra JVM-side hash (no string reversal / md5)."""
+        base = canonicalize("url") if self.config.canonicalize else F.col("url")
+        return F.xxhash64(base, F.lit(1))
+
     def _materialize(self, df: DataFrame, name: str, gen: int) -> DataFrame:
         """Truncate lineage + persist a generation's output. With a
         SnapshotStore this is a durable, atomically-committed snapshot
@@ -219,7 +233,7 @@ class CrawlEngine:
         return df.localCheckpoint(eager=False)
 
     @staticmethod
-    def dedupe_candidates(cand: DataFrame) -> DataFrame:
+    def dedupe_candidates(cand: DataFrame, fingerprint: bool = False) -> DataFrame:
         """In-generation first-seen dedup: keep the min
         (parent_order, pos) occurrence of each URL. Groups on
         ``(url_key, url, depth)`` — the URL string rides in the group
@@ -228,7 +242,27 @@ class CrawlEngine:
         collision-exact; this keeps the in-generation step exact too).
         At the 10^10-URL design point expected 64-bit collisions are
         ~n^2/2^65 ≈ a few per crawl — same shuffle key width class,
-        no extra shuffle."""
+        no extra shuffle.
+
+        ``fingerprint=True`` (CrawlConfig.seen_fingerprint): group on
+        the two 64-bit keys instead of the string — the shuffle's
+        GROUPING key is 16 fixed bytes; the URL string rides the
+        map-side-combined agg buffer only for surviving groups."""
+        if fingerprint:
+            first = F.min(
+                F.struct("parent_order", "pos", "url")).alias("first")
+            return (
+                cand.groupBy("url_key", "url_key2", "depth")
+                .agg(first)
+                .select(
+                    F.col("first.url").alias("url"),
+                    "url_key",
+                    "url_key2",
+                    "depth",
+                    F.col("first.parent_order").alias("parent_order"),
+                    F.col("first.pos").alias("pos"),
+                )
+            )
         first = F.min(F.struct("parent_order", "pos")).alias("first")
         return (
             cand.groupBy("url_key", "url", "depth")
@@ -304,7 +338,9 @@ class CrawlEngine:
             if self.seen_store is not None and self.seen_store.exists():
                 return self.seen_store.seen()
             if not seen_frames:
-                return spark.createDataFrame([], SEEN_SCHEMA)
+                return spark.createDataFrame(
+                    [], SEEN_SCHEMA_FP if config.seen_fingerprint
+                    else SEEN_SCHEMA)
             out = seen_frames[0]
             for frame in seen_frames[1:]:
                 out = out.unionByName(frame)
@@ -323,16 +359,28 @@ class CrawlEngine:
                 .filter(F.col("url") != "")
                 .withColumn("url_key", self._key())
             )
+            if config.seen_fingerprint:
+                cand = cand.withColumn("url_key2", self._key2())
 
             # 2. in-generation first-seen dedup: keep min (parent_order, pos)
-            cand = self.dedupe_candidates(cand)
+            cand = self.dedupe_candidates(
+                cand, fingerprint=config.seen_fingerprint)
 
-            # 3. global dedup: anti-join the accumulated seen set;
-            #    (url_key, url) equality keeps it collision-exact.
+            # 3. global dedup: anti-join the accumulated seen set.
+            #    Exact mode: (url_key, url) equality — collision-exact.
+            #    Fingerprint mode: (url_key, url_key2) — two longs, no
+            #    strings in the join at all (16 B/row each side).
             seen = current_seen()
-            seen_keys = seen.select(
-                F.col("url_key").alias("seen_key"), F.col("url").alias("seen_url")
-            )
+            if config.seen_fingerprint:
+                seen_keys = seen.select(
+                    F.col("url_key").alias("seen_key"),
+                    F.col("url_key2").alias("seen_key2"),
+                )
+            else:
+                seen_keys = seen.select(
+                    F.col("url_key").alias("seen_key"),
+                    F.col("url").alias("seen_url"),
+                )
             # 3a. broadcast-bloom prefilter (opt-in): candidates whose
             # key misses the bloom are DEFINITELY unseen (no false
             # negatives) and bypass the anti-join shuffle; only the
@@ -340,12 +388,17 @@ class CrawlEngine:
             fresh = None
             if self.seen_bloom is not None and self.seen_bloom.n_added > 0:
                 cand, fresh = self.seen_bloom.split(cand)
-            enqueued = cand.join(
-                seen_keys,
-                (cand["url_key"] == seen_keys["seen_key"])
-                & (cand["url"] == seen_keys["seen_url"]),
-                "left_anti",
-            )
+            if config.seen_fingerprint:
+                anti_cond = (
+                    (cand["url_key"] == seen_keys["seen_key"])
+                    & (cand["url_key2"] == seen_keys["seen_key2"])
+                )
+            else:
+                anti_cond = (
+                    (cand["url_key"] == seen_keys["seen_key"])
+                    & (cand["url"] == seen_keys["seen_url"])
+                )
+            enqueued = cand.join(seen_keys, anti_cond, "left_anti")
             if fresh is not None:
                 enqueued = enqueued.unionByName(fresh)
 
@@ -368,9 +421,11 @@ class CrawlEngine:
                     "discovery_order", F.monotonically_increasing_id() + F.lit(next_order)
                 )
 
+            seen_cols = ["url", "url_key", "depth", "discovery_order"]
+            if config.seen_fingerprint:
+                seen_cols.append("url_key2")
             enqueued = self._materialize(
-                enqueued.select("url", "url_key", "depth", "discovery_order"),
-                "frontier", gen,
+                enqueued.select(*seen_cols), "frontier", gen,
             )
             n_enqueued = enqueued.count()
             if n_enqueued == 0:

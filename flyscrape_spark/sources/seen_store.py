@@ -33,10 +33,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 class BucketedSeenStore:
     def __init__(self, spark: SparkSession, table: str = "seen_urls",
-                 buckets: int = 32):
+                 buckets: int = 32, fingerprint: bool = False):
+        """``fingerprint=True`` pairs with CrawlConfig.seen_fingerprint:
+        the table buckets/sorts on the two 64-bit keys (url_key,
+        url_key2) instead of (url_key, url) — rows store 16 bytes of
+        key instead of key+string, and anti-join probes compare longs,
+        never strings."""
         self.spark = spark
         self.table = table
         self.buckets = buckets
+        self.key_cols = ("url_key", "url_key2") if fingerprint else ("url_key", "url")
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         # the catalog is in-memory per session; a previous process may
         # have left the managed location behind — remove it or the
@@ -63,8 +69,8 @@ class BucketedSeenStore:
             # (bucketing on a key subset is not exploited by the
             # planner — verified: "Bucketed: false (disabled by query
             # planner)")
-            .bucketBy(self.buckets, "url_key", "url")
-            .sortBy("url_key", "url")
+            .bucketBy(self.buckets, *self.key_cols)
+            .sortBy(*self.key_cols)
             .option("parquet.bloom.filter.enabled#url_key", "true")
             .saveAsTable(self.table)
         )
