@@ -127,12 +127,17 @@ def frontier_kernel(spark, n_urls: int, mode: str = "fp128") -> dict:
             "urls_per_sec": round(n_urls / dt)}
 
 
-def engine_kernel(spark, n_pages: int, seeds: int = 2000, depth: int = 2) -> dict:
+def engine_kernel(spark, n_pages: int, seeds: int = 2000, depth: int = 2,
+                  fingerprint: bool = False) -> dict:
     """FULL-ENGINE throughput: seeds -> fetch-by-join (shuffle join,
     non-broadcast) -> parse-once span+link UDF -> canonical ordering
     (two-phase at this size) -> seen anti-join, for ``depth``
     generations over a lazy synthetic web. Reports total URLs
-    enqueued+deduped and fetched+parsed per second of wall clock."""
+    enqueued+deduped and fetched+parsed per second of wall clock.
+
+    ``fingerprint=True`` runs the engine in its 10^10 scale mode
+    (CrawlConfig.seen_fingerprint): the seen set and the in-generation
+    dedup carry two 64-bit keys per row instead of URL strings."""
     from flyscrape_spark.config import CrawlConfig
     from flyscrape_spark.plans.frontier import CrawlEngine
     from flyscrape_spark.sources.synth import SyntheticWebTransport
@@ -142,7 +147,8 @@ def engine_kernel(spark, n_pages: int, seeds: int = 2000, depth: int = 2) -> dic
     # expression-backed fetch: page html regenerated from the URL, so
     # per-generation cost is proportional to the FRONTIER (like real
     # HTTP fetch), not to scanning an n_pages "internet" table
-    config = CrawlConfig(depth=depth, domain_filter=False)
+    config = CrawlConfig(depth=depth, domain_filter=False,
+                         seen_fingerprint=fingerprint)
     engine = CrawlEngine(
         spark, config, SyntheticWebTransport(n_pages),
         collect_metrics=False, small_generation_rows=20_000,
@@ -204,11 +210,50 @@ def run_bench(cpus: int, include_queries: bool = True) -> dict:
             qtimes[name] = round(time.time() - t0, 3)
         out["queries"] = qtimes
 
-    out["engine"] = engine_kernel(spark, N_ENGINE_PAGES)
+    out["engine"] = engine_fresh_jvm_samples(cpus)
     out["frontier"] = frontier_kernel(spark, N_URLS, mode="fp128")
     out["frontier_exact"] = frontier_kernel(spark, N_URLS, mode="exact")
     spark.stop()
     return out
+
+
+def engine_fresh_jvm_samples(cpus: int, n_jvms: int | None = None) -> dict:
+    """Engine kernel measured across fresh JVMs (default 3): each JVM
+    warms up untimed then reports one timed run; we report
+    min/median/max across JVMs. One co-tenancy-exposed sample hid a
+    -20% artifact regression in round 2; independent JVMs bound the
+    noise band instead. Falls back to one in-process run on error."""
+    import statistics
+
+    n_jvms = n_jvms or int(os.environ.get("BENCH_ENGINE_JVMS", "3"))
+    samples = []
+    for _ in range(n_jvms):
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--worker", str(cpus),
+                 "engine_small"],
+                capture_output=True, text=True, timeout=1800,
+                env={**os.environ, "SPARK_DRIVER_MEMORY": "16g"},
+            )
+            line = [l for l in proc.stdout.splitlines()
+                    if l.startswith("WORKER_JSON:")]
+            samples.append(json.loads(line[0][len("WORKER_JSON:"):]))
+        except Exception as exc:  # noqa: BLE001 — bench must not die
+            print(f"engine fresh-JVM sample failed: {exc}", file=sys.stderr)
+    if not samples:
+        from flyscrape_spark.session import get_spark
+
+        spark = get_spark(app_name="flyscrape-bench-engine",
+                          master=f"local[{cpus}]", shuffle_partitions=cpus)
+        samples = [engine_kernel(spark, N_ENGINE_PAGES)]
+        spark.stop()
+    tps = sorted(s["urls_per_sec"] for s in samples)
+    best = max(samples, key=lambda s: s["urls_per_sec"])
+    best["urls_per_sec_min"] = tps[0]
+    best["urls_per_sec_median"] = round(statistics.median(tps))
+    best["urls_per_sec_max"] = tps[-1]
+    best["all_jvm_urls_per_sec"] = tps
+    return best
 
 
 def main():
@@ -223,12 +268,27 @@ def main():
             # engine scaling config is WORK-dominated (500k seeds,
             # depth 1 -> ~4.5M pages parsed) so per-generation fixed
             # costs don't drown the signal; first run warms
-            # JIT/codegen/python workers, second is measured
+            # JIT/codegen/python workers, second is measured.
+            # BENCH_ENGINE_FP=1 (default for scaling) runs the engine
+            # in fingerprint seen-set mode — the 10^10 design point.
             n_pages = int(os.environ.get("BENCH_SCALING_ENGINE_PAGES", "10000000"))
-            engine_kernel(spark, n_pages, seeds=500_000, depth=1)  # warm
-            runs = [engine_kernel(spark, n_pages, seeds=500_000, depth=1)
+            fp = os.environ.get("BENCH_ENGINE_FP", "1") == "1"
+            engine_kernel(spark, n_pages, seeds=500_000, depth=1,
+                          fingerprint=fp)  # warm
+            runs = [engine_kernel(spark, n_pages, seeds=500_000, depth=1,
+                                  fingerprint=fp)
                     for _ in range(2)]
             result = max(runs, key=lambda r: r["urls_per_sec"])
+            result["fingerprint"] = fp
+        elif kind == "engine_small":
+            # driver-bench engine kernel (2M pages, 2000 seeds, depth 2),
+            # run in a FRESH JVM so the driver bench can report
+            # min/median/max across independent JVMs instead of one
+            # co-tenancy-exposed sample (round-2 verdict item 4)
+            fp = os.environ.get("BENCH_ENGINE_FP", "0") == "1"
+            engine_kernel(spark, N_ENGINE_PAGES, fingerprint=fp)  # warm
+            result = engine_kernel(spark, N_ENGINE_PAGES, fingerprint=fp)
+            result["fingerprint"] = fp
         elif kind == "kernel_exact":
             result = frontier_kernel(spark, N_URLS, mode="exact")
         else:
@@ -307,6 +367,9 @@ def main():
         "frontier_exact_urls_per_sec": result["frontier_exact"]["urls_per_sec"],
         "frontier_n_urls": result["frontier"]["n_urls"],
         "engine_urls_per_sec": result["engine"]["urls_per_sec"],
+        "engine_urls_per_sec_min": result["engine"].get("urls_per_sec_min"),
+        "engine_urls_per_sec_median": result["engine"].get("urls_per_sec_median"),
+        "engine_jvm_samples": result["engine"].get("all_jvm_urls_per_sec"),
         "engine_seen": result["engine"]["seen"],
         "cpus": CPUS,
         "total_wall_sec": total,
