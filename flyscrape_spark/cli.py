@@ -166,7 +166,26 @@ def _run_once(path: str, overrides: dict, spark=None, pages_path: str | None = N
 
     if spark is None:
         spark = get_spark()
-    if pages_path:
+    if cfg.browser:
+        # browser: true swaps the transport for a page-render round
+        # trip (modules/browser/browser.go:41-63). With a --pages
+        # fixture the fake DOM-settling renderer stands in for
+        # Chromium (none in this container); without one the real
+        # renderer slot raises with guidance.
+        from flyscrape_spark.sources.browser import (
+            ChromiumRenderer,
+            FakeDomSettlingRenderer,
+            RenderingTransport,
+        )
+
+        if pages_path:
+            rows = spark.read.parquet(pages_path).collect()
+            renderer = FakeDomSettlingRenderer(
+                {r["url"]: (r["status"], r["html"]) for r in rows})
+        else:
+            renderer = ChromiumRenderer(headless=cfg.headless)
+        transport = RenderingTransport(renderer, cfg)
+    elif pages_path:
         pages = spark.read.parquet(pages_path)
         transport = JoinTransport(pages, cfg)
     else:

@@ -40,6 +40,15 @@ class CrawlConfig:
     # reference's semaphore (modules/ratelimit/ratelimit.go:54-59).
     # Consumed by HttpTransport (thread-pool width per Arrow batch).
     concurrency: int | None = None
+    # browser rendering (modules/browser/browser.go:41-63): swap the
+    # fetch transport for a page-render round trip (RenderingTransport,
+    # sources/browser.py; no Chromium ships in this sandbox — the real
+    # renderer is a documented stub, tests use a fake DOM-settling
+    # renderer). When on and ``concurrency`` is unset, effective fetch
+    # concurrency clamps to 1 (modules/ratelimit/ratelimit.go:50-52).
+    browser: bool = False
+    # headless: null in the reference means true (browser.go:46-49)
+    headless: bool = True
     # retry schedule in seconds (modules/retry/retry.go:136-141)
     retry_delays: tuple[float, ...] = (1.0, 2.0, 5.0, 10.0)
     retry_statuses: frozenset[int] = frozenset({403, 408, 425, 429, 500, 502, 503, 504})

@@ -264,6 +264,11 @@ def config_from_source(source: str, base_dir: str | None = None) -> JsScrapeConf
         cfg.concurrency = int(raw["concurrency"])
     if isinstance(raw.get("headers"), dict):
         cfg.headers = {str(k): str(v) for k, v in raw["headers"].items()}
+    if raw.get("browser") is not None:
+        cfg.browser = bool(raw["browser"])
+    if raw.get("headless") is not None:
+        # reference: headless == nil means true (browser.go:46-49)
+        cfg.headless = bool(raw["headless"])
 
     if isinstance(raw.get("proxy"), str):
         out.proxies = [raw["proxy"]]
@@ -283,7 +288,7 @@ def config_from_source(source: str, base_dir: str | None = None) -> JsScrapeConf
     known = {"url", "urls", "depth", "follow", "allowedDomains",
              "blockedDomains", "allowedURLs", "blockedURLs", "rate",
              "concurrency", "headers", "proxy", "proxies", "cache",
-             "cookies", "output"}
+             "cookies", "output", "browser", "headless"}
     out.unsupported = {k: v for k, v in raw.items() if k not in known}
     return out
 
