@@ -33,6 +33,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #          rows at risk if the gate still truncates at 50; their
     #          standing evidence is tools/check_oracles.py (local full
     #          sweep, committed per round) + two prior driver rounds.
+        "browser_render": Q.q_browser_render,
+        "lm_scores_pretrained": Q.q_lm_scores_pretrained,
         "pack_sequences": Q.q_pack_sequences,
         "crawl_merge": Q.q_crawl_merge,
         "chunk_documents": Q.q_chunk_documents,
@@ -104,6 +106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "browser_render": Q.sql_browser_render(),
+        "lm_scores_pretrained": Q.sql_lm_scores_pretrained(),
         "pack_sequences": Q.sql_pack_sequences(),
         "crawl_merge": Q.sql_crawl_merge(),
         "chunk_documents": Q.sql_chunk_documents(),

@@ -83,9 +83,18 @@ def lm_scores(
     histories ln(1 / V). Docs with fewer than 2 words get
     n_bigrams = 0, NULL score, keep_lm = false.
     """
-    unigrams, bigrams, vocab = (
-        model if model is not None else bigram_model(documents, text_col)
-    )
+    if model is not None:
+        # pretrained path — the production shape at 100 TB: a pruned
+        # reference-corpus model is orders of magnitude smaller than
+        # the corpus being scored, so BROADCAST both tables and the
+        # scoring path shuffles no gram keys at all (the only exchange
+        # left is the per-doc partial-agg groupBy below). Estimating
+        # from the input corpus (model=None) keeps plain equi-joins:
+        # there the model is corpus-sized and must shuffle.
+        unigrams, bigrams, vocab = model
+        unigrams, bigrams = F.broadcast(unigrams), F.broadcast(bigrams)
+    else:
+        unigrams, bigrams, vocab = bigram_model(documents, text_col)
     bg = _doc_bigrams(documents, text_col)
     scored = (
         bg.join(bigrams, ["w1", "w2"], "left")

@@ -38,15 +38,35 @@ def trap_stats(
     url_col: str = "url",
     host_col: str = "host",
     ratio: float = TRAP_RATIO,
+    min_urls: int = 0,
+    whitelist: list[str] | None = None,
 ) -> DataFrame:
     """Per-host (host, n_urls, n_templates, urls_per_template,
     is_trap): distinct URLs, distinct templates, their ratio, and the
-    trap flag at ``ratio``."""
+    trap flag at ``ratio``.
+
+    Precision knobs (a pure ratio test flags legitimate
+    high-cardinality hosts — e.g. a forum whose million thread URLs
+    all share ``/post/N``):
+
+    - ``min_urls``: hosts with fewer distinct URLs than this are never
+      flagged (small-sample ratios are noise).
+    - ``whitelist``: hosts never flagged regardless of ratio — the
+      operator's stats still report them, so curators can audit the
+      exemption. Applied as an isin() literal (whitelists are
+      human-maintained and small); for a large allowlist table,
+      anti-join it upstream instead.
+    """
     t = urls.select(
         F.col(host_col).alias("host"),
         F.col(url_col).alias("url"),
         url_template(url_col).alias("template"),
     )
+    flag = F.col("n_urls") / F.col("n_templates") >= ratio
+    if min_urls:
+        flag = flag & (F.col("n_urls") >= min_urls)
+    if whitelist:
+        flag = flag & ~F.col("host").isin(list(whitelist))
     return (
         t.groupBy("host")
         .agg(
@@ -60,6 +80,6 @@ def trap_stats(
             F.round(F.col("n_urls") / F.col("n_templates"), 4).alias(
                 "urls_per_template"
             ),
-            (F.col("n_urls") / F.col("n_templates") >= ratio).alias("is_trap"),
+            flag.alias("is_trap"),
         )
     )

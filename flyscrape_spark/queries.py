@@ -1968,13 +1968,20 @@ def _trap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-trap detection (operators/traps.py): per-host distinct
-    URLs vs distinct digit-collapsed templates; ratio >= 50 flags."""
+    URLs vs distinct digit-collapsed templates; ratio >= 50 flags.
+    Precision knobs exercised (round-2 verdict item 7): the doc hosts'
+    own /d/{i} families exceed the ratio at sf >= 0.1 — correctly
+    mechanical, but known-legit — so they ride TRAP_WHITELIST; hosts
+    under TRAP_MIN_URLS distinct URLs are never flagged. The synthetic
+    calendar trap still flags at every SF."""
     from flyscrape_spark.operators.traps import trap_stats
 
-    return trap_stats(_trap_urls(spark, sf_dir))
+    return trap_stats(_trap_urls(spark, sf_dir), min_urls=TRAP_MIN_URLS,
+                      whitelist=TRAP_WHITELIST)
 
 
 def sql_trap_detect(ratio: float = 50.0) -> str:
+    wl = ", ".join(f"'{h}'" for h in TRAP_WHITELIST)
     return f"""
 WITH u AS (
   SELECT {_doc_url_sql('doc_id')} AS url,
@@ -1993,7 +2000,9 @@ s AS (SELECT host, count(DISTINCT url) AS n_urls,
       FROM t GROUP BY 1)
 SELECT host, n_urls, n_templates,
        round(CAST(n_urls AS DOUBLE) / n_templates, 4) AS urls_per_template,
-       CAST(n_urls AS DOUBLE) / n_templates >= {ratio} AS is_trap
+       CAST(n_urls AS DOUBLE) / n_templates >= {ratio}
+         AND n_urls >= {TRAP_MIN_URLS}
+         AND host NOT IN ({wl}) AS is_trap
 FROM s
 """
 
@@ -2671,4 +2680,103 @@ SELECT doc_id,
        CAST(least({size}, len(w) - start) AS INT) AS n_chunk_tokens,
        array_to_string(w[start + 1:start + {size}], ' ') AS chunk_text
 FROM s
+"""
+
+
+# -- round 3: pretrained-LM scoring, whitelist-aware traps, browser --
+
+TRAP_MIN_URLS = 10
+#: known-legit high-cardinality hosts (round-2 verdict item 7: a pure
+#: ratio test flags the doc hosts' own /d/{i} families — correctly, they
+#: ARE mechanically generated, but a curator would whitelist them)
+TRAP_WHITELIST = [f"h{i}.example" for i in range(GRAPH_HOSTS)]
+
+
+def q_lm_scores_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretrained-model LM scoring — the 100 TB shape (the in-corpus
+    estimation of ``lm_perplexity`` shuffles raw grams; here the model
+    is estimated once on a small reference slice, doc_id % 10 == 0,
+    and BROADCAST into the scoring joins, so the scoring path shuffles
+    no gram keys — plan-audited in PLANS.md)."""
+    from flyscrape_spark.operators.lm import bigram_model, lm_scores
+
+    docs = load(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 10 == 0)
+    return lm_scores(docs, model=bigram_model(ref))
+
+
+def sql_lm_scores_pretrained(keep_threshold: float = -9.0) -> str:
+    return f"""
+WITH words AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+bg0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> {{'w1': w[i], 'w2': w[i+1]}})) AS p
+  FROM words WHERE len(w) >= 2
+),
+bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg0),
+ref AS (SELECT * FROM bg WHERE doc_id % 10 = 0),
+bgc AS (SELECT w1, w2, count(*) AS c_bigram FROM ref GROUP BY 1, 2),
+ugc AS (SELECT w1, count(*) AS c_unigram FROM ref GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT x) AS DOUBLE) AS vocab
+      FROM (SELECT w1 AS x FROM ref UNION ALL SELECT w2 FROM ref)),
+scored AS (
+  SELECT bg.doc_id,
+         ln(CAST(coalesce(c_bigram, 0) + 1 AS DOUBLE)
+            / (CAST(coalesce(c_unigram, 0) AS DOUBLE) + vocab)) AS lp
+  FROM bg LEFT JOIN bgc USING (w1, w2) LEFT JOIN ugc USING (w1) CROSS JOIN v
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logprob
+  FROM scored GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       avg_logprob,
+       coalesce(avg_logprob >= {keep_threshold}, FALSE) AS keep_lm
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
+def q_browser_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Browser-render transport (SURVEY §2.1 #18): every 20th document
+    becomes a fixture page whose link rides a JS-deferred script
+    payload (invisible to plain HTML parsing); the frontier is fetched
+    through RenderingTransport + the fake DOM-settling renderer, which
+    splices the deferred DOM inline before capture. The pages dict
+    plays the network and is collected driver-side ONLY because the
+    fixture IS the fake network (bounded: doc_id % 20); a real crawl's
+    bodies come from Chromium, never from a table."""
+    from flyscrape_spark.sources.browser import (
+        FakeDomSettlingRenderer,
+        RenderingTransport,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    i = F.col("doc_id")
+    fixture = docs.select(
+        _doc_url(i).alias("url"),
+        F.concat(F.lit("h"), (i % GRAPH_HOSTS).cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("<p>"), F.col("text"),
+            F.lit('</p><script type="application/x-deferred-html">'
+                  '<a href="/late/'),
+            i.cast("string"), F.lit('">x</a></script>'),
+        ).alias("html"),
+    )
+    pages = {r["url"]: r["html"] for r in fixture.collect()}
+    transport = RenderingTransport(FakeDomSettlingRenderer(pages), pace=False)
+    frontier = fixture.drop("html").withColumn("depth", F.lit(0))
+    return transport.fetch(frontier).select(
+        "url", "status", F.col("body").alias("rendered_html"))
+
+
+def sql_browser_render() -> str:
+    return f"""
+SELECT {_doc_url_sql('doc_id')} AS url,
+       CAST(200 AS INTEGER) AS status,
+       '<p>' || text || '</p><a href="/late/' || doc_id || '">x</a>'
+         AS rendered_html
+FROM documents WHERE doc_id % 20 = 0
 """

@@ -259,6 +259,29 @@ CHECKS = {
         "partial_agg": r"partial_count",
         "no_cartesian": r"!CartesianProduct",
     },
+    "lm_scores_pretrained": {
+        # scoring joins BROADCAST the reference-slice model; the only
+        # gram-key exchanges left are the model ESTIMATION aggs over
+        # the 10% reference slice (corpus-size-independent at scale)
+        "broadcast": r"BroadcastHashJoin",
+        "partial_agg": r"partial_count",
+        "no_cartesian": r"!CartesianProduct",
+        "max_exchanges": 5,
+    },
+    "lm_scores_broadcast_model": {
+        # the production shape: pretrained model supplied -> ZERO
+        # gram-key shuffles anywhere in the plan (round-2 item 8 gate)
+        "no_gram_shuffle": r"!Exchange hashpartitioning\(w1",
+        "broadcast": r"BroadcastHashJoin",
+        "partial_agg": r"partial_count",
+    },
+    "browser_render": {
+        # politeness schedule (host fanout stats + host-shard
+        # repartition) is the only shuffle work; fetch is Arrow-batched
+        "arrow_fetch": r"MapInPandas|PythonMapInArrow",
+        "no_cartesian": r"!CartesianProduct",
+        "max_exchanges": 3,
+    },
     "containment_dup": {
         # candidate generation stays on the shingle inverted index —
         # a cartesian anywhere is the O(n^2) plan that dies at scale
@@ -385,7 +408,22 @@ def _lazy_hits(spark, sf_dir):
         F.round("hub", 8).alias("hub"))
 
 
-PLAN_BUILDERS = {"pagerank": _lazy_pagerank, "hits_scores": _lazy_hits}
+def _lm_broadcast_model(spark, sf_dir):
+    """Pure scoring path with a pre-materialized (pretrained) model:
+    the plan must carry ZERO gram-key exchanges — both model joins
+    broadcast, the only shuffle is the per-doc partial agg."""
+    from flyscrape_spark.operators.lm import lm_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    uni = spark.createDataFrame([("the", 10), ("a", 5)], "w1 string, c_unigram long")
+    bi = spark.createDataFrame([("the", "cat", 3)],
+                               "w1 string, w2 string, c_bigram long")
+    vocab = spark.createDataFrame([(100,)], "vocab_size long")
+    return lm_scores(docs, model=(uni, bi, vocab))
+
+
+PLAN_BUILDERS = {"pagerank": _lazy_pagerank, "hits_scores": _lazy_hits,
+                 "lm_scores_broadcast_model": _lm_broadcast_model}
 
 
 def audit(sf_dir: str) -> list[tuple[str, str, bool, str]]:
@@ -396,7 +434,10 @@ def audit(sf_dir: str) -> list[tuple[str, str, bool, str]]:
     queries = entrymod.queries()
     results = []
     for name, checks in CHECKS.items():
-        df = PLAN_BUILDERS.get(name, queries[name])(spark, sf_dir)
+        # NOT .get(name, queries[name]): the default arg evaluates
+        # eagerly and synthetic audit names aren't in queries()
+        builder = PLAN_BUILDERS[name] if name in PLAN_BUILDERS else queries[name]
+        df = builder(spark, sf_dir)
         # collect() (not count()) finalizes THIS df's AdaptiveSparkPlan
         # in place, so the string shows codegen stages; count() would
         # execute a different (wrapped) query
