@@ -134,6 +134,9 @@ class SimpleSelector:
     sel_id: str | None
     classes: tuple[str, ...]
     attrs: tuple[tuple[str, str | None], ...]  # (name, required value or None)
+    #: combinator relating this selector to the PREVIOUS one in the
+    #: chain: " " descendant (default) or ">" child
+    combinator: str = " "
 
     def matches(self, node: Node) -> bool:
         if self.tag and self.tag != "*" and node.tag != self.tag:
@@ -151,9 +154,15 @@ class SimpleSelector:
 
 
 def parse_selector(selector: str) -> list[SimpleSelector]:
-    """Parse a descendant-combinator chain of simple selectors."""
+    """Parse a chain of simple selectors joined by descendant (space)
+    or child (``>``) combinators — the two goquery spellings the
+    reference's shipped scripts use (e.g. ``.titleline > a``)."""
     chain: list[SimpleSelector] = []
-    for token in selector.split():
+    pending = " "
+    for token in selector.replace(">", " > ").split():
+        if token == ">":
+            pending = ">"
+            continue
         m = _SIMPLE_RE.match(token)
         if not m:
             continue
@@ -173,20 +182,37 @@ def parse_selector(selector: str) -> list[SimpleSelector]:
                     attrs.append((name.strip(), value.strip().strip("\"'")))
                 else:
                     attrs.append((body.strip(), None))
-        chain.append(SimpleSelector(tag, sel_id, tuple(classes), tuple(attrs)))
+        chain.append(SimpleSelector(tag, sel_id, tuple(classes),
+                                    tuple(attrs), pending))
+        pending = " "
     return chain
 
 
-def _ancestors_match(node: Node, chain: list[SimpleSelector]) -> bool:
-    """Descendant-combinator check: chain[:-1] must match some strictly
-    ascending sequence of ancestors."""
-    idx = len(chain) - 2
-    current = node.parent
-    while idx >= 0 and current is not None:
-        if current.tag != "#root" and chain[idx].matches(current):
-            idx -= 1
+def _ancestors_match(node: Node, chain: list[SimpleSelector],
+                     idx: int | None = None) -> bool:
+    """chain[:idx] must match ancestors of ``node`` (which matched
+    chain[idx]), honoring each link's combinator: ``>`` pins the
+    immediate parent, descendant walks (with backtracking — the old
+    greedy walk missed matches like ``div div b`` over nested divs
+    when the first candidate ancestor couldn't finish the chain)."""
+    if idx is None:
+        idx = len(chain) - 1
+    if idx == 0:
+        return True
+    comb = chain[idx].combinator
+    parent = node.parent
+    if comb == ">":
+        if parent is None or parent.tag == "#root":
+            return False
+        return (chain[idx - 1].matches(parent)
+                and _ancestors_match(parent, chain, idx - 1))
+    current = parent
+    while current is not None and current.tag != "#root":
+        if chain[idx - 1].matches(current) and _ancestors_match(
+                current, chain, idx - 1):
+            return True
         current = current.parent
-    return idx < 0
+    return False
 
 
 def select(root: Node, selector: str) -> list[Node]:

@@ -243,14 +243,32 @@ class Sel:
         )
 
     # -- per-element transforms (js.go:280-298) --------------------------
+    # JS callbacks declare any prefix of (element, index) and ignore
+    # the rest; mirror that by passing only as many positional args as
+    # the callback accepts (ported one-arg `post => ...` lambdas work).
+
+    @staticmethod
+    def _call(callback, sel: "Sel", i: int):
+        import inspect
+
+        try:
+            params = inspect.signature(callback).parameters.values()
+        except (TypeError, ValueError):  # builtins etc.
+            return callback(sel, i)
+        if any(p.kind == p.VAR_POSITIONAL for p in params):
+            return callback(sel, i)
+        n = sum(p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                for p in params)
+        return callback(sel, i) if n >= 2 else callback(sel)
 
     def map(self, callback) -> list:
-        return [callback(Sel([n]), i) for i, n in enumerate(self.nodes)]
+        return [self._call(callback, Sel([n]), i)
+                for i, n in enumerate(self.nodes)]
 
     def filter(self, callback) -> "list[Sel]":
         return [
             Sel([n]) for i, n in enumerate(self.nodes)
-            if callback(Sel([n]), i)
+            if self._call(callback, Sel([n]), i)
         ]
 
 

@@ -31,7 +31,7 @@ export const config = {
     "User-Agent": "Mozilla ...",
   },
   output: { file: "results.json", format: "ndjson" },
-  browser: true,  /* not supported here */
+  browser: true,  /* rendering transport slot */
 };
 export default function({ doc }) { return {}; }
 """
@@ -55,7 +55,8 @@ def test_full_config_round_trip():
     assert c.cookies_browser == "chrome"
     assert c.output_file == "results.json"
     assert c.output_format == "ndjson"
-    assert c.unsupported == {"browser": True}
+    assert c.crawl.browser is True
+    assert c.unsupported == {}
 
 
 def test_empty_and_missing_config():
