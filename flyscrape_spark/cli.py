@@ -7,11 +7,12 @@ Script files:
   optional ``config`` dict (reference key spelling accepted) and an
   optional ``scrape(ctx)`` function (the Python port of the JS default
   export; parse/script.py API).
-- ``.js`` — a reference flyscrape script: the ``export const config``
-  block loads as-is (jsconfig.py); the JS scrape function itself
-  cannot run without a JS VM, so the crawl executes config-only
-  (fetch/follow/filter; output rows carry data=null) and a ported
-  ``.py`` script is the documented substitution.
+- ``.js`` — a reference flyscrape script, executed as-is: the
+  ``export const config`` block loads via jsconfig.py and the JS
+  scrape function runs in the engine's JS interpreter
+  (parse/jsvm.py + parse/jsbridge.py) vectorized over Arrow batches,
+  including absoluteURL/follow/scrape params and the
+  flyscrape//flyscrape/http import modules.
 
 Transport: ``--pages table.parquet`` (engine-added flag) resolves
 fetches against a pages table — the sandboxed/offline path and the
@@ -118,7 +119,10 @@ def parse_config_args(args: list[str]) -> dict:
 
 
 def load_script(path: str):
-    """Returns (JsScrapeConfig-like fields dict, scrape_fn | None)."""
+    """Returns (JsScrapeConfig, scrape_spec) where scrape_spec is
+    ``("py", fn)``, ``("js", source, base_dir)`` or ``None``."""
+    import os
+
     from flyscrape_spark.jsconfig import config_from_file, config_from_source
 
     if path.endswith(".py"):
@@ -134,8 +138,22 @@ def load_script(path: str):
         js = config_from_source(
             "export const config = " + _json.dumps(raw, default=str)
         )
-        return js, getattr(mod, "scrape", None)
-    return config_from_file(path), None
+        fn = getattr(mod, "scrape", None)
+        return js, (("py", fn) if fn else None)
+    # .js: config via the literal parser; the scrape function runs in
+    # the JS interpreter (parse/jsvm.py) — compile NOW so syntax errors
+    # surface before the crawl starts (reference compiles up front,
+    # flyscrape.go:47)
+    with open(path, encoding="utf-8") as f:
+        source = f.read()
+    base_dir = os.path.dirname(path)
+    js = config_from_file(path)
+    from flyscrape_spark.parse.jsbridge import compile_script
+
+    module = compile_script(source, base_dir=base_dir)
+    if module.default is None:
+        return js, None
+    return js, ("js", source, base_dir)
 
 
 def _run_once(path: str, overrides: dict, spark=None, pages_path: str | None = None):
@@ -153,7 +171,7 @@ def _run_once(path: str, overrides: dict, spark=None, pages_path: str | None = N
     out_file = overrides.pop("output.file", None)
     out_format = overrides.pop("output.format", None)
 
-    js, scrape_fn = load_script(path)
+    js, scrape_spec = load_script(path)
     cfg = apply_overrides(js.crawl, overrides)
     seeds = js.seeds
     if "url" in overrides:
@@ -190,7 +208,32 @@ def _run_once(path: str, overrides: dict, spark=None, pages_path: str | None = N
         transport = JoinTransport(pages, cfg)
     else:
         transport = HttpTransport(cfg, proxies=js.proxies or None)
-    script_udf = make_script_udf(scrape_fn) if scrape_fn else None
+    script_udf = None
+    if scrape_spec and scrape_spec[0] == "py":
+        script_udf = make_script_udf(scrape_spec[1])
+    elif scrape_spec and scrape_spec[0] == "js":
+        # JS scripts may call scrape(url, fn) — a synchronous nested
+        # fetch (js.go:196-215). Wire the same fetch the transport uses:
+        # fixture lookup under --pages, a plain HTTP get otherwise.
+        from flyscrape_spark.parse.jsbridge import make_js_script_udf
+
+        _, source, base_dir = scrape_spec
+        nested_fetch = None
+        if "scrape" in source:
+            if pages_path:
+                page_map = {r["url"]: r["html"]
+                            for r in spark.read.parquet(pages_path).collect()}
+                nested_fetch = page_map.get
+            else:
+                headers = dict(cfg.headers or {})
+
+                def nested_fetch(url):  # noqa: ANN001 — executor-side hook
+                    from flyscrape_spark.sources.client import get
+
+                    return get(url, headers=headers).get("body", "")
+
+        script_udf = make_js_script_udf(source, base_dir=base_dir,
+                                        fetch=nested_fetch)
     engine = CrawlEngine(spark, cfg, transport, script_udf=script_udf,
                          collect_metrics=False)
     result = engine.run(seeds)

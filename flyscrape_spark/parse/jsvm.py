@@ -1,0 +1,1951 @@
+"""A small tree-walking interpreter for the JS subset flyscrape
+scripts use — closes SURVEY §2.1 #24 (the reference compiles user
+scripts with esbuild and runs them in a goja VM, /root/reference/
+js.go:62-66, 105-152; this engine has no JS VM, so the subset is
+interpreted directly in Python).
+
+Scope — exactly the ES2015 surface observed across the reference's
+shipped examples (/root/reference/examples/*.js), template.js and
+js_test.go:
+
+* modules: ``export const``, ``export default``, ``export function``,
+  ``import X from "m"`` / ``import {a, b} from "m"`` with the
+  reference's CommonJS interop (a default import binds the module's
+  export object itself, js_test.go:330-358; ``.txt``/relative imports
+  load file text like esbuild's text loader, js.go:70-75)
+* statements: const/let/var (object & array destructuring), function
+  declarations (hoisted), return, if/else, while, classic for,
+  for-of, break/continue, blocks, expression statements
+* expressions: arrow functions, function expressions, calls, member /
+  index / optional chaining, ``new Set(...)``, template literals,
+  array/object literals (shorthand, computed keys, spread), the full
+  operator ladder (?: ?? || && == != === !== < > <= >= + - * / %
+  unary ! - + typeof ++ -- compound assignment)
+* stdlib: the String/Array/JSON/Math/Object/Number methods scripts
+  actually call, with JS semantics where they differ from Python
+  (``replace`` = first match only, ``sort`` = string compare by
+  default, ``%`` takes the dividend's sign, ``/`` is float division)
+
+Values map JS->Python: null->None, undefined->UNDEFINED sentinel,
+numbers->int/float (ints preserved; division produces floats),
+object->dict (insertion-ordered), array->list, Set->JSSet,
+function->JSFunction. Host objects (the element API's Sel, parse/
+script.py) are bridged by attribute lookup with camelCase->snake_case
+fallback, so ``post.next()`` and ``sel.hasClass(c)`` hit the Python
+API directly.
+
+JSON serialization follows JSON.stringify (js.go:161-162 wraps every
+scrape return in JSON.stringify): undefined/function props dropped,
+NaN/Infinity -> null, integral doubles print as integers, Sets
+serialize as ``{}``, insertion order preserved.
+
+Out of scope (raises JsCompileError/JsRuntimeError with a message):
+classes, generators, async/await, regex literals, try/catch, labels,
+getters/setters, prototype mutation. None appear in any shipped
+reference script.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+
+class JsCompileError(SyntaxError):
+    def __init__(self, msg: str, line: int = 0, col: int = 0):
+        super().__init__(f"{line}:{col}: {msg}")
+        self.line, self.col, self.text = line, col, msg
+
+
+class JsRuntimeError(RuntimeError):
+    pass
+
+
+class _Undefined:
+    _instance = None
+
+    def __new__(cls):
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __repr__(self):
+        return "undefined"
+
+    def __bool__(self):
+        return False
+
+
+UNDEFINED = _Undefined()
+
+
+class JSSet:
+    """``new Set(iterable)`` — SameValueZero membership, insertion
+    order. JSON.stringify(new Set(...)) === "{}" (no enumerable own
+    props), mirrored in js_json_stringify."""
+
+    def __init__(self, iterable=None):
+        self._items: list = []
+        self._keys: set = set()
+        for v in iterable if iterable is not None else []:
+            self.add(v)
+
+    def add(self, v):
+        k = self._key(v)
+        if k not in self._keys:
+            self._keys.add(k)
+            self._items.append(v)
+        return self
+
+    def has(self, v):
+        return self._key(v) in self._keys
+
+    def delete(self, v):
+        k = self._key(v)
+        if k in self._keys:
+            self._keys.discard(k)
+            self._items = [x for x in self._items if self._key(x) != k]
+            return True
+        return False
+
+    @staticmethod
+    def _key(v):
+        try:
+            hash(v)
+            return ("h", v)
+        except TypeError:
+            return ("i", id(v))
+
+    @property
+    def size(self):
+        return len(self._items)
+
+    def __iter__(self):
+        return iter(self._items)
+
+    def values(self):
+        return list(self._items)
+
+
+# --------------------------------------------------------------- lexer
+
+_KEYWORDS = {
+    "const", "let", "var", "function", "return", "if", "else", "for",
+    "while", "of", "in", "new", "typeof", "true", "false", "null",
+    "undefined", "export", "default", "import", "from", "break",
+    "continue", "NaN", "Infinity",
+}
+
+_PUNCT = [
+    "...", "=>", "===", "!==", "==", "!=", "<=", ">=", "&&", "||",
+    "??", "?.", "++", "--", "+=", "-=", "*=", "/=", "%=", "{", "}",
+    "(", ")", "[", "]", ";", ",", ":", ".", "?", "=", "+", "-", "*",
+    "/", "%", "<", ">", "!",
+]
+
+
+@dataclass
+class Tok:
+    kind: str  # ident kw num str template punct eof
+    value: Any
+    line: int
+    col: int
+
+
+def _lex(src: str) -> list[Tok]:
+    toks: list[Tok] = []
+    i, line, bol = 0, 1, 0
+    n = len(src)
+
+    def pos(at):
+        return line, at - bol + 1
+
+    while i < n:
+        c = src[i]
+        if c == "\n":
+            line += 1
+            i += 1
+            bol = i
+            continue
+        if c in " \t\r":
+            i += 1
+            continue
+        if src.startswith("//", i):
+            nl = src.find("\n", i)
+            i = n if nl < 0 else nl
+            continue
+        if src.startswith("/*", i):
+            end = src.find("*/", i + 2)
+            if end < 0:
+                raise JsCompileError("unterminated comment", *pos(i))
+            line += src.count("\n", i, end)
+            i = end + 2
+            continue
+        if c.isalpha() or c in "_$":
+            j = i
+            while j < n and (src[j].isalnum() or src[j] in "_$"):
+                j += 1
+            word = src[i:j]
+            toks.append(Tok("kw" if word in _KEYWORDS else "ident",
+                            word, *pos(i)))
+            i = j
+            continue
+        if c.isdigit() or (c == "." and i + 1 < n and src[i + 1].isdigit()):
+            j = i
+            isfloat = False
+            while j < n and (src[j].isdigit() or src[j] in ".eE" or
+                             (src[j] in "+-" and src[j - 1] in "eE")):
+                if src[j] in ".eE":
+                    isfloat = True
+                j += 1
+            text = src[i:j]
+            try:
+                val = float(text) if isfloat else int(text)
+            except ValueError:
+                raise JsCompileError(f"bad number {text!r}", *pos(i))
+            toks.append(Tok("num", val, *pos(i)))
+            i = j
+            continue
+        if c in "\"'":
+            j, out = i + 1, []
+            while j < n and src[j] != c:
+                if src[j] == "\\":
+                    esc = src[j + 1] if j + 1 < n else ""
+                    out.append({"n": "\n", "t": "\t", "r": "\r", "0": "\0",
+                                "b": "\b", "f": "\f"}.get(esc, esc))
+                    j += 2
+                elif src[j] == "\n":
+                    raise JsCompileError("unterminated string", *pos(i))
+                else:
+                    out.append(src[j])
+                    j += 1
+            if j >= n:
+                raise JsCompileError("unterminated string", *pos(i))
+            toks.append(Tok("str", "".join(out), *pos(i)))
+            i = j + 1
+            continue
+        if c == "`":
+            # template literal: collect (literal_part, expr_source) pairs
+            j = i + 1
+            parts: list[str] = []
+            exprs: list[str] = []
+            buf: list[str] = []
+            while j < n and src[j] != "`":
+                if src[j] == "\\":
+                    esc = src[j + 1] if j + 1 < n else ""
+                    buf.append({"n": "\n", "t": "\t", "r": "\r",
+                                "`": "`", "$": "$"}.get(esc, esc))
+                    j += 2
+                elif src.startswith("${", j):
+                    parts.append("".join(buf))
+                    buf = []
+                    depth, k = 1, j + 2
+                    while k < n and depth:
+                        if src[k] == "{":
+                            depth += 1
+                        elif src[k] == "}":
+                            depth -= 1
+                        k += 1
+                    if depth:
+                        raise JsCompileError("unterminated ${", *pos(j))
+                    exprs.append(src[j + 2:k - 1])
+                    j = k
+                else:
+                    if src[j] == "\n":
+                        line += 1
+                        bol = j + 1
+                    buf.append(src[j])
+                    j += 1
+            if j >= n:
+                raise JsCompileError("unterminated template", *pos(i))
+            parts.append("".join(buf))
+            toks.append(Tok("template", (parts, exprs), *pos(i)))
+            i = j + 1
+            continue
+        for p in _PUNCT:
+            if src.startswith(p, i):
+                toks.append(Tok("punct", p, *pos(i)))
+                i += len(p)
+                break
+        else:
+            raise JsCompileError(f"unexpected character {c!r}", *pos(i))
+    toks.append(Tok("eof", None, *pos(i)))
+    return toks
+
+# -------------------------------------------------------------- parser
+#
+# AST nodes are plain tuples: (kind, ...); positions are carried on
+# the statement level only (enough for useful errors).
+
+_ASSIGN_OPS = {"=", "+=", "-=", "*=", "/=", "%="}
+
+
+class _P:
+    def __init__(self, toks: list[Tok]):
+        self.toks = toks
+        self.i = 0
+
+    # -- token helpers ----------------------------------------------------
+
+    def peek(self, ahead: int = 0) -> Tok:
+        return self.toks[min(self.i + ahead, len(self.toks) - 1)]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        if t.kind != "eof":
+            self.i += 1
+        return t
+
+    def at(self, kind: str, value=None, ahead: int = 0) -> bool:
+        t = self.peek(ahead)
+        return t.kind == kind and (value is None or t.value == value)
+
+    def eat(self, kind: str, value=None) -> Tok | None:
+        if self.at(kind, value):
+            return self.next()
+        return None
+
+    def expect(self, kind: str, value=None) -> Tok:
+        t = self.peek()
+        if not self.at(kind, value):
+            want = value if value is not None else kind
+            raise JsCompileError(
+                f"expected {want!r} but found {t.value!r}", t.line, t.col)
+        return self.next()
+
+    def semi(self):
+        self.eat("punct", ";")
+
+    # -- module -----------------------------------------------------------
+
+    def module(self) -> list:
+        body = []
+        while not self.at("eof"):
+            body.append(self.statement(top=True))
+        return body
+
+    # -- statements ---------------------------------------------------------
+
+    def statement(self, top: bool = False):
+        t = self.peek()
+        if t.kind == "kw":
+            if t.value == "import" and top:
+                return self.import_decl()
+            if t.value == "export" and top:
+                return self.export_decl()
+            if t.value in ("const", "let", "var"):
+                d = self.var_decl()
+                self.semi()
+                return d
+            if t.value == "function":
+                return self.function_decl()
+            if t.value == "return":
+                self.next()
+                if self.at("punct", ";") or self.at("punct", "}") or self.at("eof"):
+                    self.semi()
+                    return ("return", None, t.line)
+                e = self.expression()
+                self.semi()
+                return ("return", e, t.line)
+            if t.value == "if":
+                return self.if_stmt()
+            if t.value == "while":
+                self.next()
+                self.expect("punct", "(")
+                cond = self.expression()
+                self.expect("punct", ")")
+                return ("while", cond, self.statement(), t.line)
+            if t.value == "for":
+                return self.for_stmt()
+            if t.value == "break":
+                self.next()
+                self.semi()
+                return ("break", t.line)
+            if t.value == "continue":
+                self.next()
+                self.semi()
+                return ("continue", t.line)
+        if self.at("punct", "{"):
+            return self.block()
+        if self.at("punct", ";"):
+            self.next()
+            return ("empty",)
+        e = self.expression()
+        self.semi()
+        return ("expr", e, t.line)
+
+    def block(self):
+        lb = self.expect("punct", "{")
+        body = []
+        while not self.at("punct", "}") and not self.at("eof"):
+            body.append(self.statement())
+        self.expect("punct", "}")
+        return ("block", body, lb.line)
+
+    def import_decl(self):
+        t = self.expect("kw", "import")
+        names: list[tuple[str, str]] = []   # (local, exported) pairs
+        default: str | None = None
+        if self.at("ident"):
+            default = self.next().value
+            if self.eat("punct", ","):
+                pass
+        if self.eat("punct", "{"):
+            while not self.at("punct", "}"):
+                exported = self.expect("ident").value
+                local = exported
+                if self.eat("kw", "as") or (self.at("ident", "as") and self.next()):
+                    local = self.expect("ident").value
+                names.append((local, exported))
+                if not self.eat("punct", ","):
+                    break
+            self.expect("punct", "}")
+        self.expect("kw", "from")
+        mod = self.expect("str").value
+        self.semi()
+        return ("import", default, names, mod, t.line)
+
+    def export_decl(self):
+        t = self.expect("kw", "export")
+        if self.eat("kw", "default"):
+            if self.at("kw", "function"):
+                fn = self.function_decl(anonymous_ok=True)
+                return ("export_default", fn, t.line)
+            e = self.expression()
+            self.semi()
+            return ("export_default", ("expr_value", e), t.line)
+        if self.at("kw", "function"):
+            return ("export_named", self.function_decl(), t.line)
+        if self.at("kw", "const") or self.at("kw", "let") or self.at("kw", "var"):
+            d = self.var_decl()
+            self.semi()
+            return ("export_named", d, t.line)
+        raise JsCompileError("unsupported export form", t.line, t.col)
+
+    def var_decl(self):
+        kw = self.next()  # const/let/var
+        decls = []
+        while True:
+            target = self.binding_target()
+            init = None
+            if self.eat("punct", "="):
+                init = self.expression(no_comma=True)
+            decls.append((target, init))
+            if not self.eat("punct", ","):
+                break
+        return ("var", kw.value, decls, kw.line)
+
+    def binding_target(self):
+        """ident | {a, b: c, ...} | [a, b]"""
+        if self.at("ident") or (self.at("kw") and self.peek().value not in
+                                ("const", "let", "var", "function")):
+            return ("bind_ident", self.next().value)
+        if self.at("punct", "{"):
+            self.next()
+            props = []
+            while not self.at("punct", "}"):
+                key = self.next().value  # ident or kw used as prop name
+                local = key
+                if self.eat("punct", ":"):
+                    local = self.expect("ident").value
+                default = None
+                if self.eat("punct", "="):
+                    default = self.expression(no_comma=True)
+                props.append((key, local, default))
+                if not self.eat("punct", ","):
+                    break
+            self.expect("punct", "}")
+            return ("bind_object", props)
+        if self.at("punct", "["):
+            self.next()
+            elems = []
+            while not self.at("punct", "]"):
+                if self.at("punct", ","):
+                    elems.append(None)
+                else:
+                    elems.append(self.binding_target())
+                if not self.eat("punct", ","):
+                    break
+            self.expect("punct", "]")
+            return ("bind_array", elems)
+        t = self.peek()
+        raise JsCompileError(f"bad binding target {t.value!r}", t.line, t.col)
+
+    def function_decl(self, anonymous_ok: bool = False):
+        t = self.expect("kw", "function")
+        name = None
+        if self.at("ident"):
+            name = self.next().value
+        elif not anonymous_ok:
+            raise JsCompileError("function name required", t.line, t.col)
+        params = self.param_list()
+        body = self.block()
+        return ("function", name, params, body, t.line)
+
+    def param_list(self):
+        self.expect("punct", "(")
+        params = []
+        while not self.at("punct", ")"):
+            params.append(self.binding_target())
+            if not self.eat("punct", ","):
+                break
+        self.expect("punct", ")")
+        return params
+
+    def if_stmt(self):
+        t = self.expect("kw", "if")
+        self.expect("punct", "(")
+        cond = self.expression()
+        self.expect("punct", ")")
+        then = self.statement()
+        alt = None
+        if self.eat("kw", "else"):
+            alt = self.statement()
+        return ("if", cond, then, alt, t.line)
+
+    def for_stmt(self):
+        t = self.expect("kw", "for")
+        self.expect("punct", "(")
+        # for (const x of expr) | for (init; cond; step)
+        init = None
+        if self.at("kw", "const") or self.at("kw", "let") or self.at("kw", "var"):
+            kw = self.next()
+            target = self.binding_target()
+            if self.eat("kw", "of"):
+                seq = self.expression()
+                self.expect("punct", ")")
+                return ("forof", kw.value, target, seq, self.statement(), t.line)
+            inits = []
+            iv = None
+            if self.eat("punct", "="):
+                iv = self.expression(no_comma=True)
+            inits.append((target, iv))
+            while self.eat("punct", ","):
+                tg = self.binding_target()
+                v = None
+                if self.eat("punct", "="):
+                    v = self.expression(no_comma=True)
+                inits.append((tg, v))
+            init = ("var", kw.value, inits, kw.line)
+        elif not self.at("punct", ";"):
+            init = ("expr", self.expression(), t.line)
+        self.expect("punct", ";")
+        cond = None if self.at("punct", ";") else self.expression()
+        self.expect("punct", ";")
+        step = None if self.at("punct", ")") else self.expression()
+        self.expect("punct", ")")
+        return ("for", init, cond, step, self.statement(), t.line)
+
+    # -- expressions --------------------------------------------------------
+    #
+    # precedence ladder (lowest first): comma < assignment < ?: < ?? <
+    # || < && < equality < relational < additive < multiplicative <
+    # unary < postfix < call/member < primary
+
+    def expression(self, no_comma: bool = False):
+        e = self.assignment()
+        if not no_comma:
+            while self.at("punct", ","):
+                # comma operator is rare; sequence value = last
+                self.next()
+                e = ("seq", e, self.assignment())
+        return e
+
+    def assignment(self):
+        # arrow function lookahead: IDENT => ...  or  ( params ) => ...
+        arrow = self.try_arrow()
+        if arrow is not None:
+            return arrow
+        left = self.conditional()
+        t = self.peek()
+        if t.kind == "punct" and t.value in _ASSIGN_OPS:
+            self.next()
+            right = self.assignment()
+            if left[0] not in ("ident", "member", "index"):
+                raise JsCompileError("invalid assignment target", t.line, t.col)
+            return ("assign", t.value, left, right)
+        return left
+
+    def try_arrow(self):
+        """Backtracking arrow-function parse; returns None if the
+        upcoming tokens are not an arrow function."""
+        start = self.i
+        try:
+            if self.at("ident") and self.at("punct", "=>", 1):
+                param = ("bind_ident", self.next().value)
+                self.expect("punct", "=>")
+                return ("arrow", [param], self.arrow_body())
+            if self.at("punct", "("):
+                params = self.param_list()
+                if self.eat("punct", "=>"):
+                    return ("arrow", params, self.arrow_body())
+        except JsCompileError:
+            pass
+        self.i = start
+        return None
+
+    def arrow_body(self):
+        if self.at("punct", "{"):
+            return ("body_block", self.block())
+        return ("body_expr", self.assignment())
+
+    def conditional(self):
+        cond = self.nullish()
+        if self.eat("punct", "?"):
+            then = self.assignment()
+            self.expect("punct", ":")
+            return ("cond", cond, then, self.assignment())
+        return cond
+
+    def _binary(self, sub, ops, node="binop"):
+        e = sub()
+        while self.peek().kind == "punct" and self.peek().value in ops:
+            op = self.next().value
+            e = (node, op, e, sub())
+        return e
+
+    def nullish(self):
+        return self._binary(self.logical_or, ("??",), "logic")
+
+    def logical_or(self):
+        return self._binary(self.logical_and, ("||",), "logic")
+
+    def logical_and(self):
+        return self._binary(self.equality, ("&&",), "logic")
+
+    def equality(self):
+        return self._binary(self.relational, ("===", "!==", "==", "!="))
+
+    def relational(self):
+        e = self._binary(self.additive, ("<", ">", "<=", ">="))
+        # `x in obj` (relational precedence)
+        while self.at("kw", "in"):
+            self.next()
+            e = ("binop", "in", e, self.additive())
+        return e
+
+    def additive(self):
+        return self._binary(self.multiplicative, ("+", "-"))
+
+    def multiplicative(self):
+        return self._binary(self.unary, ("*", "/", "%"))
+
+    def unary(self):
+        t = self.peek()
+        if t.kind == "punct" and t.value in ("!", "-", "+"):
+            self.next()
+            return ("unary", t.value, self.unary())
+        if t.kind == "punct" and t.value in ("++", "--"):
+            self.next()
+            return ("update", t.value, self.unary(), True)  # prefix
+        if t.kind == "kw" and t.value == "typeof":
+            self.next()
+            return ("typeof", self.unary())
+        if t.kind == "kw" and t.value == "new":
+            self.next()
+            callee = self.call_member(self.primary(), no_call=True)
+            args = self.arguments() if self.at("punct", "(") else []
+            return self.call_member(("new", callee, args))
+        return self.postfix()
+
+    def postfix(self):
+        e = self.call_member(self.primary())
+        t = self.peek()
+        if t.kind == "punct" and t.value in ("++", "--"):
+            self.next()
+            return ("update", t.value, e, False)
+        return e
+
+    def call_member(self, e, no_call: bool = False):
+        while True:
+            if self.at("punct", "."):
+                self.next()
+                name = self.next()
+                if name.kind not in ("ident", "kw"):
+                    raise JsCompileError("expected property name",
+                                         name.line, name.col)
+                e = ("member", e, name.value, False)
+            elif self.at("punct", "?."):
+                self.next()
+                if self.at("punct", "("):
+                    e = ("call", e, self.arguments(), True)
+                else:
+                    name = self.next()
+                    e = ("member", e, name.value, True)
+            elif self.at("punct", "["):
+                self.next()
+                idx = self.expression()
+                self.expect("punct", "]")
+                e = ("index", e, idx)
+            elif self.at("punct", "(") and not no_call:
+                e = ("call", e, self.arguments(), False)
+            elif self.at("template"):
+                t = self.next()
+                raise JsCompileError("tagged templates unsupported",
+                                     t.line, t.col)
+            else:
+                return e
+
+    def arguments(self):
+        self.expect("punct", "(")
+        args = []
+        while not self.at("punct", ")"):
+            if self.eat("punct", "..."):
+                args.append(("spread", self.assignment()))
+            else:
+                args.append(self.assignment())
+            if not self.eat("punct", ","):
+                break
+        self.expect("punct", ")")
+        return args
+
+    def primary(self):
+        t = self.peek()
+        if t.kind == "num":
+            self.next()
+            return ("num", t.value)
+        if t.kind == "str":
+            self.next()
+            return ("str", t.value)
+        if t.kind == "template":
+            self.next()
+            parts, expr_srcs = t.value
+            exprs = []
+            for src in expr_srcs:
+                sub = _P(_lex(src))
+                exprs.append(sub.expression())
+                sub.expect("eof")
+            return ("template", parts, exprs)
+        if t.kind == "ident":
+            self.next()
+            return ("ident", t.value)
+        if t.kind == "kw":
+            if t.value == "true":
+                self.next()
+                return ("bool", True)
+            if t.value == "false":
+                self.next()
+                return ("bool", False)
+            if t.value == "null":
+                self.next()
+                return ("null",)
+            if t.value == "undefined":
+                self.next()
+                return ("undef",)
+            if t.value == "NaN":
+                self.next()
+                return ("num", float("nan"))
+            if t.value == "Infinity":
+                self.next()
+                return ("num", float("inf"))
+            if t.value == "function":
+                return self.function_decl(anonymous_ok=True)
+            if t.value == "of" or t.value == "from" or t.value == "default":
+                # contextual keywords usable as plain identifiers
+                self.next()
+                return ("ident", t.value)
+        if self.at("punct", "("):
+            self.next()
+            e = self.expression()
+            self.expect("punct", ")")
+            return e
+        if self.at("punct", "["):
+            self.next()
+            elems = []
+            while not self.at("punct", "]"):
+                if self.eat("punct", "..."):
+                    elems.append(("spread", self.assignment()))
+                else:
+                    elems.append(self.assignment())
+                if not self.eat("punct", ","):
+                    break
+            self.expect("punct", "]")
+            return ("array", elems)
+        if self.at("punct", "{"):
+            self.next()
+            props = []
+            while not self.at("punct", "}"):
+                if self.eat("punct", "..."):
+                    props.append(("spread_prop", self.assignment()))
+                elif self.at("punct", "["):
+                    self.next()
+                    key = self.expression()
+                    self.expect("punct", "]")
+                    self.expect("punct", ":")
+                    props.append(("computed", key, self.assignment()))
+                else:
+                    kt = self.next()
+                    if kt.kind in ("ident", "kw"):
+                        key = kt.value
+                    elif kt.kind in ("str", "num"):
+                        key = kt.value
+                    else:
+                        raise JsCompileError("bad object key", kt.line, kt.col)
+                    if self.at("punct", "("):
+                        # method shorthand: {foo() {...}}
+                        params = self.param_list()
+                        body = self.block()
+                        props.append(("plain", key,
+                                      ("function", None, params, body, kt.line)))
+                    elif self.eat("punct", ":"):
+                        props.append(("plain", key, self.assignment()))
+                    else:
+                        # shorthand {foo}
+                        props.append(("plain", key, ("ident", str(key))))
+                if not self.eat("punct", ","):
+                    break
+            self.expect("punct", "}")
+            return ("object", props)
+        raise JsCompileError(f"unexpected token {t.value!r}", t.line, t.col)
+
+
+# ----------------------------------------------------------- evaluator
+
+class _Env:
+    __slots__ = ("vars", "parent")
+
+    def __init__(self, parent: "_Env | None" = None):
+        self.vars: dict = {}
+        self.parent = parent
+
+    def get(self, name: str):
+        env = self
+        while env is not None:
+            if name in env.vars:
+                return env.vars[name]
+            env = env.parent
+        raise JsRuntimeError(f"{name} is not defined")
+
+    def set(self, name: str, value) -> None:
+        env = self
+        while env is not None:
+            if name in env.vars:
+                env.vars[name] = value
+                return
+            env = env.parent
+        raise JsRuntimeError(f"{name} is not defined")
+
+    def declare(self, name: str, value) -> None:
+        self.vars[name] = value
+
+    def has(self, name: str) -> bool:
+        env = self
+        while env is not None:
+            if name in env.vars:
+                return True
+            env = env.parent
+        return False
+
+
+@dataclass
+class JSFunction:
+    name: str | None
+    params: list
+    body: Any          # ("block", ...) or ("body_expr", expr)
+    env: _Env
+    interp: "Interpreter" = field(repr=False, default=None)
+
+    def __call__(self, *args):
+        """Python-callable bridge: host code (Sel.map etc.) can invoke
+        a JS function directly."""
+        return self.interp.call(self, list(args))
+
+
+class _Return(Exception):
+    def __init__(self, value):
+        self.value = value
+
+
+class _Break(Exception):
+    pass
+
+
+class _Continue(Exception):
+    pass
+
+
+def js_truthy(v) -> bool:
+    if v is UNDEFINED or v is None or v is False:
+        return False
+    if isinstance(v, str):
+        return bool(v)
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return not (v == 0 or (isinstance(v, float) and math.isnan(v)))
+    return True  # objects/arrays/functions/Sets/host objects
+
+
+def js_string(v) -> str:
+    """ToString (the subset scripts observe)."""
+    if v is UNDEFINED:
+        return "undefined"
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
+        if v.is_integer() and abs(v) < 2**53:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        return v
+    if isinstance(v, list):
+        return ",".join("" if x is None or x is UNDEFINED else js_string(x)
+                        for x in v)
+    if isinstance(v, dict):
+        return "[object Object]"
+    if isinstance(v, (JSFunction, Callable)):
+        return f"function {getattr(v, 'name', '') or ''}() {{ ... }}"
+    return str(v)
+
+
+def js_number(v) -> float:
+    if isinstance(v, bool):
+        return 1.0 if v else 0.0
+    if isinstance(v, (int, float)):
+        return float(v)
+    if v is None:
+        return 0.0
+    if v is UNDEFINED:
+        return float("nan")
+    if isinstance(v, str):
+        s = v.strip()
+        if not s:
+            return 0.0
+        try:
+            return float(s)
+        except ValueError:
+            return float("nan")
+    return float("nan")
+
+
+def _strict_eq(a, b) -> bool:
+    if a is UNDEFINED or b is UNDEFINED:
+        return a is b
+    if a is None or b is None:
+        return a is b
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool) and a == b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) or math.isnan(fb):
+            return False
+        return fa == fb
+    if isinstance(a, str) and isinstance(b, str):
+        return a == b
+    return a is b  # objects: reference equality
+
+
+def _loose_eq(a, b) -> bool:
+    if _strict_eq(a, b):
+        return True
+    nullish_a = a is None or a is UNDEFINED
+    nullish_b = b is None or b is UNDEFINED
+    if nullish_a or nullish_b:
+        return nullish_a and nullish_b
+    if isinstance(a, (int, float, bool)) and isinstance(b, str):
+        return js_number(a) == js_number(b)
+    if isinstance(a, str) and isinstance(b, (int, float, bool)):
+        return js_number(a) == js_number(b)
+    if isinstance(a, bool) or isinstance(b, bool):
+        return js_number(a) == js_number(b)
+    return False
+
+
+# ------------------------------------------------ string/array methods
+
+def _norm_index(i, length, clamp_end=False):
+    i = int(i)
+    if i < 0:
+        i += length
+    return max(0, min(i, length)) if clamp_end else i
+
+
+def _string_method(s: str, name: str):
+    def replace(pat, repl):
+        # JS String.replace with a string pattern replaces FIRST only
+        return s.replace(js_string(pat), js_string(repl), 1)
+
+    def split(sep=UNDEFINED, limit=UNDEFINED):
+        if sep is UNDEFINED:
+            out = [s]
+        elif sep == "":
+            out = list(s)
+        else:
+            out = s.split(js_string(sep))
+        if limit is not UNDEFINED:
+            out = out[: int(limit)]
+        return out
+
+    def slice_(start=UNDEFINED, end=UNDEFINED):
+        st = 0 if start is UNDEFINED else _norm_index(start, len(s), True)
+        en = len(s) if end is UNDEFINED else _norm_index(end, len(s), True)
+        return s[st:en]
+
+    def substring(start=UNDEFINED, end=UNDEFINED):
+        st = 0 if start is UNDEFINED else max(0, min(int(start), len(s)))
+        en = len(s) if end is UNDEFINED else max(0, min(int(end), len(s)))
+        if st > en:
+            st, en = en, st
+        return s[st:en]
+
+    def char_at(i=0):
+        i = int(i)
+        return s[i] if 0 <= i < len(s) else ""
+
+    def at(i=0):
+        i = int(i)
+        if i < 0:
+            i += len(s)
+        return s[i] if 0 <= i < len(s) else UNDEFINED
+
+    methods = {
+        "replace": replace,
+        "replaceAll": lambda pat, repl: s.replace(js_string(pat),
+                                                  js_string(repl)),
+        "split": split,
+        "slice": slice_,
+        "substring": substring,
+        "trim": s.strip,
+        "trimStart": s.lstrip,
+        "trimEnd": s.rstrip,
+        "toLowerCase": s.lower,
+        "toUpperCase": s.upper,
+        "includes": lambda sub: js_string(sub) in s,
+        "startsWith": lambda sub: s.startswith(js_string(sub)),
+        "endsWith": lambda sub: s.endswith(js_string(sub)),
+        "indexOf": lambda sub: s.find(js_string(sub)),
+        "lastIndexOf": lambda sub: s.rfind(js_string(sub)),
+        "charAt": char_at,
+        "charCodeAt": lambda i=0: (ord(s[int(i)])
+                                   if 0 <= int(i) < len(s) else float("nan")),
+        "at": at,
+        "concat": lambda *parts: s + "".join(js_string(p) for p in parts),
+        "repeat": lambda k: s * int(k),
+        "padStart": lambda w, fill=" ": s.rjust(int(w), js_string(fill)[:1] or " "),
+        "padEnd": lambda w, fill=" ": s.ljust(int(w), js_string(fill)[:1] or " "),
+        "toString": lambda: s,
+    }
+    return methods.get(name)
+
+
+def _call_cb(interp, cb, args):
+    """Invoke a JS or native callback with JS arity forgiveness."""
+    if isinstance(cb, JSFunction):
+        return interp.call(cb, list(args))
+    try:
+        return cb(*args)
+    except TypeError:
+        # native taking fewer args (e.g. Boolean)
+        return cb(args[0]) if args else cb()
+
+
+def _array_method(arr: list, name: str, interp):
+    def js_sort(cmp=UNDEFINED):
+        import functools
+
+        if cmp is UNDEFINED:
+            arr.sort(key=js_string)  # JS default: string compare
+        else:
+            arr.sort(key=functools.cmp_to_key(
+                lambda a, b: (-1 if js_number(_call_cb(interp, cmp, [a, b])) < 0
+                              else (1 if js_number(_call_cb(interp, cmp, [a, b])) > 0
+                                    else 0))))
+        return arr
+
+    def reduce(cb, *initial):
+        acc_set = bool(initial)
+        acc = initial[0] if initial else None
+        for i, v in enumerate(arr):
+            if not acc_set:
+                acc, acc_set = v, True
+            else:
+                acc = _call_cb(interp, cb, [acc, v, i, arr])
+        if not acc_set:
+            raise JsRuntimeError("reduce of empty array with no initial value")
+        return acc
+
+    def flat(depth=1):
+        def go(xs, d):
+            out = []
+            for x in xs:
+                if isinstance(x, list) and d > 0:
+                    out.extend(go(x, d - 1))
+                else:
+                    out.append(x)
+            return out
+
+        return go(arr, int(js_number(depth)) if depth is not UNDEFINED else 1)
+
+    def slice_(start=UNDEFINED, end=UNDEFINED):
+        st = 0 if start is UNDEFINED else _norm_index(start, len(arr), True)
+        en = len(arr) if end is UNDEFINED else _norm_index(end, len(arr), True)
+        return arr[st:en]
+
+    def find(cb):
+        for i, v in enumerate(arr):
+            if js_truthy(_call_cb(interp, cb, [v, i])):
+                return v
+        return UNDEFINED
+
+    def find_index(cb):
+        for i, v in enumerate(arr):
+            if js_truthy(_call_cb(interp, cb, [v, i])):
+                return i
+        return -1
+
+    def index_of(x):
+        for i, v in enumerate(arr):
+            if _strict_eq(v, x):
+                return i
+        return -1
+
+    def at(i=0):
+        i = int(i)
+        if i < 0:
+            i += len(arr)
+        return arr[i] if 0 <= i < len(arr) else UNDEFINED
+
+    methods = {
+        "map": lambda cb: [_call_cb(interp, cb, [v, i])
+                           for i, v in enumerate(arr)],
+        "filter": lambda cb: [v for i, v in enumerate(arr)
+                              if js_truthy(_call_cb(interp, cb, [v, i]))],
+        "forEach": lambda cb: ([_call_cb(interp, cb, [v, i])
+                                for i, v in enumerate(arr)], UNDEFINED)[1],
+        "slice": slice_,
+        "join": lambda sep=",": js_string(sep).join(
+            "" if v is None or v is UNDEFINED else js_string(v) for v in arr),
+        "includes": lambda x: any(_strict_eq(v, x) for v in arr),
+        "indexOf": index_of,
+        "push": lambda *xs: (arr.extend(xs), len(arr))[1],
+        "pop": lambda: arr.pop() if arr else UNDEFINED,
+        "shift": lambda: arr.pop(0) if arr else UNDEFINED,
+        "unshift": lambda *xs: (arr.__setitem__(slice(0, 0), list(xs)),
+                                len(arr))[1],
+        "concat": lambda *xs: arr + [y for x in xs
+                                     for y in (x if isinstance(x, list) else [x])],
+        "flat": flat,
+        "flatMap": lambda cb: [y
+                               for i, v in enumerate(arr)
+                               for x in [_call_cb(interp, cb, [v, i])]
+                               for y in (x if isinstance(x, list) else [x])],
+        "find": find,
+        "findIndex": find_index,
+        "reduce": reduce,
+        "some": lambda cb: any(js_truthy(_call_cb(interp, cb, [v, i]))
+                               for i, v in enumerate(arr)),
+        "every": lambda cb: all(js_truthy(_call_cb(interp, cb, [v, i]))
+                                for i, v in enumerate(arr)),
+        "reverse": lambda: (arr.reverse(), arr)[1],
+        "sort": js_sort,
+        "at": at,
+        "toString": lambda: js_string(arr),
+    }
+    return methods.get(name)
+
+
+def _camel_to_snake(name: str) -> str:
+    out = []
+    for ch in name:
+        if ch.isupper():
+            out.append("_")
+            out.append(ch.lower())
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def js_json_stringify(v, indent=None) -> str | None:
+    """JSON.stringify semantics over interpreter values (js.go:161
+    wraps each scrape return in JSON.stringify). Returns None for
+    top-level undefined/function (JS returns undefined there)."""
+
+    def conv(x):
+        if x is UNDEFINED:
+            return _SKIP
+        if x is None or isinstance(x, (bool, str)):
+            return x
+        if isinstance(x, float):
+            if math.isnan(x) or math.isinf(x):
+                return None
+            if x.is_integer() and abs(x) < 2**53:
+                return int(x)
+            return x
+        if isinstance(x, int):
+            return x
+        if isinstance(x, list):
+            return [None if (c := conv(e)) is _SKIP else c for e in x]
+        if isinstance(x, dict):
+            out = {}
+            for k, val in x.items():
+                c = conv(val)
+                if c is not _SKIP:
+                    out[js_string(k)] = c
+            return out
+        if isinstance(x, JSSet):
+            return {}
+        if isinstance(x, JSFunction) or callable(x):
+            return _SKIP
+        # host objects (Sel etc.): no enumerable own props in goja's
+        # eyes except the Document map's WARNING (js.go:249-255)
+        from flyscrape_spark.parse.script import Sel
+
+        if isinstance(x, Sel):
+            return {"WARNING": "Forgot to call text(), html() or attr()?"}
+        return {}
+
+    _SKIP = object()
+    c = conv(v)
+    if c is _SKIP:
+        return None
+    return json.dumps(c, ensure_ascii=False, indent=indent,
+                      separators=(",", ":") if indent is None else None)
+
+
+class Interpreter:
+    """Evaluates a parsed module. One instance per compiled script;
+    safe to call the exported functions repeatedly (per-document in
+    the vectorized UDF)."""
+
+    def __init__(self):
+        self.globals = _Env()
+        self._install_globals()
+
+    # -- global objects -----------------------------------------------------
+
+    def _install_globals(self):
+        g = self.globals
+
+        def _boolean(x=UNDEFINED):
+            return js_truthy(x)
+
+        def _parse_int(s, base=10):
+            try:
+                txt = js_string(s).strip()
+                neg = txt.startswith("-")
+                txt = txt.lstrip("+-")
+                digits = ""
+                for ch in txt:
+                    try:
+                        int(ch, int(base))
+                        digits += ch
+                    except ValueError:
+                        break
+                if not digits:
+                    return float("nan")
+                v = int(digits, int(base))
+                return -v if neg else v
+            except (ValueError, TypeError):
+                return float("nan")
+
+        def _parse_float(s):
+            import re
+
+            m = re.match(r"\s*[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?",
+                         js_string(s))
+            return float(m.group(0)) if m else float("nan")
+
+        g.declare("JSON", {
+            "stringify": lambda v, replacer=None, indent=None:
+                (lambda s: UNDEFINED if s is None else s)(
+                    js_json_stringify(
+                        v, indent=int(indent) if isinstance(indent, (int, float))
+                        else None)),
+            "parse": lambda s: json.loads(js_string(s)),
+        })
+        g.declare("Math", {
+            "floor": lambda x: math.floor(js_number(x)),
+            "ceil": lambda x: math.ceil(js_number(x)),
+            "round": lambda x: math.floor(js_number(x) + 0.5),
+            "trunc": lambda x: math.trunc(js_number(x)),
+            "abs": lambda x: abs(js_number(x)),
+            "min": lambda *xs: min((js_number(x) for x in xs),
+                                   default=float("inf")),
+            "max": lambda *xs: max((js_number(x) for x in xs),
+                                   default=float("-inf")),
+            "pow": lambda a, b: js_number(a) ** js_number(b),
+            "sqrt": lambda x: math.sqrt(js_number(x)),
+            "log": lambda x: math.log(js_number(x)),
+            "PI": math.pi,
+            "E": math.e,
+        })
+        g.declare("Object", {
+            "keys": lambda o: list(o.keys()) if isinstance(o, dict) else [],
+            "values": lambda o: list(o.values()) if isinstance(o, dict) else [],
+            "entries": lambda o: [[k, v] for k, v in o.items()]
+                if isinstance(o, dict) else [],
+            "assign": lambda target, *srcs: (
+                [target.update(s) for s in srcs if isinstance(s, dict)],
+                target)[1],
+            "fromEntries": lambda pairs: {js_string(k): v for k, v in pairs},
+        })
+        g.declare("Array", {
+            "isArray": lambda x=UNDEFINED: isinstance(x, list),
+            "from": lambda x=UNDEFINED, cb=UNDEFINED: (
+                [x for x in ([] if x is UNDEFINED else list(x))]
+                if cb is UNDEFINED else
+                [_call_cb(self, cb, [v, i])
+                 for i, v in enumerate([] if x is UNDEFINED else list(x))]),
+        })
+        g.declare("Number", {
+            "isInteger": lambda x=UNDEFINED: isinstance(x, int)
+                or (isinstance(x, float) and x.is_integer()),
+            "isNaN": lambda x=UNDEFINED: isinstance(x, float) and math.isnan(x),
+            "parseFloat": _parse_float,
+            "parseInt": _parse_int,
+        })
+        g.declare("String", lambda x=UNDEFINED: js_string(x) if x is not UNDEFINED else "")
+        g.declare("Boolean", _boolean)
+        g.declare("parseInt", _parse_int)
+        g.declare("parseFloat", _parse_float)
+        g.declare("isNaN", lambda x=UNDEFINED: math.isnan(js_number(x)))
+        g.declare("console", {
+            "log": self._console("log"),
+            "error": self._console("error"),
+            "warn": self._console("warn"),
+        })
+        g.declare("Set", JSSet)  # constructed via `new`
+
+    @staticmethod
+    def _console(level):
+        def write(*args):
+            import sys
+
+            print(f"[{level}]", " ".join(js_string(a) for a in args),
+                  file=sys.stderr)
+            return UNDEFINED
+
+        return write
+
+    # -- statement execution -------------------------------------------------
+
+    def exec_block(self, stmts: list, env: _Env):
+        # hoist function declarations (reference scripts may call
+        # helpers declared after the default export, examples/download.js)
+        for s in stmts:
+            if s[0] == "function" and s[1]:
+                env.declare(s[1], JSFunction(s[1], s[2], s[3], env, self))
+        for s in stmts:
+            self.exec_stmt(s, env)
+
+    def exec_stmt(self, s, env: _Env):
+        kind = s[0]
+        if kind == "expr":
+            self.eval(s[1], env)
+        elif kind == "var":
+            for target, init in s[2]:
+                value = UNDEFINED if init is None else self.eval(init, env)
+                self.bind(target, value, env, declare=True)
+        elif kind == "function":
+            pass  # hoisted in exec_block
+        elif kind == "return":
+            raise _Return(UNDEFINED if s[1] is None
+                          else self.eval(s[1], env))
+        elif kind == "if":
+            if js_truthy(self.eval(s[1], env)):
+                self.exec_stmt_scoped(s[2], env)
+            elif s[3] is not None:
+                self.exec_stmt_scoped(s[3], env)
+        elif kind == "while":
+            while js_truthy(self.eval(s[1], env)):
+                try:
+                    self.exec_stmt_scoped(s[2], env)
+                except _Break:
+                    break
+                except _Continue:
+                    continue
+        elif kind == "for":
+            _, init, cond, step, body, _line = s
+            loop_env = _Env(env)
+            if init is not None:
+                self.exec_stmt(init, loop_env)
+            while cond is None or js_truthy(self.eval(cond, loop_env)):
+                try:
+                    self.exec_stmt_scoped(body, loop_env)
+                except _Break:
+                    break
+                except _Continue:
+                    pass
+                if step is not None:
+                    self.eval(step, loop_env)
+        elif kind == "forof":
+            _, _kw, target, seq_e, body, _line = s
+            seq = self.eval(seq_e, env)
+            if isinstance(seq, dict):
+                raise JsRuntimeError("object is not iterable "
+                                     "(use Object.keys/values/entries)")
+            items = list(seq) if not isinstance(seq, str) else list(seq)
+            for item in items:
+                it_env = _Env(env)
+                self.bind(target, item, it_env, declare=True)
+                try:
+                    self.exec_stmt_scoped(body, it_env)
+                except _Break:
+                    break
+                except _Continue:
+                    continue
+        elif kind == "block":
+            self.exec_block(s[1], _Env(env))
+        elif kind == "break":
+            raise _Break()
+        elif kind == "continue":
+            raise _Continue()
+        elif kind == "empty":
+            pass
+        else:
+            raise JsRuntimeError(f"unsupported statement {kind!r}")
+
+    def exec_stmt_scoped(self, s, env: _Env):
+        if s[0] == "block":
+            self.exec_block(s[1], _Env(env))
+        else:
+            self.exec_stmt(s, env)
+
+    def bind(self, target, value, env: _Env, declare: bool):
+        kind = target[0]
+        if kind == "bind_ident":
+            if declare:
+                env.declare(target[1], value)
+            else:
+                env.set(target[1], value)
+        elif kind == "bind_object":
+            for key, local, default in target[1]:
+                v = self.get_prop(value, key, optional=True)
+                if v is UNDEFINED and default is not None:
+                    v = self.eval(default, env)
+                if declare:
+                    env.declare(local, v)
+                else:
+                    env.set(local, v)
+        elif kind == "bind_array":
+            seq = list(value) if not isinstance(value, str) else list(value)
+            for i, sub in enumerate(target[1]):
+                if sub is None:
+                    continue
+                v = seq[i] if i < len(seq) else UNDEFINED
+                self.bind(sub, v, env, declare)
+        else:
+            raise JsRuntimeError(f"bad binding {kind!r}")
+
+    # -- expression evaluation ------------------------------------------------
+
+    def eval(self, e, env: _Env):
+        kind = e[0]
+        if kind == "num" or kind == "str" or kind == "bool":
+            return e[1]
+        if kind == "null":
+            return None
+        if kind == "undef":
+            return UNDEFINED
+        if kind == "ident":
+            return env.get(e[1])
+        if kind == "template":
+            parts, exprs = e[1], e[2]
+            out = [parts[0]]
+            for i, sub in enumerate(exprs):
+                out.append(js_string(self.eval(sub, env)))
+                out.append(parts[i + 1])
+            return "".join(out)
+        if kind == "array":
+            out = []
+            for el in e[1]:
+                if el[0] == "spread":
+                    out.extend(list(self.eval(el[1], env)))
+                else:
+                    out.append(self.eval(el, env))
+            return out
+        if kind == "object":
+            out = {}
+            for prop in e[1]:
+                if prop[0] == "spread_prop":
+                    v = self.eval(prop[1], env)
+                    if isinstance(v, dict):
+                        out.update(v)
+                elif prop[0] == "computed":
+                    out[js_string(self.eval(prop[1], env))] = \
+                        self.eval(prop[2], env)
+                else:
+                    _, key, ve = prop
+                    out[js_string(key)] = self.eval(ve, env)
+            return out
+        if kind == "arrow" or kind == "function":
+            if kind == "arrow":
+                return JSFunction(None, e[1], e[2], env, self)
+            fn = JSFunction(e[1], e[2], ("body_block", e[3]), env, self)
+            return fn
+        if kind == "member":
+            obj = self.eval(e[1], env)
+            if e[3] and (obj is None or obj is UNDEFINED):  # optional ?.
+                return UNDEFINED
+            return self.get_prop(obj, e[2])
+        if kind == "index":
+            obj = self.eval(e[1], env)
+            idx = self.eval(e[2], env)
+            return self.get_index(obj, idx)
+        if kind == "call":
+            return self.eval_call(e, env)
+        if kind == "new":
+            callee = self.eval(e[1], env)
+            args = self.eval_args(e[2], env)
+            if callee is JSSet:
+                return JSSet(args[0] if args else None)
+            if isinstance(callee, JSFunction):
+                raise JsRuntimeError("user-defined constructors unsupported")
+            if callable(callee):
+                return callee(*args)
+            raise JsRuntimeError("not a constructor")
+        if kind == "cond":
+            return (self.eval(e[2], env) if js_truthy(self.eval(e[1], env))
+                    else self.eval(e[3], env))
+        if kind == "logic":
+            left = self.eval(e[2], env)
+            if e[1] == "&&":
+                return self.eval(e[3], env) if js_truthy(left) else left
+            if e[1] == "||":
+                return left if js_truthy(left) else self.eval(e[3], env)
+            # ??
+            return (self.eval(e[3], env)
+                    if left is None or left is UNDEFINED else left)
+        if kind == "binop":
+            return self.binop(e[1], self.eval(e[2], env),
+                              self.eval(e[3], env))
+        if kind == "unary":
+            v = self.eval(e[2], env)
+            if e[1] == "!":
+                return not js_truthy(v)
+            if e[1] == "-":
+                n = js_number(v)
+                return -n if not (isinstance(v, int)
+                                  and not isinstance(v, bool)) else -v
+            return js_number(v)  # unary +
+        if kind == "typeof":
+            sub = e[1]
+            if sub[0] == "ident" and not env.has(sub[1]):
+                return "undefined"
+            v = self.eval(sub, env)
+            if v is UNDEFINED:
+                return "undefined"
+            if v is None:
+                return "object"
+            if isinstance(v, bool):
+                return "boolean"
+            if isinstance(v, (int, float)):
+                return "number"
+            if isinstance(v, str):
+                return "string"
+            if isinstance(v, JSFunction) or callable(v):
+                return "function"
+            return "object"
+        if kind == "update":
+            _, op, target, prefix = e
+            old = js_number(self.eval(target, env))
+            if isinstance(old, float) and old.is_integer():
+                old = int(old)
+            new = old + 1 if op == "++" else old - 1
+            self.assign_to(target, new, env)
+            return new if prefix else old
+        if kind == "assign":
+            _, op, target, right_e = e
+            right = self.eval(right_e, env)
+            if op != "=":
+                right = self.binop(op[0], self.eval(target, env), right)
+            self.assign_to(target, right, env)
+            return right
+        if kind == "seq":
+            self.eval(e[1], env)
+            return self.eval(e[2], env)
+        if kind == "expr_value":
+            return self.eval(e[1], env)
+        raise JsRuntimeError(f"unsupported expression {kind!r}")
+
+    def assign_to(self, target, value, env: _Env):
+        kind = target[0]
+        if kind == "ident":
+            env.set(target[1], value)
+        elif kind == "member":
+            obj = self.eval(target[1], env)
+            if isinstance(obj, dict):
+                obj[target[2]] = value
+            else:
+                raise JsRuntimeError("cannot set property on non-object")
+        elif kind == "index":
+            obj = self.eval(target[1], env)
+            idx = self.eval(target[2], env)
+            if isinstance(obj, list):
+                i = int(js_number(idx))
+                while len(obj) <= i:
+                    obj.append(UNDEFINED)
+                obj[i] = value
+            elif isinstance(obj, dict):
+                obj[js_string(idx)] = value
+            else:
+                raise JsRuntimeError("cannot index-assign this value")
+        else:
+            raise JsRuntimeError("invalid assignment target")
+
+    def binop(self, op, a, b):
+        if op == "+":
+            if isinstance(a, str) or isinstance(b, str) or \
+                    isinstance(a, (list, dict)) or isinstance(b, (list, dict)):
+                return js_string(a) + js_string(b)
+            if isinstance(a, int) and isinstance(b, int) and \
+                    not isinstance(a, bool) and not isinstance(b, bool):
+                return a + b
+            return js_number(a) + js_number(b)
+        if op == "-":
+            if isinstance(a, int) and isinstance(b, int) and \
+                    not isinstance(a, bool) and not isinstance(b, bool):
+                return a - b
+            return js_number(a) - js_number(b)
+        if op == "*":
+            if isinstance(a, int) and isinstance(b, int) and \
+                    not isinstance(a, bool) and not isinstance(b, bool):
+                return a * b
+            return js_number(a) * js_number(b)
+        if op == "/":
+            d = js_number(b)
+            n = js_number(a)
+            if d == 0:
+                if n == 0 or math.isnan(n):
+                    return float("nan")
+                return math.copysign(float("inf"), n * (1 if d >= 0 else -1))
+            return n / d
+        if op == "%":
+            n, d = js_number(a), js_number(b)
+            if d == 0 or math.isnan(n) or math.isnan(d):
+                return float("nan")
+            r = math.fmod(n, d)  # JS: result takes the dividend's sign
+            if isinstance(a, int) and isinstance(b, int) and r.is_integer():
+                return int(r)
+            return r
+        if op == "===":
+            return _strict_eq(a, b)
+        if op == "!==":
+            return not _strict_eq(a, b)
+        if op == "==":
+            return _loose_eq(a, b)
+        if op == "!=":
+            return not _loose_eq(a, b)
+        if op in ("<", ">", "<=", ">="):
+            if isinstance(a, str) and isinstance(b, str):
+                pass  # lexicographic
+            else:
+                a, b = js_number(a), js_number(b)
+                if math.isnan(a) or math.isnan(b):
+                    return False
+            if op == "<":
+                return a < b
+            if op == ">":
+                return a > b
+            if op == "<=":
+                return a <= b
+            return a >= b
+        if op == "in":
+            if isinstance(b, dict):
+                return js_string(a) in b
+            if isinstance(b, list):
+                i = js_number(a)
+                return 0 <= i < len(b)
+            raise JsRuntimeError("'in' on non-object")
+        raise JsRuntimeError(f"unsupported operator {op!r}")
+
+    # -- property access / host bridge ---------------------------------------
+
+    def get_prop(self, obj, name: str, optional: bool = False):
+        if obj is None or obj is UNDEFINED:
+            if optional:
+                return UNDEFINED
+            raise JsRuntimeError(
+                f"cannot read property {name!r} of {js_string(obj)}")
+        if isinstance(obj, dict):
+            return obj.get(name, UNDEFINED)
+        if isinstance(obj, str):
+            if name == "length":
+                return len(obj)
+            m = _string_method(obj, name)
+            return m if m is not None else UNDEFINED
+        if isinstance(obj, list):
+            if name == "length":
+                return len(obj)
+            m = _array_method(obj, name, self)
+            return m if m is not None else UNDEFINED
+        if isinstance(obj, JSSet):
+            if name == "size":
+                return obj.size
+            if name in ("add", "has", "delete", "values"):
+                return getattr(obj, name)
+            if name == "forEach":
+                return lambda cb: ([_call_cb(self, cb, [v, v])
+                                    for v in obj], UNDEFINED)[1]
+            return UNDEFINED
+        if isinstance(obj, (int, float, bool)):
+            if name == "toString":
+                return lambda: js_string(obj)
+            if name == "toFixed":
+                return lambda d=0: f"{js_number(obj):.{int(d)}f}"
+            return UNDEFINED
+        # host object (Sel, context bridges, imported natives):
+        # exact attr first, then camelCase -> snake_case
+        attr = name if hasattr(obj, name) else _camel_to_snake(name)
+        if hasattr(obj, attr) and not attr.startswith("_"):
+            v = getattr(obj, attr)
+            return self._wrap_host(v)
+        return UNDEFINED
+
+    def _wrap_host(self, v):
+        """Host attribute -> JS value. Bound methods pass through as
+        callables; the call path converts JS callbacks for them."""
+        if v is None:
+            return None
+        return v
+
+    def get_index(self, obj, idx):
+        if isinstance(obj, list):
+            if isinstance(idx, (int, float)) and not isinstance(idx, bool):
+                i = int(idx)
+                if i < 0 or i >= len(obj):
+                    return UNDEFINED
+                return obj[i]
+            return self.get_prop(obj, js_string(idx))
+        if isinstance(obj, str):
+            if isinstance(idx, (int, float)) and not isinstance(idx, bool):
+                i = int(idx)
+                return obj[i] if 0 <= i < len(obj) else UNDEFINED
+            return self.get_prop(obj, js_string(idx))
+        if isinstance(obj, dict):
+            return obj.get(js_string(idx), UNDEFINED)
+        return self.get_prop(obj, js_string(idx))
+
+    # -- calls ----------------------------------------------------------------
+
+    def eval_args(self, arg_nodes, env: _Env) -> list:
+        args = []
+        for a in arg_nodes:
+            if a[0] == "spread":
+                args.extend(list(self.eval(a[1], env)))
+            else:
+                args.append(self.eval(a, env))
+        return args
+
+    def eval_call(self, e, env: _Env):
+        _, callee_e, arg_nodes, optional = e
+        # method call: keep `this` via direct dispatch
+        fn = None
+        if callee_e[0] == "member":
+            obj = self.eval(callee_e[1], env)
+            if (obj is None or obj is UNDEFINED) and (callee_e[3] or optional):
+                return UNDEFINED
+            fn = self.get_prop(obj, callee_e[2])
+            if fn is UNDEFINED:
+                if optional:
+                    return UNDEFINED
+                raise JsRuntimeError(
+                    f"{js_string(obj)[:40]}.{callee_e[2]} is not a function")
+        else:
+            fn = self.eval(callee_e, env)
+            if (fn is None or fn is UNDEFINED) and optional:
+                return UNDEFINED
+        args = self.eval_args(arg_nodes, env)
+        return self.call(fn, args)
+
+    def call(self, fn, args: list):
+        if isinstance(fn, JSFunction):
+            env = _Env(fn.env)
+            for i, p in enumerate(fn.params):
+                self.bind(p, args[i] if i < len(args) else UNDEFINED,
+                          env, declare=True)
+            body = fn.body
+            if body[0] == "body_expr":
+                return self.eval(body[1], env)
+            block = body[1] if body[0] == "body_block" else body
+            try:
+                self.exec_block(block[1], env)
+            except _Return as r:
+                return r.value
+            return UNDEFINED
+        if callable(fn):
+            conv = [self._to_host(a) for a in args]
+            try:
+                out = fn(*conv)
+            except TypeError as exc:
+                # arity forgiveness for natives declaring fewer params
+                if args and "positional argument" in str(exc):
+                    out = fn(*conv[: self._host_arity(fn, len(conv))])
+                else:
+                    raise
+            return UNDEFINED if out is None and self._returns_none_ok(fn) \
+                else out
+        raise JsRuntimeError(f"{js_string(fn)[:60]} is not a function")
+
+    @staticmethod
+    def _host_arity(fn, have: int) -> int:
+        import inspect
+
+        try:
+            sig = inspect.signature(fn)
+        except (TypeError, ValueError):
+            return have
+        n = 0
+        for p in sig.parameters.values():
+            if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD):
+                n += 1
+            elif p.kind == p.VAR_POSITIONAL:
+                return have
+        return min(n, have)
+
+    @staticmethod
+    def _returns_none_ok(fn) -> bool:
+        """Host methods that return Python None mean JS undefined —
+        EXCEPT bridges documented to produce JS null (absolute_url
+        returns None for unresolvable refs; keep that as null)."""
+        return getattr(fn, "__js_none_is_undefined__", True)
+
+    def _to_host(self, v):
+        """JS argument -> host argument. Integral floats become ints so
+        Sel.get(i)/slice-style host APIs receive real indices."""
+        if isinstance(v, float) and v.is_integer() and abs(v) < 2**53:
+            return int(v)
+        return v
+
+
+# ----------------------------------------------------------- module API
+
+class JsModule:
+    """Compiled script: ``exports`` (the module's export map — config,
+    default, any named exports) mirroring the reference's Exports
+    (js.go:48-58)."""
+
+    def __init__(self, exports: dict, interp: Interpreter):
+        self.exports = exports
+        self.interp = interp
+
+    @property
+    def config(self) -> dict:
+        cfg = self.exports.get("config")
+        return cfg if isinstance(cfg, dict) else {}
+
+    @property
+    def default(self):
+        return self.exports.get("default")
+
+
+def _load_text_import(module: str, base_dir: str | None) -> str | None:
+    """esbuild text loader analog (js.go:70-75 registers .txt; relative
+    files resolve against the script's directory)."""
+    import os
+
+    if not module.startswith("."):
+        return None
+    if base_dir is None:
+        return None
+    path = os.path.join(base_dir, module)
+    try:
+        with open(path, encoding="utf-8") as f:
+            return f.read()
+    except OSError:
+        return None
+
+
+def compile_module(source: str, imports: dict | None = None,
+                   base_dir: str | None = None) -> JsModule:
+    """Compile + evaluate a flyscrape script module.
+
+    ``imports`` maps module name -> dict of named exports (the
+    reference's Imports type, js.go:60); a default import binds the
+    whole export dict (CommonJS interop, js_test.go:330-358). Relative
+    imports load as text files (examples/urls_from_file.js).
+    """
+    toks = _lex(source)
+    body = _P(toks).module()
+    interp = Interpreter()
+    env = _Env(interp.globals)
+    exports: dict = {}
+    imports = imports or {}
+
+    # pass 1: imports + hoisted functions
+    for s in body:
+        if s[0] == "import":
+            _, default, names, mod, line = s
+            if mod in imports:
+                pkg = imports[mod]
+                if default:
+                    env.declare(default, pkg)
+                for local, exported in names:
+                    if isinstance(pkg, dict):
+                        env.declare(local, pkg.get(exported, UNDEFINED))
+                    else:
+                        env.declare(local, UNDEFINED)
+            else:
+                text = _load_text_import(mod, base_dir)
+                if text is None:
+                    raise JsCompileError(
+                        f'could not resolve import "{mod}"', line, 1)
+                if default:
+                    env.declare(default, text)
+
+    def hoist(stmts):
+        for s in stmts:
+            if s[0] == "function" and s[1]:
+                env.declare(s[1], JSFunction(s[1], s[2], ("body_block", s[3]),
+                                             env, interp))
+            elif s[0] == "export_named" and s[1][0] == "function" and s[1][1]:
+                fs = s[1]
+                env.declare(fs[1], JSFunction(fs[1], fs[2],
+                                              ("body_block", fs[3]),
+                                              env, interp))
+
+    hoist(body)
+
+    # pass 2: top-level execution + export collection
+    for s in body:
+        kind = s[0]
+        if kind == "import":
+            continue
+        if kind == "export_default":
+            decl = s[1]
+            if decl[0] == "function":
+                fn = JSFunction(decl[1], decl[2], ("body_block", decl[3]),
+                                env, interp)
+                if decl[1]:
+                    env.declare(decl[1], fn)
+                exports["default"] = fn
+            else:
+                exports["default"] = interp.eval(decl, env)
+            continue
+        if kind == "export_named":
+            decl = s[1]
+            if decl[0] == "function":
+                exports[decl[1]] = env.get(decl[1])
+            else:  # var decl
+                interp.exec_stmt(decl, env)
+                for target, _init in decl[2]:
+                    for name in _binding_names(target):
+                        exports[name] = env.get(name)
+            continue
+        if kind == "function" and s[1]:
+            continue  # already hoisted
+        interp.exec_stmt(s, env)
+
+    return JsModule(exports, interp)
+
+
+def _binding_names(target) -> list[str]:
+    kind = target[0]
+    if kind == "bind_ident":
+        return [target[1]]
+    if kind == "bind_object":
+        return [local for _key, local, _d in target[1]]
+    if kind == "bind_array":
+        return [n for sub in target[1] if sub is not None
+                for n in _binding_names(sub)]
+    return []
