@@ -33,6 +33,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #          rows at risk if the gate still truncates at 50; their
     #          standing evidence is tools/check_oracles.py (local full
     #          sweep, committed per round) + two prior driver rounds.
+        "js_script_extract": Q.q_js_script_extract,
+        "js_crawl_follow": Q.q_js_crawl_follow,
         "browser_render": Q.q_browser_render,
         "lm_scores_pretrained": Q.q_lm_scores_pretrained,
         "pack_sequences": Q.q_pack_sequences,
@@ -106,6 +108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "js_script_extract": Q.sql_js_script_extract(),
+        "js_crawl_follow": Q.sql_js_crawl_follow(),
         "browser_render": Q.sql_browser_render(),
         "lm_scores_pretrained": Q.sql_lm_scores_pretrained(),
         "pack_sequences": Q.sql_pack_sequences(),

@@ -254,6 +254,96 @@ FROM documents, n
 """
 
 
+_JS_EXTRACT_SRC = """
+export default function ({ doc, url }) {
+  const anchors = doc.find("a");
+  const first = anchors.first();
+  const after = first.next();
+  return {
+    text: doc.find("p").text(),
+    n_links: anchors.length,
+    after_first: after.name(),
+    media: after.attr("src"),
+    last_href: anchors.last().attr("href"),
+    parent_tag: first.parent().name(),
+    n_siblings: first.siblings().length,
+  };
+}
+"""
+
+
+def q_js_script_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME extraction as ``script_extract`` but authored in
+    JavaScript and executed by the from-scratch JS interpreter
+    (parse/jsvm.py) through the Arrow-batched bridge
+    (parse/jsbridge.make_js_script_udf) — the reference's goja VM path
+    (js.go:105-153, :155-246) driver-verified against the identical
+    SQL oracle. Compiles once per Python worker; one pandas-UDF call
+    per Arrow batch (no per-row Python dispatch from Spark's side)."""
+    from flyscrape_spark.parse.jsbridge import make_js_script_udf
+
+    pages = synthetic_pages(spark, sf_dir)
+    udf = make_js_script_udf(_JS_EXTRACT_SRC)
+    schema = (
+        "text string, n_links int, after_first string, media string, "
+        "last_href string, parent_tag string, n_siblings int"
+    )
+    return (
+        pages.withColumn("script", udf(F.col("html"), F.col("url")))
+        .withColumn("d", F.from_json(F.col("script.data"), schema))
+        .select(
+            "url", F.col("d.text").alias("text"),
+            F.col("d.n_links").alias("n_links"),
+            F.col("d.after_first").alias("after_first"),
+            F.col("d.media").alias("media"),
+            F.col("d.last_href").alias("last_href"),
+            F.col("d.parent_tag").alias("parent_tag"),
+            F.col("d.n_siblings").alias("n_siblings"),
+        )
+    )
+
+
+def sql_js_script_extract() -> str:
+    return sql_script_extract()
+
+
+def q_js_crawl_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``manual_follow`` driven by a verbatim JavaScript script through
+    the full engine: the JS default export parses the doc-id out of the
+    page URL and ``follow()``s the deterministic (5i+3)%N outlink
+    (js.go:217-219 -> scrape.go:210-212), returning undefined (no
+    output row, js_test.go:80-170). Same BFS oracle as manual_follow —
+    proves the JS ScrapeParams surface (url, follow) inside the
+    generation loop, not just the standalone UDF."""
+    from flyscrape_spark.parse.jsbridge import make_js_script_udf
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    hosts = GRAPH_HOSTS
+    src = f"""
+export default function ({{ url, follow }}) {{
+  const i = parseInt(url.split("/").pop());
+  const j = (5 * i + 3) % {n};
+  follow("http://h" + (j % {hosts}) + ".example/d/" + j);
+}}
+"""
+    config = CrawlConfig(depth=MANUAL_DEPTH, domain_filter=False)
+    pages = synthetic_pages(spark, sf_dir)
+    engine = CrawlEngine(
+        spark, config, JoinTransport(pages, config),
+        collect_metrics=False, script_udf=make_js_script_udf(src),
+    )
+    result = engine.run(["http://h0.example/d/0"])
+    return (
+        result.seen.filter(F.col("depth") <= MANUAL_DEPTH)
+        .select("url", F.col("depth").cast("int").alias("depth"))
+    )
+
+
+def sql_js_crawl_follow() -> str:
+    return sql_manual_follow()
+
+
 def q_cookie_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 6265 cookie matching (SURVEY §2.1 #17, reference
     modules/cookies/cookies.go:40-59) over every synthetic frontier
