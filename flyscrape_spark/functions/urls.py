@@ -43,43 +43,144 @@ def scheme_of(url: Column | str) -> Column:
 
 
 def canonicalize(url: Column | str) -> Column:
-    """Canonical URL as a single JVM-side expression chain."""
+    """Canonical URL as a single JVM-side expression chain.
+
+    This is the per-URL hot path (every frontier row, every
+    generation), so regex is kept to ONE op — the scheme://authority
+    prefix extraction. Fragment strip is a delimiter scan
+    (substring_index), default-port strip and the http(s) test are
+    substring compares on the already-lowercased prefix; all are
+    provably equivalent to the regex forms they replaced because the
+    prefix by construction contains no ``/?#`` (property-pinned
+    Spark==DuckDB in tests/test_url_properties.py)."""
     u = F.trim(F.col(url) if isinstance(url, str) else url)
-    nofrag = F.regexp_replace(u, r"#.*$", "")
+    nofrag = F.substring_index(u, "#", 1)
     prefix = F.regexp_extract(nofrag, _PREFIX, 1)
     rest = nofrag.substr(F.length(prefix) + F.lit(1), F.lit(1 << 20))
     lp = F.lower(prefix)
-    lp = F.regexp_replace(lp, r"^(http://[^/?#]*):80$", "$1")
-    lp = F.regexp_replace(lp, r"^(https://[^/?#]*):443$", "$1")
+    lp = F.when(
+        lp.startswith("http://") & lp.endswith(":80"),
+        lp.substr(F.lit(1), F.length(lp) - F.lit(3)),
+    ).when(
+        lp.startswith("https://") & lp.endswith(":443"),
+        lp.substr(F.lit(1), F.length(lp) - F.lit(4)),
+    ).otherwise(lp)
     rest = F.when(rest == "", F.lit("/")).when(
         F.substring(rest, 1, 1) == "?", F.concat(F.lit("/"), rest)
     ).otherwise(rest)
-    is_http = u.rlike(r"^[hH][tT][tT][pP][sS]?://")
+    scheme8 = F.lower(F.substring(u, 1, 8))
+    is_http = scheme8.startswith("http://") | (scheme8 == "https://")
     return F.when(is_http, F.concat(lp, rest)).otherwise(u)
 
 
 def canonicalize_sql(expr: str) -> str:
     """DuckDB SQL mirroring :func:`canonicalize` step-for-step."""
     u = f"trim({expr})"
-    nofrag = f"regexp_replace({u}, '#.*$', '')"
+    nofrag = f"split_part({u}, '#', 1)"
     prefix = f"regexp_extract({nofrag}, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)"
     rest = f"substr({nofrag}, length({prefix}) + 1)"
     lp = f"lower({prefix})"
-    lp = f"regexp_replace({lp}, '^(http://[^/?#]*):80$', '\\1')"
-    lp = f"regexp_replace({lp}, '^(https://[^/?#]*):443$', '\\1')"
+    lp = (
+        f"CASE WHEN starts_with({lp}, 'http://') AND ends_with({lp}, ':80') "
+        f"THEN substr({lp}, 1, length({lp}) - 3) "
+        f"WHEN starts_with({lp}, 'https://') AND ends_with({lp}, ':443') "
+        f"THEN substr({lp}, 1, length({lp}) - 4) "
+        f"ELSE {lp} END"
+    )
     rest = (
         f"CASE WHEN {rest} = '' THEN '/' "
         f"WHEN substr({rest}, 1, 1) = '?' THEN '/' || {rest} "
         f"ELSE {rest} END"
     )
-    is_http = f"regexp_matches({u}, '^[hH][tT][tT][pP][sS]?://')"
+    is_http = (
+        f"(starts_with(lower(substr({u}, 1, 8)), 'http://') "
+        f"OR lower(substr({u}, 1, 8)) = 'https://')"
+    )
     return f"CASE WHEN {is_http} THEN ({lp}) || ({rest}) ELSE {u} END"
+
+
+def _has_dot_segments(path: str) -> bool:
+    # any '.' or '..' path segment triggers RFC 3986 §5.2.4 removal —
+    # those links take the general urljoin path
+    return (
+        "/./" in path or "/../" in path or path.endswith(("/.", "/.."))
+        or path.startswith(("./", "../")) or path in (".", "..")
+    )
+
+
+def _plain(link: str) -> bool:
+    """True when string concat reproduces urljoin byte-for-byte for
+    this link: no empty-but-present query/fragment markers (urlsplit→
+    urlunsplit drops a bare '?' or '#') and no WHATWG-stripped control
+    chars (urlsplit removes tab/CR/LF, bpo-43882)."""
+    return not (
+        link.endswith(("?", "#")) or "?#" in link
+        or "\t" in link or "\r" in link or "\n" in link
+    )
+
+
+_PREFIX_MEMO: tuple[str, str | None] = ("", None)
+
+
+def _origin_prefix(origin: str) -> str | None:
+    """scheme://authority of an http(s) origin; None when the origin
+    isn't a plain absolute http(s) URL (general path handles it).
+    Single-slot memo: the extraction UDF resolves every link of a
+    page against one origin, so consecutive calls repeat the key."""
+    global _PREFIX_MEMO
+    if _PREFIX_MEMO[0] == origin:
+        return _PREFIX_MEMO[1]
+    out = _origin_prefix_uncached(origin)
+    _PREFIX_MEMO = (origin, out)
+    return out
+
+
+def _origin_prefix_uncached(origin: str) -> str | None:
+    if origin.startswith(("http://", "https://")) and _plain(origin):
+        sep = origin.index("//") + 2
+        if len(origin) <= sep:
+            return None  # empty authority: urljoin inherits differently
+        end = len(origin)
+        for ch in "/?#":
+            i = origin.find(ch, sep)
+            if i != -1 and i < end:
+                end = i
+        return origin[:end] if end > sep else None
+    return None
 
 
 def resolve(origin: str, link: str) -> str | None:
     """RFC 3986 resolution + the reference's link validity rule:
     scheme must be http/https/empty *after* resolution
-    (modules/followlinks/followlinks.go:88-94)."""
+    (modules/followlinks/followlinks.go:88-94).
+
+    Hot path of the extraction UDF (one call per extracted link).
+    The two shapes that dominate real pages — absolute http(s) links
+    and root-relative paths without dot segments — short-circuit to
+    string ops; everything else (relative paths, dot segments,
+    protocol-relative, other schemes, empty/None components, junk)
+    takes the general urljoin path. Byte-for-byte equivalence with
+    the general path over all shapes is property-pinned
+    (tests/test_url_properties.py)."""
+    if link.startswith(("http://", "https://")) and _plain(link):
+        # absolute lowercase-http(s) link with a real authority:
+        # urljoin returns it verbatim (same-scheme rebuild is the
+        # identity; dot segments are checked because root-relative
+        # rebuilds remove them — keep absolute fast-path symmetric)
+        rest = link[link.index("//") + 2:]
+        slash = rest.find("/")
+        if rest and rest[0] not in "/?#" and (
+            slash == -1
+            or not _has_dot_segments(
+                rest[slash:].split("?", 1)[0].split("#", 1)[0])
+        ):
+            return link
+    elif link.startswith("/") and not link.startswith("//") and _plain(link):
+        path = link.split("?", 1)[0].split("#", 1)[0]
+        if not _has_dot_segments(path):
+            prefix = _origin_prefix(origin)
+            if prefix is not None:
+                return prefix + link
     try:
         absolute = urljoin(origin, link)
         scheme = urlparse(absolute).scheme

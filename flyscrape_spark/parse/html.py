@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from html import unescape
 from html.parser import HTMLParser
 
 from flyscrape_spark.functions.urls import resolve
@@ -39,7 +40,7 @@ VOID_TAGS = frozenset(
 SKIP_TEXT_TAGS = frozenset(("script", "style", "noscript", "template"))
 
 
-@dataclass
+@dataclass(slots=True)
 class Node:
     tag: str  # element tag, or "#text"
     attrs: dict[str, str] = field(default_factory=dict)
@@ -109,7 +110,7 @@ class _TreeBuilder(HTMLParser):
             self._append(Node("#text", data=data))
 
 
-def parse_html(html: str) -> Node:
+def _stdlib_parse(html: str) -> Node:
     builder = _TreeBuilder()
     try:
         builder.feed(html or "")
@@ -117,6 +118,139 @@ def parse_html(html: str) -> Node:
     except Exception:
         pass  # lenient: return whatever parsed (reference returns nil links on parse error)
     return builder.root
+
+
+# ------------------------------------------------- fast scanning parser
+#
+# html.parser spends ~70% of the page-UDF's CPU (profiled); this scanner
+# handles the well-formed constructs that dominate real crawl HTML with
+# plain find/regex-match and BAILS OUT (returns None -> full stdlib
+# reparse) on anything whose tolerant-parser semantics are subtle:
+# malformed start tags, exotic attribute punctuation, marked sections,
+# stray '<'. Equality with _stdlib_parse on every non-bail input is
+# differential-fuzz-pinned (tests/test_parse.py).
+
+_FAST_TAG = re.compile(r"([a-zA-Z][a-zA-Z0-9:._-]*)")
+_FAST_ATTR = re.compile(
+    r"\s+([a-zA-Z_:@][-a-zA-Z0-9_:.@]*)"
+    r"(?:\s*=+\s*(\"([^\"]*)\"|'([^']*)'|(?!['\"])([^>\s]*)))?"
+)
+_RAW_END = {
+    t: re.compile(r"</" + t + r"\s*>", re.IGNORECASE)
+    for t in ("script", "style")
+}
+_WS = " \t\r\n\f"
+_ENDTAG_CLOSE = re.compile(r"\s*>")
+
+
+def _fast_parse(s: str) -> Node | None:  # noqa: C901 — one hot loop by design
+    root = Node("#root")
+    stack = [root]
+    order = 0
+    i, n = 0, len(s)
+    find = s.find
+    while i < n:
+        lt = find("<", i)
+        if lt != i:
+            seg = s[i:] if lt == -1 else s[i:lt]
+            node = Node("#text", {}, [], stack[-1],
+                        unescape(seg) if "&" in seg else seg, order)
+            order += 1
+            stack[-1].children.append(node)
+            if lt == -1:
+                return root
+        c = s[lt + 1] if lt + 1 < n else ""
+        if c == "/":
+            m = _FAST_TAG.match(s, lt + 2)
+            if m is None:
+                return None  # '</ x', '</>', '</!': bogus-comment rules
+            m2 = _ENDTAG_CLOSE.match(s, m.end())
+            if m2 is None:
+                return None  # junk between name and '>': tolerant rules
+            tag = m.group(1).lower()
+            for j in range(len(stack) - 1, 0, -1):
+                if stack[j].tag == tag:
+                    del stack[j:]
+                    break
+            i = m2.end()
+        elif c == "!" or c == "?":
+            if s.startswith("<!--", lt):
+                e = find("-->", lt + 4)
+                if e == -1:
+                    return None
+                i = e + 3
+            elif s.startswith("<![", lt):
+                return None  # marked section: ']>' terminator rules
+            else:
+                gt = find(">", lt)
+                if gt == -1:
+                    return None
+                i = gt + 1
+        elif c.isalpha():
+            m = _FAST_TAG.match(s, lt + 1)
+            if m is None:
+                return None  # non-ASCII letter: stdlib treats '<' as data
+            tag = m.group(1).lower()
+            j = m.end()
+            attrs: dict[str, str] = {}
+            while True:
+                am = _FAST_ATTR.match(s, j)
+                if am is None:
+                    break
+                if am.group(3) is not None:
+                    val = am.group(3)
+                elif am.group(4) is not None:
+                    val = am.group(4)
+                elif am.group(5) is not None:
+                    val = am.group(5)
+                else:
+                    val = ""
+                attrs[am.group(1).lower()] = (
+                    unescape(val) if "&" in val else val
+                )
+                j = am.end()
+            # trailing junk: whitespace and '/' not directly before '>'
+            # are separators (attrfind_tolerant's (?:\s|/(?!>))*);
+            # '/>' exactly is a startendtag
+            while j < n and (
+                s[j] in _WS
+                or (s[j] == "/" and not (j + 1 < n and s[j + 1] == ">"))
+            ):
+                j += 1
+            selfclose = False
+            if j + 1 < n and s[j] == "/" and s[j + 1] == ">":
+                selfclose = True
+                j += 1
+            if j >= n or s[j] != ">":
+                return None  # tolerant-parser territory
+            i = j + 1
+            node = Node(tag, attrs, [], stack[-1], "", order)
+            order += 1
+            stack[-1].children.append(node)
+            if selfclose:
+                continue  # startendtag: appended, never pushed
+            if tag in VOID_TAGS:
+                continue
+            stack.append(node)
+            if tag in _RAW_END:
+                em = _RAW_END[tag].search(s, i)
+                if em is None:
+                    return None  # unterminated rawtext: close() semantics
+                if em.start() > i:
+                    data = Node("#text", {}, [], node, s[i:em.start()], order)
+                    order += 1
+                    node.children.append(data)
+                i = em.start()  # generic endtag branch pops it
+        else:
+            return None  # literal '<' in text: stdlib's char-ref rules
+    return root
+
+
+def parse_html(html: str) -> Node:
+    if not html:
+        return Node("#root")
+    root = _fast_parse(html)
+    return root if root is not None else _stdlib_parse(html)
 
 
 # ---------------------------------------------------------------- selectors
@@ -153,10 +287,18 @@ class SimpleSelector:
         return True
 
 
+_SELECTOR_CACHE: dict[str, list["SimpleSelector"]] = {}
+
+
 def parse_selector(selector: str) -> list[SimpleSelector]:
     """Parse a chain of simple selectors joined by descendant (space)
     or child (``>``) combinators — the two goquery spellings the
-    reference's shipped scripts use (e.g. ``.titleline > a``)."""
+    reference's shipped scripts use (e.g. ``.titleline > a``).
+    Memoized: the page UDF re-selects the same few selectors for
+    every document of every batch."""
+    cached = _SELECTOR_CACHE.get(selector)
+    if cached is not None:
+        return cached
     chain: list[SimpleSelector] = []
     pending = " "
     for token in selector.replace(">", " > ").split():
@@ -185,6 +327,8 @@ def parse_selector(selector: str) -> list[SimpleSelector]:
         chain.append(SimpleSelector(tag, sel_id, tuple(classes),
                                     tuple(attrs), pending))
         pending = " "
+    if len(_SELECTOR_CACHE) < 4096:  # scripts use a handful; bound anyway
+        _SELECTOR_CACHE[selector] = chain
     return chain
 
 

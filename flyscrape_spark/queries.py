@@ -1747,6 +1747,58 @@ def sql_pagerank(iterations: int = PAGERANK_ITERS,
     )
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. ACL 2022, suffix-array
+    semantics via overlapping 5-token windows): per-document count of
+    corpus-repeated windows plus the longest consecutive duplicated
+    run. See operators/substrings.py for the scale shape."""
+    from flyscrape_spark.operators.substrings import substring_dup_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return substring_dup_stats(docs, k=5, min_count=2)
+
+
+def sql_substring_dedup(k: int = 5, min_count: int = 2) -> str:
+    from flyscrape_spark.functions.hashing import portable_hash64_sql
+
+    win_key = portable_hash64_sql("array_to_string(t[i:i+" + str(k - 1) + "], ' ')")
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+wins AS (
+  SELECT doc_id, i AS win_idx, {win_key} AS win_key
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, len(t) - {k} + 1)) AS i) g
+  WHERE len(t) >= {k}
+),
+dup AS (SELECT win_key FROM wins GROUP BY 1 HAVING count(*) >= {min_count}),
+flagged AS (SELECT w.doc_id, w.win_idx FROM wins w JOIN dup USING (win_key)),
+runs AS (
+  SELECT doc_id, max(run_len) AS max_dup_run FROM (
+    SELECT doc_id, count(*) AS run_len FROM (
+      SELECT doc_id, win_idx,
+             win_idx - row_number() OVER (PARTITION BY doc_id ORDER BY win_idx) AS grp
+      FROM flagged)
+    GROUP BY doc_id, grp)
+  GROUP BY doc_id
+),
+per_doc AS (
+  SELECT w.doc_id, count(*) AS n_windows,
+         sum(CASE WHEN d.win_key IS NOT NULL THEN 1 ELSE 0 END) AS dup_windows
+  FROM wins w LEFT JOIN dup d USING (win_key)
+  GROUP BY w.doc_id
+)
+SELECT doc.doc_id,
+       CAST(coalesce(p.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(p.dup_windows, 0) AS BIGINT) AS dup_windows,
+       round(coalesce(p.dup_windows, 0) * 1.0
+             / greatest(coalesce(p.n_windows, 0), 1), 6) AS dup_frac,
+       CAST(coalesce(r.max_dup_run, 0) AS BIGINT) AS max_dup_run
+FROM documents doc
+LEFT JOIN per_doc p USING (doc_id)
+LEFT JOIN runs r USING (doc_id)
+"""
+
+
 def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet/RefinedWeb-style boilerplate removal: strip 3-token
     segments that occur in >= 5 distinct documents, keep the rest in

@@ -135,3 +135,67 @@ def test_spans_skip_script_and_anchor_text_not_duplicated():
     assert spans == [
         {"kind": "link", "text": "anchor", "media_ref": "/a", "offset": 0}
     ]
+
+
+# ------------------------------------------ fast-scanner differential
+
+def _tree_eq(a, b):
+    return (
+        a.tag == b.tag and a.data == b.data and a.attrs == b.attrs
+        and a.order == b.order and len(a.children) == len(b.children)
+        and all(_tree_eq(x, y) for x, y in zip(a.children, b.children))
+    )
+
+
+def test_fast_parser_matches_stdlib_differentially():
+    """parse_html's scanning fast path must produce the EXACT stdlib
+    html.parser tree on every input it accepts (it bails to stdlib on
+    anything subtle). Mutation fuzz over a representative page plus a
+    curated edge-case corpus."""
+    import random
+
+    from flyscrape_spark.parse.html import _fast_parse, _stdlib_parse
+
+    corpus = [
+        "", "plain text", "a & b &amp; c", "<p>a<b>c</b>d</p>",
+        '<a href="/x?a=1&amp;b=2">l</a>', "<a href=/z>u</a>",
+        "<br><br/><img src=x>", "<script>if (a<b && c>d) {}</script>t",
+        "<style>p > a { x }</style>", "<!-- c --><p>x</p>",
+        "<!DOCTYPE html><html><body>t</body></html>", "<p>unclosed",
+        "</p>stray", "<P CLASS=Big>c</p>", "<a b=1 b=2>dup-last-wins</a>",
+        "<td>1<td>2", "<p>&#65;&#x42;&amp;</p>", "<p>&not</p>",
+        "<input type=checkbox checked>", "<script></script>",
+        "<p  a=1   b=2  >s</p>", "<p a='x\"y'>q</p>", "<a href= >e</a>",
+        "<div><p>a</div>b</p>", "<foo-bar baz='1'>c</foo-bar>",
+        "<a\nhref='nl'>n</a>", "<a href=x/>s</a>", "<p //>y",
+    ]
+    checked = 0
+    for doc in corpus:
+        fast = _fast_parse(doc)
+        if fast is not None:
+            assert _tree_eq(fast, _stdlib_parse(doc)), doc
+            checked += 1
+    assert checked >= 20  # the corpus is mostly fast-path-eligible
+
+    base = (
+        '<html><body><p>text &amp; more</p>'
+        + "".join(f'<a href="/d/{i}?x=1&y=2">l{i}</a>' for i in range(4))
+        + '<img src="/m.png"><script>var a = "<i>";</script>'
+        + '<div class="c one" id="z"><span>s</span></div></body></html>'
+    )
+    rnd = random.Random(7)
+    chars = '<>/="\'& abc!-#?[]\n\t@:.'
+    for _ in range(4000):
+        doc = base
+        for _ in range(rnd.randint(1, 4)):
+            pos = rnd.randrange(len(doc))
+            op = rnd.random()
+            if op < 0.4:
+                doc = doc[:pos] + rnd.choice(chars) + doc[pos:]
+            elif op < 0.7:
+                doc = doc[:pos] + doc[pos + 1:]
+            else:
+                doc = doc[:pos] + rnd.choice(chars) + doc[pos + 1:]
+        fast = _fast_parse(doc)
+        if fast is not None:
+            assert _tree_eq(fast, _stdlib_parse(doc)), repr(doc)

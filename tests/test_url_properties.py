@@ -85,3 +85,34 @@ def test_resolve_scheme_invariant(origin, link):
         from urllib.parse import urlparse
 
         assert urlparse(out).scheme in ("", "http", "https")
+
+
+def _general_resolve(origin, link):
+    # the pre-fast-path reference implementation: plain RFC 3986
+    # urljoin + post-resolution scheme validity
+    from urllib.parse import urljoin, urlparse
+
+    try:
+        absolute = urljoin(origin, link)
+        scheme = urlparse(absolute).scheme
+    except ValueError:
+        return None
+    if scheme not in ("", "http", "https"):
+        return None
+    return absolute
+
+
+_linkish = st.one_of(
+    urlish(),
+    _junk,
+    st.from_regex(r"(/|\.\./|\./)?[A-Za-z0-9._~%-]{0,8}(/[A-Za-z0-9._~%-]{0,8}){0,3}([?#][A-Za-z0-9=&]{0,6})?", fullmatch=True),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(origin=st.one_of(urlish(), _junk), link=_linkish)
+def test_resolve_fast_path_matches_general_path(origin, link):
+    # the extraction-UDF hot path short-circuits absolute and
+    # root-relative links to string ops; byte-for-byte equality with
+    # the general urljoin path is the contract
+    assert resolve(origin, link) == _general_resolve(origin, link)

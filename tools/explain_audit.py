@@ -214,6 +214,14 @@ CHECKS = {
         "partial_group_limit": r"(?s)WindowGroupLimit.*Exchange",
         "no_cartesian": r"!CartesianProduct",
     },
+    "substring_dedup": {
+        # overlapping-window suffix dedup: ONE combinable count on the
+        # 8-byte window hash, flag join without cartesian, doc_id
+        # rollup + gaps-and-islands window sharing the doc_id shuffle
+        "partial_agg": r"partial_count",
+        "no_cartesian": r"!CartesianProduct",
+        "max_exchanges": 8,
+    },
     "segment_dedup": {
         # two-level distinct-doc count + reassembly, all map-side
         # combined; boilerplate side joined without a cartesian
