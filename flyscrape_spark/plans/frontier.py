@@ -158,6 +158,7 @@ class CrawlEngine:
         small_generation_rows: int = 50_000,
         seen_store=None,  # optional BucketedSeenStore (shuffle-free anti-join)
         seen_bloom=None,  # optional BroadcastBloom (candidate-side prefilter)
+        seen_cuckoo=None,  # optional CuckooShards (sharded prefilter w/ delete)
         collect_metrics: bool = True,
         priority_scores=None,  # optional (url_key, score) DataFrame for
         # best-first admission under config.generation_budget
@@ -174,6 +175,7 @@ class CrawlEngine:
         self.small_generation_rows = small_generation_rows
         self.seen_store = seen_store
         self.seen_bloom = seen_bloom
+        self.seen_cuckoo = seen_cuckoo
         self.priority_scores = priority_scores
         # checkpointed crawls always record full lineage metrics
         # (manifests carry them, north_rule); plain crawls may skip
@@ -333,6 +335,9 @@ class CrawlEngine:
         if self.seen_bloom is not None:
             for frame in seen_frames:
                 self.seen_bloom.add_keys(frame)
+        if self.seen_cuckoo is not None:
+            for frame in seen_frames:
+                self.seen_cuckoo.add_keys(frame)
 
         def current_seen() -> DataFrame:
             if self.seen_store is not None and self.seen_store.exists():
@@ -388,6 +393,14 @@ class CrawlEngine:
             fresh = None
             if self.seen_bloom is not None and self.seen_bloom.n_added > 0:
                 cand, fresh = self.seen_bloom.split(cand)
+            # 3b. sharded cuckoo prefilter (opt-in, composes after the
+            # bloom): same no-false-negative contract, but the filter
+            # is a cogrouped shard table, never driver-held — the
+            # 10^10-key form of the prefilter, and it supports delete
+            # (recrawl invalidation re-admits URLs).
+            if self.seen_cuckoo is not None and self.seen_cuckoo.n_added > 0:
+                cand, fresh_c = self.seen_cuckoo.split(cand)
+                fresh = fresh_c if fresh is None else fresh.unionByName(fresh_c)
             if config.seen_fingerprint:
                 anti_cond = (
                     (cand["url_key"] == seen_keys["seen_key"])
@@ -444,6 +457,8 @@ class CrawlEngine:
                 # incremental: fold ONLY this generation's newly
                 # admitted keys into the driver-held bitmap
                 self.seen_bloom.add_keys(enqueued)
+            if self.seen_cuckoo is not None:
+                self.seen_cuckoo.add_keys(enqueued)
             if self.seen_store is not None:
                 self.seen_store.append(enqueued)
             else:
