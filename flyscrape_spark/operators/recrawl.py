@@ -19,7 +19,7 @@ plain two-shuffle sort-merge.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def snapshot_delta(
@@ -158,4 +158,32 @@ def merge_crawls(
         F.col("best.depth").alias("depth"),
         F.col("best.crawl").alias("crawl"),
         "n_crawls",
+    )
+
+
+def schedule_crawl(rates: DataFrame, budget_per_host: int,
+                   url_col: str = "url") -> DataFrame:
+    """Allocate a per-host refetch budget over change-rate estimates:
+    keep the ``budget_per_host`` URLs per host with the highest
+    ``lambda_hat`` (tie-break on URL for determinism) — the
+    incremental-crawl scheduling step that turns per-URL change rates
+    (:func:`change_rate`) into the next generation's fetch list under
+    a politeness-bounded budget.
+
+    Scale shape: one shuffle by host; the ``rank <= k`` filter
+    compiles to WindowGroupLimit (plan-audited), so each reduce task
+    keeps a k-row heap per host instead of sorting whole host
+    partitions — a 10^7-URL host costs O(k) memory, not O(host).
+    Engine-added (the reference refetches everything each run,
+    /root/reference/modules/cache/cache.go:46-81 cache-or-refetch)."""
+    from flyscrape_spark.functions.urls import host_of
+
+    w = Window.partitionBy("host").orderBy(
+        F.col("lambda_hat").desc(), F.col(url_col))
+    return (
+        rates.withColumn("host", host_of(url_col))
+        .withColumn("sched_rank", F.row_number().over(w))
+        .filter(F.col("sched_rank") <= budget_per_host)
+        .select(url_col, "host", "lambda_hat", "next_due",
+                F.col("sched_rank").cast("int").alias("sched_rank"))
     )

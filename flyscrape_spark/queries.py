@@ -515,6 +515,68 @@ def sql_seen_store_antijoin() -> str:
     return sql_seen_antijoin()
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC round trip (sources/warc.py): archive the documents table
+    as per-shard gzipped WARC response blobs (Common Crawl's layout:
+    one gzip member per record, one blob per shard), then parse the
+    blobs back into page rows. Output = what a WET-style extractor
+    yields; the oracle recomputes it straight from documents because
+    the round trip is lossless."""
+    from flyscrape_spark.sources.warc import pages_to_warc, read_warc_blobs
+
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(
+        _doc_url(F.col("doc_id")).alias("url"),
+        F.lit(200).alias("status"),
+        F.col("text").alias("html"),
+        F.pmod(F.col("doc_id"), F.lit(16)).cast("string").alias("shard"),
+    )
+    blobs = pages_to_warc(pages, group_col="shard")
+    parsed = read_warc_blobs(blobs, content_col="warc")
+    return parsed.select(
+        "url",
+        F.col("status").cast("int").alias("status"),
+        F.length("html").cast("bigint").alias("chars"),
+    )
+
+
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl budget allocation: change-rate estimates
+    (Cho & Garcia-Molina) → top-3 most-volatile URLs per host
+    (operators/recrawl.py schedule_crawl, WindowGroupLimit rank-cap)."""
+    from flyscrape_spark.operators.recrawl import change_rate, schedule_crawl
+
+    rates = change_rate(_fetch_history(spark, sf_dir), horizon=86400.0)
+    return schedule_crawl(rates, budget_per_host=3)
+
+
+def sql_crawl_schedule(budget: int = 3) -> str:
+    return f"""
+WITH rates AS ({sql_change_rate()}),
+ranked AS (
+  SELECT url,
+         lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)) AS host,
+         lambda_hat, next_due,
+         row_number() OVER (PARTITION BY
+             lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1))
+             ORDER BY lambda_hat DESC, url) AS sched_rank
+  FROM rates
+)
+SELECT url, host, lambda_hat, next_due,
+       CAST(sched_rank AS INT) AS sched_rank
+FROM ranked WHERE sched_rank <= {budget}
+"""
+
+
+def sql_warc_ingest() -> str:
+    return f"""
+SELECT {_doc_url_sql('doc_id')} AS url,
+       CAST(200 AS INT) AS status,
+       CAST(length(text) AS BIGINT) AS chars
+FROM documents
+"""
+
+
 def sql_seen_antijoin() -> str:
     u1 = _doc_url_sql("(2*doc_id+1) % n.n")
     u2 = _doc_url_sql("(3*doc_id+2) % n.n")

@@ -214,6 +214,21 @@ CHECKS = {
         "partial_group_limit": r"(?s)WindowGroupLimit.*Exchange",
         "no_cartesian": r"!CartesianProduct",
     },
+    "warc_ingest": {
+        # archive round trip: ONE exchange (the per-shard group for
+        # blob build), record parsing is mapInPandas over blob rows —
+        # no further shuffle, no cartesian
+        "blob_build": r"FlatMapGroupsInPandas",
+        "record_parse": r"MapInPandas",
+        "no_cartesian": r"!CartesianProduct",
+        "max_exchanges": 2,
+    },
+    "crawl_schedule": {
+        # per-host budget: rank<=k compiles to WindowGroupLimit so the
+        # reduce task keeps a k-heap per host, never a full host sort
+        "group_limit": r"WindowGroupLimit",
+        "no_cartesian": r"!CartesianProduct",
+    },
     "seen_cuckoo": {
         # sharded cuckoo prefilter: cogrouped Arrow probe (one shuffle
         # of each side by shard id), exact anti-join only on the
