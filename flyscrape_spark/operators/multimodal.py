@@ -110,3 +110,93 @@ def extract_features(media: DataFrame, batch_size: int = 1024) -> DataFrame:
             )
 
     return media.mapInPandas(process, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_dim: int = 24) -> DataFrame:
+    """Aspect-preserving resize plumbing — the mapInPandas stage a real
+    pipeline points at PIL's ``Image.thumbnail``. Stubbed codec: dims
+    come from the same fake decode as :func:`extract_features`; the
+    integer scale math (out = dim * max_dim // longest side, floor,
+    min 1px) and the batch shape are the real contract. The "resized"
+    payload is a deterministic truncation of the source bytes (real
+    decode-resize-encode raises NotImplementedError in this
+    container)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                if not raw:
+                    rows.append((ref, 0, 0, 0, 0, b""))
+                    continue
+                # REAL DECODE+RESIZE GOES HERE on a cluster:
+                #   raise NotImplementedError("image codecs unavailable")
+                width = 16 + raw[0] % 64
+                height = 16 + (raw[1] if len(raw) > 1 else 0) % 64
+                longest = max(width, height)
+                if longest <= max_dim:
+                    ow, oh = width, height
+                else:
+                    ow = max(width * max_dim // longest, 1)
+                    oh = max(height * max_dim // longest, 1)
+                rows.append((ref, width, height, ow, oh, raw[: ow + oh]))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "width", "height",
+                         "out_width", "out_height", "content"],
+            )
+
+    return media.mapInPandas(process, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame
+    (the fan-out shape a real pipeline points at pyav/ffmpeg keyframe
+    extraction). Stubbed container: duration is derived from byte
+    length (125 ms/byte), frame payloads are deterministic md5-hex
+    bytes of ``ref:idx`` — so the whole fan-out is reproducible by a
+    SQL oracle. The Spark contract is real: mapInPandas yielding
+    multiple rows per input row, batch-bounded memory, no shuffle."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                # REAL DEMUX GOES HERE on a cluster (pyav container):
+                #   raise NotImplementedError("video codecs unavailable")
+                duration_ms = len(raw) * 125
+                n = (duration_ms + every_ms - 1) // every_ms
+                for idx in range(n):
+                    sig = hashlib.md5(
+                        f"{ref}:{idx}".encode()).hexdigest().encode()
+                    rows.append((ref, idx, idx * every_ms, sig))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "frame_idx", "ts_ms", "frame"])
+
+    return media.mapInPandas(process, schema=FRAME_SCHEMA)

@@ -1450,6 +1450,93 @@ FROM p
 """
 
 
+def _media_refs_sql() -> str:
+    """Shared oracle CTE: crawl-shaped media refs + synthesized payload
+    (mirrors media_from_results' portable-hash repeat count)."""
+    cnt = f"CAST({portable_hash64_sql('media_ref')} % 8 + 1 AS INT)"
+    return f"""
+WITH nm AS (SELECT greatest(count(*) // 4, 1) AS n_media FROM documents),
+refs AS (
+  SELECT DISTINCT '/media/m' || ((3 * doc_id) % nm.n_media) || '.png' AS media_ref
+  FROM documents, nm WHERE doc_id % 4 = 0
+),
+p AS (SELECT media_ref, repeat(md5(media_ref), {cnt}) AS payload FROM refs)
+"""
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (operators/multimodal.py resize_images):
+    aspect-preserving integer scale to max_dim=24 over the stub-decoded
+    dims; output is the dims contract plus resized byte length."""
+    from flyscrape_spark.operators import multimodal
+    from flyscrape_spark.parse.udfs import parse_spans_udf
+
+    pages = synthetic_pages(spark, sf_dir)
+    results = pages.select(parse_spans_udf("html").alias("spans"))
+    media = multimodal.media_from_results(results)
+    return multimodal.resize_images(media, max_dim=24).select(
+        "media_ref", "width", "height", "out_width", "out_height",
+        F.length("content").cast("int").alias("out_len"),
+    )
+
+
+def sql_media_resize(max_dim: int = 24) -> str:
+    return f"""{_media_refs_sql()},
+dims AS (
+  SELECT media_ref, length(payload) AS byte_len,
+         16 + ascii(substr(payload, 1, 1)) % 64 AS w,
+         16 + ascii(substr(payload, 2, 1)) % 64 AS h
+  FROM p
+),
+scaled AS (
+  SELECT media_ref, byte_len, w, h,
+         CASE WHEN greatest(w, h) <= {max_dim} THEN w
+              ELSE greatest(w * {max_dim} // greatest(w, h), 1) END AS ow,
+         CASE WHEN greatest(w, h) <= {max_dim} THEN h
+              ELSE greatest(h * {max_dim} // greatest(w, h), 1) END AS oh
+  FROM dims
+)
+SELECT media_ref, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(ow AS INT) AS out_width, CAST(oh AS INT) AS out_height,
+       CAST(least(byte_len, ow + oh) AS INT) AS out_len
+FROM scaled
+"""
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (multimodal.sample_frames): the
+    per-media fan-out to sampled-frame rows, frame payloads projected
+    as their md5-hex signature so the oracle reproduces them."""
+    from flyscrape_spark.operators import multimodal
+    from flyscrape_spark.parse.udfs import parse_spans_udf
+
+    pages = synthetic_pages(spark, sf_dir)
+    results = pages.select(parse_spans_udf("html").alias("spans"))
+    media = multimodal.media_from_results(results)
+    return multimodal.sample_frames(media, every_ms=1000).select(
+        "media_ref",
+        "frame_idx",
+        "ts_ms",
+        F.decode("frame", "utf-8").alias("frame_sig"),
+    )
+
+
+def sql_media_frames(every_ms: int = 1000) -> str:
+    return f"""{_media_refs_sql()},
+vids AS (SELECT media_ref, length(payload) * 125 AS duration_ms FROM p),
+frames AS (
+  SELECT media_ref,
+         unnest(range(0, (duration_ms + {every_ms} - 1) // {every_ms}))
+           AS frame_idx
+  FROM vids
+)
+SELECT media_ref, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(frame_idx * {every_ms} AS BIGINT) AS ts_ms,
+       md5(media_ref || ':' || frame_idx) AS frame_sig
+FROM frames
+"""
+
+
 # ------------------------------------------------------- events / tpch
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -336,3 +336,39 @@ def test_top_ngrams(spark):
     assert all(c <= 4 for c in counts.values()) and len(rows) == 3
     tri = top_ngrams(docs, n=3, k=10).collect()
     assert {r["ngram"] for r in tri} >= {"to be or", "to be is"}
+
+
+def test_resize_images_contract(spark):
+    from flyscrape_spark.operators.multimodal import resize_images
+
+    media = spark.createDataFrame(
+        [("a", bytes([200, 10]) * 40),   # w=16+200%64=24, h=16+10=26
+         ("b", bytes([1])),              # w=17, h=16 (no 2nd byte)
+         ("c", b"")],                    # empty -> zeros
+        "media_ref string, content binary")
+    rows = {r["media_ref"]: r for r in resize_images(media, max_dim=20).collect()}
+    a = rows["a"]
+    assert (a["width"], a["height"]) == (24, 26)
+    # longest side 26 -> out = (24*20//26, 20) = (18, 20); len = min(80, 38)
+    assert (a["out_width"], a["out_height"]) == (18, 20)
+    assert len(a["content"]) == 38
+    b = rows["b"]
+    assert (b["out_width"], b["out_height"]) == (17, 16)  # within max? 17<=20
+    assert rows["c"]["out_width"] == 0 and rows["c"]["content"] == b""
+
+
+def test_sample_frames_fanout(spark):
+    from flyscrape_spark.operators.multimodal import sample_frames
+
+    media = spark.createDataFrame(
+        [("v", b"x" * 16)],  # 16 bytes -> 2000 ms -> 2 frames @1000ms
+        "media_ref string, content binary")
+    rows = sorted(sample_frames(media, every_ms=1000).collect(),
+                  key=lambda r: r["frame_idx"])
+    assert [(r["frame_idx"], r["ts_ms"]) for r in rows] == [(0, 0), (1, 1000)]
+    import hashlib
+    assert bytes(rows[0]["frame"]) == hashlib.md5(b"v:0").hexdigest().encode()
+    # deterministic across runs
+    again = sorted(sample_frames(media, every_ms=1000).collect(),
+                   key=lambda r: r["frame_idx"])
+    assert [bytes(r["frame"]) for r in again] == [bytes(r["frame"]) for r in rows]

@@ -214,6 +214,19 @@ CHECKS = {
         "partial_group_limit": r"(?s)WindowGroupLimit.*Exchange",
         "no_cartesian": r"!CartesianProduct",
     },
+    "media_resize": {
+        # decode/resize plumbing: Arrow-batched stage, partition-local
+        "arrow_stage": r"MapInPandas",
+        "no_cartesian": r"!CartesianProduct",
+        "max_exchanges": 2,  # the media dedup's distinct only
+    },
+    "media_frames": {
+        # per-media frame fan-out: multi-yield mapInPandas, no shuffle
+        # beyond the media dedup's distinct
+        "arrow_stage": r"MapInPandas",
+        "no_cartesian": r"!CartesianProduct",
+        "max_exchanges": 2,
+    },
     "warc_ingest": {
         # archive round trip: ONE exchange (the per-shard group for
         # blob build), record parsing is mapInPandas over blob rows —
