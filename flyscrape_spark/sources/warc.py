@@ -113,29 +113,51 @@ def pages_to_warc(pages: DataFrame, group_col: str = "host",
 def iter_warc_records(blob: bytes) -> Iterator[tuple[int, dict, bytes]]:
     """Yield ``(offset, warc_headers, payload)`` per record. Accepts
     plain or gzipped blobs (per-record members or one big member —
-    GzipFile consumes concatenated members transparently)."""
-    if blob[:2] == b"\x1f\x8b":
-        blob = gzip.GzipFile(fileobj=io.BytesIO(blob)).read()
-    pos, n = 0, len(blob)
-    while pos < n:
-        if blob.startswith(b"\r\n", pos):
-            pos += 2
-            continue
-        head_end = blob.find(b"\r\n\r\n", pos)
-        if head_end == -1:
+    GzipFile consumes concatenated members transparently). Streaming:
+    records decompress and parse one at a time, so peak task memory is
+    one record, not the decompressed blob — a 1 GB Common Crawl file
+    (3-5 GB decompressed) costs megabytes, and offsets stay
+    decompressed-stream offsets either way."""
+    raw = io.BytesIO(blob)
+    f = (io.BufferedReader(gzip.GzipFile(fileobj=raw))
+         if blob[:2] == b"\x1f\x8b" else raw)
+    pos = 0
+    while True:
+        try:
+            line = f.readline()
+        except (OSError, EOFError):
+            return  # truncated/corrupt gzip member: stop cleanly
+        if not line:
             return
-        head = blob[pos:head_end].decode("utf-8", "replace")
-        lines = head.split("\r\n")
-        if not lines[0].startswith("WARC/"):
+        start, pos = pos, pos + len(line)
+        if line == b"\r\n":
+            continue
+        if not line.startswith(b"WARC/"):
             return  # framing lost: stop rather than emit garbage
         headers: dict[str, str] = {}
-        for line in lines[1:]:
-            k, _, v = line.partition(":")
-            headers[k.strip().lower()] = v.strip()
-        length = int(headers.get("content-length", "0"))
-        payload = blob[head_end + 4:head_end + 4 + length]
-        yield pos, headers, payload
-        pos = head_end + 4 + length
+        while True:
+            try:
+                h = f.readline()
+            except (OSError, EOFError):
+                return
+            pos += len(h)
+            if h in (b"", b"\r\n"):
+                break
+            k, _, v = h.partition(b":")
+            headers[k.strip().lower().decode("utf-8", "replace")] = (
+                v.strip().decode("utf-8", "replace"))
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            return
+        try:
+            payload = f.read(length)
+        except (OSError, EOFError):
+            return
+        pos += len(payload)
+        yield start, headers, payload
+        if len(payload) < length:
+            return  # truncated payload: emit what we had, then stop
 
 
 def parse_http_response(payload: bytes) -> tuple[int, str, bytes]:
