@@ -266,3 +266,37 @@ def pack_sequences(
         F.expr(f"(cum_before + n_tokens - 1) DIV {seq_len}").alias("seq_end"),
         (F.col("cum_before") % seq_len).alias("offset"),
     )
+
+
+def shard_export(
+    documents: DataFrame, n_shards: int, key: str = "doc_id"
+) -> DataFrame:
+    """Deterministic training-shard assignment: every row gets
+    (shard_id, shard_pos) where shard_id = hash(key) mod n_shards and
+    shard_pos is the row's rank inside its shard ordered by
+    (hash, key). The standard reproducible export layout for a
+    pretraining corpus — hash sharding decorrelates shards from crawl
+    order (each shard is an unbiased corpus sample, so any prefix of
+    shards is too), and the (hash, key) order makes byte-identical
+    shard files regardless of input partitioning or cluster size.
+
+    Scale shape: one hash projection (no shuffle) + one rank window
+    per shard. A shard is the unit a single writer task produces
+    anyway (repartition(n_shards) -> sortWithinPartitions -> write),
+    so the per-shard window IS the writer's local sort, not an extra
+    cost; n_shards is chosen to make one shard ~ one output file
+    (10^4..10^5 shards at 100 TB), which also bounds the window
+    partition to file size.
+    """
+    from pyspark.sql import Window
+
+    from flyscrape_spark.functions.hashing import portable_hash64
+
+    h = portable_hash64(F.col(key).cast("string"))
+    w = Window.partitionBy("shard_id").orderBy(F.asc("h"), F.asc(key))
+    return (
+        documents.select(F.col(key), h.alias("h"))
+        .withColumn("shard_id", F.pmod(F.col("h"), F.lit(n_shards)).cast("int"))
+        .withColumn("shard_pos", (F.row_number().over(w) - 1).cast("bigint"))
+        .select(key, "shard_id", "shard_pos")
+    )

@@ -260,3 +260,38 @@ def chunk_documents(
             F.col("c.chunk_text").alias("chunk_text"),
         )
     )
+
+def vocab_build(
+    documents: DataFrame, min_df: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary for tokenizer/embedding-table construction:
+    (token, tf, df, vocab_id) where tf = total occurrences, df =
+    documents containing the token, and vocab_id is the dense
+    frequency rank (ties broken by token text, so ids are
+    deterministic across engines and runs).
+
+    Scale shape: explode -> ONE two-level groupBy ((doc_id, token)
+    with count, then token) — both map-side combinable, never
+    count(DISTINCT doc_id) over a skewed token key. The min_df
+    filter drops the hapax long tail BEFORE ranking, so the ranked
+    set is a real vocabulary (bounded: ~10^5..10^6 rows at any
+    corpus size — vocabularies grow ~ Heaps' law, not linearly), and
+    the global rank window over it is a deliberate small-data sort,
+    not a corpus-sized one.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(normalized_text(text_col), " "), lambda t: t != "")
+    per_doc = (
+        documents.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    counts = per_doc.groupBy("token").agg(
+        F.sum("n").alias("tf"), F.count("*").alias("df")
+    ).filter(F.col("df") >= min_df)
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    return counts.select(
+        "token", "tf", "df",
+        F.row_number().over(w).cast("bigint").alias("vocab_id"),
+    )

@@ -3169,3 +3169,147 @@ SELECT {_doc_url_sql('doc_id')} AS url,
          AS rendered_html
 FROM documents WHERE doc_id % 20 = 0
 """
+
+
+# ----------------------------------------------- round-3 session 2 ops
+
+TRUSTRANK_ITERS = 3
+TRUSTRANK_DAMPING = 0.85
+TRUSTRANK_SEED_MOD = 17
+
+
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration TrustRank (Gyongyi et al. VLDB 2004) over the
+    synthetic link graph, teleporting only to the hand-vetted seed
+    set doc_id % 17 == 0 — the spam-demotion complement to pagerank
+    in the frontier's priority mix."""
+    from flyscrape_spark.operators.graph import trustrank
+
+    docs, edges = _graph_edges(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    seeds = nodes.filter(F.col("node") % TRUSTRANK_SEED_MOD == 0)
+    ranks = trustrank(nodes, edges, seeds,
+                      iterations=TRUSTRANK_ITERS, damping=TRUSTRANK_DAMPING)
+    return ranks.select("node", F.round("tr", 8).alias("tr"))
+
+
+def sql_trustrank(iterations: int = TRUSTRANK_ITERS,
+                  damping: float = TRUSTRANK_DAMPING) -> str:
+    d = f"CAST({damping} AS DOUBLE)"
+    ctes = [
+        f"ns AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM documents"
+        f" WHERE doc_id % {TRUSTRANK_SEED_MOD} = 0)",
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS out_degree FROM e GROUP BY 1)",
+        f"base AS (SELECT doc_id AS node,"
+        f" CASE WHEN doc_id % {TRUSTRANK_SEED_MOD} = 0"
+        f" THEN CAST(1.0 AS DOUBLE) / ns.ns ELSE CAST(0 AS DOUBLE) END AS s"
+        f" FROM documents, ns)",
+        "p0 AS (SELECT node, s AS tr FROM base)",
+    ]
+    for it in range(iterations):
+        ctes.append(
+            f"c{it + 1} AS (SELECT e.dst AS node,"
+            f" sum(p{it}.tr / deg.out_degree) AS mass"
+            f" FROM e JOIN p{it} ON e.src = p{it}.node"
+            f" JOIN deg ON deg.src = e.src GROUP BY 1)"
+        )
+        ctes.append(
+            f"p{it + 1} AS (SELECT base.node,"
+            f" (CAST(1.0 AS DOUBLE) - {d}) * base.s"
+            f" + {d} * coalesce(mass, CAST(0 AS DOUBLE)) AS tr"
+            f" FROM base LEFT JOIN c{it + 1} ON c{it + 1}.node = base.node)"
+        )
+    return (
+        f"WITH {_GRAPH_EDGES_SQL},\n" + ",\n".join(ctes)
+        + f"\nSELECT node, round(tr, 8) AS tr FROM p{iterations}"
+    )
+
+
+VOCAB_MIN_DF = 3
+
+
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (token, tf, df, vocab_id) with min-df cutoff
+    — tokenizer/embedding-table prep over the whole corpus."""
+    from flyscrape_spark.operators.text import vocab_build
+
+    return vocab_build(load(spark, sf_dir, "documents"), min_df=VOCAB_MIN_DF)
+
+
+def sql_vocab_build(min_df: int = VOCAB_MIN_DF) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, token, count(*) AS n FROM toks
+  WHERE token != '' GROUP BY 1, 2
+),
+counts AS (
+  SELECT token, sum(n) AS tf, count(*) AS df FROM per_doc
+  GROUP BY 1 HAVING count(*) >= {min_df}
+)
+SELECT token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(row_number() OVER (ORDER BY tf DESC, token ASC) AS BIGINT)
+         AS vocab_id
+FROM counts
+"""
+
+
+KMV_K = 8
+KMV_SALTS = 16
+
+
+def q_host_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct pages per host via the mergeable KMV sketch
+    (operators/sketches.py) over the synthetic web's URL space — the
+    frontier scheduler's per-host capacity signal without a
+    count(DISTINCT) shuffle over the Zipf host key."""
+    from flyscrape_spark.operators.sketches import kmv_distinct
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    urls = docs.select(
+        F.concat(F.lit("h"), (i % GRAPH_HOSTS).cast("string"),
+                 F.lit(".example")).alias("host"),
+        _doc_url(i).alias("url"),
+    )
+    return kmv_distinct(urls, "url", ["host"], k=KMV_K,
+                        salt_buckets=KMV_SALTS)
+
+
+def sql_host_distinct_kmv() -> str:
+    from flyscrape_spark.operators.sketches import kmv_distinct_sql
+
+    inner = (
+        f"(SELECT 'h' || (doc_id % {GRAPH_HOSTS}) || '.example' AS host, "
+        f"{_doc_url_sql('doc_id')} AS url FROM documents) u"
+    )
+    return kmv_distinct_sql(inner, "url", ["host"], k=KMV_K,
+                            salt_buckets=KMV_SALTS)
+
+
+N_EXPORT_SHARDS = 8
+
+
+def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sharded training export layout
+    (operators/mixing.shard_export): (doc_id, shard_id, shard_pos),
+    byte-identical regardless of input partitioning."""
+    from flyscrape_spark.operators.mixing import shard_export
+
+    return shard_export(load(spark, sf_dir, "documents"),
+                        n_shards=N_EXPORT_SHARDS)
+
+
+def sql_shard_export(n_shards: int = N_EXPORT_SHARDS) -> str:
+    h = portable_hash64_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH h AS (SELECT doc_id, {h} AS h FROM documents)
+SELECT doc_id, CAST(h % {n_shards} AS INT) AS shard_id,
+       CAST(row_number() OVER (
+         PARTITION BY h % {n_shards} ORDER BY h ASC, doc_id ASC) - 1
+         AS BIGINT) AS shard_pos
+FROM h
+"""
