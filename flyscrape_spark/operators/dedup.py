@@ -372,3 +372,58 @@ def containment_pairs(
                    | (F.col("containment_b_in_a") >= threshold))
         .select("doc_a", "doc_b", "containment_a_in_b", "containment_b_in_a")
     )
+
+
+def lsh_eval(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.2,
+    truth_max_freq: int = 1_000_000_000,
+) -> DataFrame:
+    """One-row LSH tuning report: precision/recall of the MinHash
+    band-bucket CANDIDATE set against exact-Jaccard ground truth at
+    ``threshold`` — the measurement that picks (num_hashes, bands)
+    before a corpus-scale dedup run. Collision probability at
+    similarity s is 1-(1-s^r)^b; this operator verifies the
+    configured curve on real data.
+
+    Ground truth uses the same inverted-index exact-Jaccard operator
+    with the frequency cap effectively off: the truth side is meant
+    for a SAMPLE (10^5-10^6 docs — eval is statistics, not
+    production dedup), where the uncapped index is safe. The
+    candidate side is the production banded shape.
+
+    Columns: n_candidates, n_true, n_hit, precision, recall (4dp).
+    """
+    cand = minhash_lsh_candidates(documents, num_hashes, bands, n).select(
+        "doc_a", "doc_b"
+    )
+    truth = ngram_jaccard_pairs(
+        documents, n=n, threshold=threshold, max_shingle_freq=truth_max_freq
+    ).select("doc_a", "doc_b")
+    joined = cand.withColumn("c", F.lit(1)).join(
+        truth.withColumn("t", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    )
+    return joined.agg(
+        F.sum(F.coalesce("c", F.lit(0))).cast("bigint").alias("n_candidates"),
+        F.sum(F.coalesce("t", F.lit(0))).cast("bigint").alias("n_true"),
+        F.sum(
+            F.when(F.col("c").isNotNull() & F.col("t").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_hit"),
+        F.round(
+            F.sum(F.when(F.col("c").isNotNull() & F.col("t").isNotNull(), 1.0)
+                  .otherwise(0.0))
+            / F.greatest(F.sum(F.coalesce("c", F.lit(0))).cast("double"),
+                         F.lit(1.0)),
+            4,
+        ).alias("precision"),
+        F.round(
+            F.sum(F.when(F.col("c").isNotNull() & F.col("t").isNotNull(), 1.0)
+                  .otherwise(0.0))
+            / F.greatest(F.sum(F.coalesce("t", F.lit(0))).cast("double"),
+                         F.lit(1.0)),
+            4,
+        ).alias("recall"),
+    )

@@ -3313,3 +3313,272 @@ SELECT doc_id, CAST(h % {n_shards} AS INT) AS shard_id,
          AS BIGINT) AS shard_pos
 FROM h
 """
+
+
+# --- round-3 batch 2: model-quality scoring, quantization, semantic
+# --- dedup, LSH tuning eval ------------------------------------------
+
+CLS_DIM = 512
+CLS_BIAS = 0.0
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier (operators/classifier.py): hashed
+    bag-of-words features scored under a broadcast (feature, weight)
+    model — the fastText-shaped CCNet/LLaMA curation stage. The demo
+    weight table stands in for a trained export."""
+    from flyscrape_spark.operators.classifier import (
+        demo_weights, linear_quality_score,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return linear_quality_score(
+        docs, demo_weights(spark, CLS_DIM), dim=CLS_DIM, bias=CLS_BIAS
+    )
+
+
+def sql_quality_classifier(dim: int = CLS_DIM, bias: float = CLS_BIAS) -> str:
+    h = portable_hash64_sql("token")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, {h} % {dim} AS feature, count(*) AS n
+  FROM toks WHERE token != '' GROUP BY 1, 2
+),
+w AS (
+  SELECT t.i AS feature,
+         CAST(((37 * t.i + 11) % 201 - 100) AS DOUBLE) / 100.0 AS weight
+  FROM range({dim}) t(i)
+),
+scored AS (
+  SELECT f.doc_id, sum(f.n) AS n_tokens,
+         sum(f.n * coalesce(w.weight, 0.0)) AS wsum
+  FROM feats f LEFT JOIN w USING (feature) GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+  round(CASE WHEN s.doc_id IS NULL
+        THEN 1.0 / (1.0 + exp(-CAST({bias} AS DOUBLE)))
+        ELSE 1.0 / (1.0 + exp(-(CAST({bias} AS DOUBLE) + s.wsum / s.n_tokens)))
+        END, 6) AS score
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+"""
+
+
+QUANT_LEVELS = 255
+QUANT_DIMS = 64
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization (operators/quantize.py): global
+    per-dimension affine codes + per-vector reconstruction MSE.
+    Codes emitted CSV-joined (the suite's engine-agnostic array
+    convention)."""
+    from flyscrape_spark.operators.quantize import quantize_int8
+
+    q = quantize_int8(load(spark, sf_dir, "embeddings"), levels=QUANT_LEVELS)
+    return q.select(
+        "vec_id",
+        F.array_join(F.col("codes"), ",").alias("codes_csv"),
+        "mse",
+    )
+
+
+def sql_quantize_embeddings(levels: int = QUANT_LEVELS,
+                            dims: int = QUANT_DIMS) -> str:
+    return f"""
+WITH el AS (
+  SELECT vec_id, t.i AS dim, CAST(embedding[t.i + 1] AS DOUBLE) AS v
+  FROM embeddings, range({dims}) t(i)
+),
+stats AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM el GROUP BY 1),
+coded AS (
+  SELECT el.vec_id, el.dim, el.v, s.lo, s.hi,
+    CASE WHEN s.hi = s.lo THEN 0
+         ELSE CAST(floor((el.v - s.lo) / ((s.hi - s.lo) / {levels}.0) + 0.5)
+                   AS INT)
+    END AS code
+  FROM el JOIN stats s USING (dim)
+),
+errs AS (
+  SELECT vec_id, dim, code,
+         v - (lo + code * ((hi - lo) / {levels}.0)) AS e
+  FROM coded
+)
+SELECT vec_id,
+  array_to_string(list(code ORDER BY dim), ',') AS codes_csv,
+  round(sum(e * e) / {dims}, 6) AS mse
+FROM errs GROUP BY vec_id
+"""
+
+
+SEMDEDUP_K = 8
+SEMDEDUP_ITERS = 1
+SEMDEDUP_TAU = 0.12
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/semdedup.py): k-means-partitioned
+    embedding near-dup removal — within-cluster cosine >= tau drops
+    the junior vector. tau tuned to the synthetic embeddings' cosine
+    spread (the sf tables are near-orthogonal random vectors)."""
+    from flyscrape_spark.operators.semdedup import semantic_dedup
+
+    return semantic_dedup(
+        load(spark, sf_dir, "embeddings"),
+        k=SEMDEDUP_K, iterations=SEMDEDUP_ITERS, tau=SEMDEDUP_TAU,
+    )
+
+
+def sql_semantic_dedup(k: int = SEMDEDUP_K, tau: float = SEMDEDUP_TAU) -> str:
+    # same 1-round Lloyd unroll as sql_kmeans_clusters, then
+    # within-cluster pairwise cosine (6dp) >= tau drops the larger id
+    return f"""
+WITH c0 AS (
+  SELECT vec_id AS cent_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id < {k}
+),
+az1 AS (
+  SELECT e.vec_id, c.cent_id,
+         unnest(e.embedding) AS x, unnest(c.cv) AS y
+  FROM embeddings e, c0 c
+),
+d1 AS (
+  SELECT vec_id, cent_id,
+         round(sum((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 6) AS d2
+  FROM az1 GROUP BY 1, 2
+),
+a1 AS (
+  SELECT vec_id, cent_id AS cluster FROM d1
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1
+),
+elong AS (
+  SELECT e.vec_id,
+         unnest(list_transform(e.embedding, (x, i) -> {{'d': i, 'v': x}})) AS u
+  FROM embeddings e
+),
+u1 AS (
+  SELECT a.cluster AS cent_id, el.u.d AS dim,
+         round(avg(CAST(el.u.v AS DOUBLE)), 9) AS cval
+  FROM elong el JOIN a1 a ON a.vec_id = el.vec_id
+  GROUP BY 1, 2
+),
+c0long AS (
+  SELECT cent_id, unnest(list_transform(cv, (x, i) -> {{'d': i, 'v': x}})) AS u
+  FROM c0
+),
+c1 AS (
+  SELECT c.cent_id, c.u.d AS dim, coalesce(u1.cval, c.u.v) AS cval
+  FROM c0long c LEFT JOIN u1 ON u1.cent_id = c.cent_id AND u1.dim = c.u.d
+),
+d2tbl AS (
+  SELECT el.vec_id, c1.cent_id,
+         round(sum((CAST(el.u.v AS DOUBLE) - c1.cval)
+                   * (CAST(el.u.v AS DOUBLE) - c1.cval)), 6) AS d2
+  FROM elong el JOIN c1 ON c1.dim = el.u.d
+  GROUP BY 1, 2
+),
+a2 AS (
+  SELECT vec_id, cent_id AS cluster FROM d2tbl
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+  FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+),
+cos AS (
+  SELECT id_a, id_b,
+         round(sum(CAST(x AS DOUBLE) * y)
+               / (sqrt(sum(CAST(x AS DOUBLE) * x))
+                  * sqrt(sum(CAST(y AS DOUBLE) * y))), 6) AS c
+  FROM pairs GROUP BY 1, 2
+),
+dropped AS (SELECT DISTINCT id_b AS vec_id FROM cos WHERE c >= {tau})
+SELECT a2.vec_id, a2.cluster,
+       (d.vec_id IS NULL) AS keep
+FROM a2 LEFT JOIN dropped d ON d.vec_id = a2.vec_id
+"""
+
+
+LSH_EVAL_HASHES = 16
+LSH_EVAL_BANDS = 4
+LSH_EVAL_N = 3
+LSH_EVAL_THRESHOLD = 0.2
+
+
+def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH tuning report (dedup.lsh_eval): precision/recall of the
+    banded MinHash candidate set against exact-Jaccard ground truth
+    at the configured threshold — the measurement that picks
+    (num_hashes, bands) before a corpus-scale run."""
+    return dedup.lsh_eval(
+        load(spark, sf_dir, "documents"),
+        num_hashes=LSH_EVAL_HASHES, bands=LSH_EVAL_BANDS,
+        n=LSH_EVAL_N, threshold=LSH_EVAL_THRESHOLD,
+    )
+
+
+def sql_lsh_eval(num_hashes: int = LSH_EVAL_HASHES, bands: int = LSH_EVAL_BANDS,
+                 n: int = LSH_EVAL_N, threshold: float = LSH_EVAL_THRESHOLD) -> str:
+    rows = num_hashes // bands
+    mh = _sql_minhash_aggs(num_hashes)
+
+    def bandcat(b: int) -> str:
+        parts = []
+        for r in range(rows):
+            c = f"CAST(mh_{b * rows + r} AS VARCHAR)"
+            parts.append(c if r == 0 else f"'_' || {c}")
+        return portable_hash64_sql(" || ".join(parts))
+
+    banded = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {bandcat(b)} AS bucket FROM sigs"
+        for b in range(bands)
+    )
+    h = portable_hash64_sql("shingle")
+    return f"""
+WITH words AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+sh AS (SELECT doc_id, unnest({_sql_shingle_list(n)}) AS shingle FROM words),
+sigs AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+idx AS (SELECT doc_id, {h} AS shingle_hash FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM idx GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersection
+  FROM idx a JOIN idx b
+    ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(intersection AS DOUBLE)
+        / (sa.n_shingles + sb.n_shingles - intersection) >= {threshold}
+),
+m AS (
+  SELECT (SELECT count(*) FROM cand) AS n_candidates,
+         (SELECT count(*) FROM truth) AS n_true,
+         (SELECT count(*) FROM cand c JOIN truth t
+            ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_hit
+)
+SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       round(CAST(n_hit AS DOUBLE) / greatest(CAST(n_candidates AS DOUBLE), 1.0), 4)
+         AS "precision",
+       round(CAST(n_hit AS DOUBLE) / greatest(CAST(n_true AS DOUBLE), 1.0), 4)
+         AS recall
+FROM m
+"""

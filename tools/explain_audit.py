@@ -20,6 +20,36 @@ import sys
 sys.path.insert(0, ".")
 
 CHECKS = {
+    "quality_classifier": {
+        # the (feature, weight) model joins as a BROADCAST — the
+        # operator's core scale claim (model never reshuffles corpus)
+        "broadcast_model": r"BroadcastHashJoin",
+        "partial_agg": r"partial_",
+        "no_cartesian": "!CartesianProduct",
+        "codegen": r"\*\(\d+\)",
+        "max_exchanges": 3,
+    },
+    "quantize_embeddings": {
+        # pass 1 is the ONLY shuffle (per-dim stats); pass 2 is a
+        # broadcast of D rows + per-row array transform
+        "partial_agg": r"partial_(min|max)",
+        "no_cartesian": "!CartesianProduct",
+        "max_exchanges": 1,
+    },
+    "semantic_dedup": {
+        # within-cluster equi-join only — an all-pairs compare would
+        # surface as CartesianProduct
+        "no_cartesian": "!CartesianProduct",
+        "partial_agg": r"partial_",
+        "codegen": r"\*\(\d+\)",
+        "max_exchanges": 5,
+    },
+    "lsh_eval": {
+        "no_cartesian": "!CartesianProduct",
+        "partial_agg": r"partial_",
+        "codegen": r"\*\(\d+\)",
+        "max_exchanges": 3,
+    },
     "pricing_summary": {
         "pushed_filter": r"PushedFilters: \[[^\]]*LessThanOrEqual\(l_shipdate",
         "pruned_schema": ("ReadSchema", lambda s: "l_orderkey" not in s),
