@@ -300,3 +300,56 @@ def shard_export(
         .withColumn("shard_pos", (F.row_number().over(w) - 1).cast("bigint"))
         .select(key, "shard_id", "shard_pos")
     )
+
+
+def temperature_mix(
+    documents: DataFrame, alpha: float = 0.5, token_budget: int = 100_000
+) -> DataFrame:
+    """(source, total_tokens, raw_share, weight, budget_tokens,
+    epochs): temperature-scaled source mixture — sampling weight
+    w_i proportional to share_i^alpha, the multilingual/multi-source
+    rebalancing rule popularized by multilingual pretraining
+    (Conneau & Lample 2019's exponent-smoothed sampling; alpha=1 is
+    proportional, alpha=0 uniform). ``epochs`` = how many passes over
+    source i the budget implies — the over-sampling diagnostic a
+    mixture review reads first.
+
+    Scale shape: ONE map-side-combinable groupBy on the tiny source
+    key is the only corpus shuffle (plan-audited); the two global
+    sums the formula needs (corpus total, normalizer Z) are unbounded
+    windows over the ALREADY-AGGREGATED S-row frame — a
+    single-partition pass over S rows, never a re-derivation of the
+    corpus aggregate (the naive agg-then-join-back shape re-runs the
+    corpus shuffle once per global scalar). Fine to ~10^5 sources;
+    beyond that the S-row frame itself would warrant a two-level agg.
+    """
+    from pyspark.sql import Window
+
+    from flyscrape_spark.operators.text import token_count
+
+    per = documents.groupBy("source").agg(
+        F.sum(token_count()).alias("total_tokens")
+    )
+    everything = Window.partitionBy()
+    share = (
+        F.col("total_tokens").cast("double")
+        / F.sum("total_tokens").over(everything).cast("double")
+    )
+    powed = per.select(
+        "source", "total_tokens", share.alias("share")
+    ).select("*", F.pow(F.col("share"), F.lit(float(alpha))).alias("sp"))
+    out = powed.select(
+        "*", F.sum("sp").over(everything).alias("z")
+    )
+    weight = F.col("sp") / F.col("z")
+    budget = F.floor(weight * F.lit(float(token_budget)))
+    return out.select(
+        "source",
+        "total_tokens",
+        F.round("share", 6).alias("raw_share"),
+        F.round(weight, 6).alias("weight"),
+        budget.cast("bigint").alias("budget_tokens"),
+        F.round(
+            budget.cast("double") / F.col("total_tokens").cast("double"), 6
+        ).alias("epochs"),
+    )

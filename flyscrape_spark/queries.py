@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from flyscrape_spark.config import CrawlConfig
 from flyscrape_spark.functions.hashing import portable_hash64, portable_hash64_sql
+from flyscrape_spark.functions import urls as urls_mod
 from flyscrape_spark.functions.urls import canonicalize, canonicalize_sql, host_of
 from flyscrape_spark.operators import ann, cluster, dedup, text as text_ops
 from flyscrape_spark.plans.frontier import CrawlEngine
@@ -3581,4 +3582,307 @@ SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
        round(CAST(n_hit AS DOUBLE) / greatest(CAST(n_true AS DOUBLE), 1.0), 4)
          AS recall
 FROM m
+"""
+
+
+# --- round-3 batch 3: rule-based cleaning, mixture temperature, ----
+# --- CDX indexing, corpus drift, DSIR selection --------------------
+
+C4_LINE_WORDS = 12
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT = 3
+#: C4's published markers plus one synthetic-vocab token so the rule
+#: actually discriminates on the word-soup test corpus.
+C4_QUERY_BLOCKLIST = ("javascript", "cookie", "cookies", "lorem",
+                      "ipsum", "{", "}", "slow")
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (operators/rules.py): pseudo-lines of
+    12 tokens (the corpus has no newlines), min 5 words/line, lines
+    containing a blocklist token dropped, docs keep iff >= 3 lines
+    survive. Terminal-punctuation rule disabled (no punctuation in
+    the synthetic corpus; on by default in the operator)."""
+    from flyscrape_spark.operators.rules import c4_line_filter
+
+    return c4_line_filter(
+        load(spark, sf_dir, "documents"),
+        line_words=C4_LINE_WORDS, min_line_words=C4_MIN_LINE_WORDS,
+        blocklist=C4_QUERY_BLOCKLIST, require_terminal_punct=False,
+        min_kept_lines=C4_MIN_KEPT,
+    )
+
+
+def sql_c4_line_filter(lw: int = C4_LINE_WORDS,
+                       min_lw: int = C4_MIN_LINE_WORDS,
+                       min_kept: int = C4_MIN_KEPT) -> str:
+    block = "['" + "', '".join(C4_QUERY_BLOCKLIST) + "']"
+    line_ok = (
+        f"len(list_filter(string_split(lower(l), ' '), t -> t != '')) >= {min_lw} "
+        f"AND len(list_intersect("
+        f"list_filter(string_split(lower(l), ' '), t -> t != ''), {block})) = 0"
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split({_NORM_SQL}, ' '), t -> t != '') AS w
+  FROM documents
+),
+lined AS (
+  SELECT doc_id,
+    list_transform(
+      range(0, greatest(CAST(trunc((len(w) + {lw - 1}) / {lw}.0 - 1) AS INT), 0) + 1),
+      i -> array_to_string(w[i * {lw} + 1:i * {lw} + {lw}], ' ')) AS ls
+  FROM words
+),
+kept AS (
+  SELECT doc_id, ls, list_filter(ls, l -> {line_ok}) AS ks FROM lined
+)
+SELECT doc_id,
+  CAST(len(ls) AS INT) AS n_lines,
+  CAST(len(ks) AS INT) AS n_kept_lines,
+  len(ks) >= {min_kept} AS keep,
+  coalesce(array_to_string(ks, ' '), '') AS clean_text
+FROM kept
+"""
+
+
+GOPHER_MIN_WORDS = 20
+GOPHER_QUERY_STOPWORDS = ("the", "a", "and", "of")
+
+
+def q_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality gate (operators/rules.py): word count,
+    mean word length, symbol ratio, alphabetic fraction, stop-word
+    presence — first failing rule reported per doc. min_words adapted
+    to the synthetic docs' 10-110-word range (published value 50)."""
+    from flyscrape_spark.operators.rules import gopher_quality_gate
+
+    return gopher_quality_gate(
+        load(spark, sf_dir, "documents"),
+        min_words=GOPHER_MIN_WORDS,
+        stopwords=GOPHER_QUERY_STOPWORDS, min_stop_hits=2,
+    )
+
+
+def sql_gopher_gate(min_words: int = GOPHER_MIN_WORDS,
+                    max_words: int = 100_000,
+                    min_mwl: float = 3.0, max_mwl: float = 10.0,
+                    min_alpha: float = 0.8, max_sym: float = 0.1,
+                    min_stop: int = 2) -> str:
+    stop = "['" + "', '".join(GOPHER_QUERY_STOPWORDS) + "']"
+    return f"""
+WITH words AS (
+  SELECT doc_id, text,
+         list_filter(string_split({_NORM_SQL}, ' '), t -> t != '') AS w
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(w) AS INT) AS n_words,
+    round(CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
+          / greatest(len(w), 1), 4) AS mean_word_len,
+    round(CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+          / greatest(len(w), 1), 4) AS alpha_frac,
+    round(CAST(len(regexp_extract_all(text, '#'))
+               + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+          / greatest(len(w), 1), 4) AS symbol_ratio,
+    CAST(len(list_intersect(list_distinct(w), {stop})) AS INT) AS stop_hits
+  FROM words
+)
+SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio, stop_hits,
+  (CASE WHEN n_words < {min_words} THEN 'too_few_words'
+        WHEN n_words > {max_words} THEN 'too_many_words'
+        WHEN mean_word_len < {min_mwl} OR mean_word_len > {max_mwl}
+          THEN 'word_length'
+        WHEN symbol_ratio > {max_sym} THEN 'symbol_ratio'
+        WHEN alpha_frac < {min_alpha} THEN 'non_alpha'
+        WHEN stop_hits < {min_stop} THEN 'stopwords'
+   END) IS NULL AS keep,
+  CASE WHEN n_words < {min_words} THEN 'too_few_words'
+       WHEN n_words > {max_words} THEN 'too_many_words'
+       WHEN mean_word_len < {min_mwl} OR mean_word_len > {max_mwl}
+         THEN 'word_length'
+       WHEN symbol_ratio > {max_sym} THEN 'symbol_ratio'
+       WHEN alpha_frac < {min_alpha} THEN 'non_alpha'
+       WHEN stop_hits < {min_stop} THEN 'stopwords'
+  END AS fail_reason
+FROM m
+"""
+
+
+MIX_ALPHA = 0.5
+MIX_BUDGET = 50_000
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (operators/mixing.py
+    temperature_mix): weight_i proportional to token-share^alpha with
+    the implied per-source token budget and epoch count."""
+    from flyscrape_spark.operators.mixing import temperature_mix
+
+    return temperature_mix(
+        load(spark, sf_dir, "documents"),
+        alpha=MIX_ALPHA, token_budget=MIX_BUDGET,
+    )
+
+
+def sql_temperature_mix(alpha: float = MIX_ALPHA,
+                        budget: int = MIX_BUDGET) -> str:
+    return f"""
+WITH per AS (
+  SELECT source, CAST(sum(ntok) AS BIGINT) AS total_tokens
+  FROM (SELECT source, {_N_TOKENS_SQL} AS ntok FROM documents) GROUP BY 1
+),
+tot AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS corpus_tokens FROM per),
+sh AS (
+  SELECT source, total_tokens,
+         CAST(total_tokens AS DOUBLE) / corpus_tokens AS share
+  FROM per CROSS JOIN tot
+),
+p AS (SELECT *, pow(share, {alpha}) AS sp FROM sh),
+z AS (SELECT sum(sp) AS z FROM p)
+SELECT source, total_tokens,
+  round(share, 6) AS raw_share,
+  round(sp / z, 6) AS weight,
+  CAST(floor(sp / z * {budget}.0) AS BIGINT) AS budget_tokens,
+  round(floor(sp / z * {budget}.0) / total_tokens, 6) AS epochs
+FROM p CROSS JOIN z
+"""
+
+
+CDX_TS_BASE = 20240101000000
+
+
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index (sources/warc.py cdx_index) over the
+    synthetic crawl: SURT keys (host-reversed, query params sorted —
+    every 5th URL carries '?b=2&a=1' to exercise the sort), content
+    digests, and per-host-shard sorted positions."""
+    from flyscrape_spark.sources.warc import cdx_index
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.concat(
+        _doc_url(i),
+        F.when(i % 5 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("")),
+    )
+    pages = docs.select(
+        url.alias("url"),
+        (F.lit(CDX_TS_BASE) + i).alias("ts"),
+        portable_hash64(F.col("text")).alias("digest"),
+    )
+    return cdx_index(pages)
+
+
+def sql_cdx_index() -> str:
+    url = (f"({_doc_url_sql('doc_id')}) || "
+           "CASE WHEN doc_id % 5 = 0 THEN '?b=2&a=1' ELSE '' END")
+    surt = urls_mod.surt_key_sql("url")
+    return f"""
+WITH pages AS (
+  SELECT {url} AS url, {CDX_TS_BASE} + doc_id AS ts,
+         {portable_hash64_sql('text')} AS digest,
+         'h' || (doc_id % {GRAPH_HOSTS}) || '.example' AS shard_host
+  FROM documents
+)
+SELECT {surt} AS surt_key, ts, url, digest, shard_host,
+  CAST(row_number() OVER (
+    PARTITION BY shard_host ORDER BY {surt}, ts, url) - 1 AS BIGINT)
+    AS shard_pos
+FROM pages
+"""
+
+
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon corpus drift (operators/drift.py): per-term JSD
+    contributions between the even-doc_id and odd-doc_id halves of
+    the corpus (standing in for old-crawl vs new-crawl)."""
+    from flyscrape_spark.operators.drift import corpus_drift
+
+    docs = load(spark, sf_dir, "documents")
+    return corpus_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+def sql_corpus_drift() -> str:
+    toks = (f"SELECT doc_id, unnest(list_filter("
+            f"string_split({_NORM_SQL}, ' '), t -> t != '')) AS token "
+            f"FROM documents")
+    return f"""
+WITH a AS (
+  SELECT token, count(*) AS n_a FROM ({toks}) WHERE doc_id % 2 = 0 GROUP BY 1
+),
+b AS (
+  SELECT token, count(*) AS n_b FROM ({toks}) WHERE doc_id % 2 = 1 GROUP BY 1
+),
+ta AS (SELECT sum(n_a) AS tot_a FROM a),
+tb AS (SELECT sum(n_b) AS tot_b FROM b),
+j AS (
+  SELECT coalesce(a.token, b.token) AS token,
+         CAST(coalesce(n_a, 0) AS DOUBLE) / tot_a AS p,
+         CAST(coalesce(n_b, 0) AS DOUBLE) / tot_b AS q
+  FROM a FULL OUTER JOIN b USING (token) CROSS JOIN ta CROSS JOIN tb
+)
+SELECT token, round(p, 6) AS p_old, round(q, 6) AS p_new,
+  round(((CASE WHEN p > 0 THEN p * log2(p / ((p + q) / 2)) ELSE 0 END)
+       + (CASE WHEN q > 0 THEN q * log2(q / ((p + q) / 2)) ELSE 0 END))
+      / 2, 8) AS jsd_term
+FROM j
+"""
+
+
+DSIR_DIM = 256
+DSIR_EPS = 1e-6
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-weighted selection (operators/dsir.py): score
+    every doc by the hashed-unigram log-likelihood ratio of the
+    lang='en' target distribution vs the raw corpus; selected =
+    more probable under the target."""
+    from flyscrape_spark.operators.dsir import dsir_select
+
+    return dsir_select(
+        load(spark, sf_dir, "documents"),
+        target_pred=F.col("lang") == "en",
+        dim=DSIR_DIM, eps=DSIR_EPS,
+    )
+
+
+def sql_dsir_select(dim: int = DSIR_DIM, eps: float = DSIR_EPS) -> str:
+    h = portable_hash64_sql("token")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+    string_split({_NORM_SQL}, ' '), t -> t != '')) AS token
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, {h} % {dim} AS feature, count(*) AS n
+  FROM toks GROUP BY 1, 2
+),
+raw AS (SELECT feature, sum(n) AS c_raw FROM feats GROUP BY 1),
+tgt AS (
+  SELECT feature, sum(n) AS c_tgt FROM feats
+  JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1
+),
+traw AS (SELECT CAST(sum(c_raw) AS DOUBLE) AS t_raw FROM raw),
+ttgt AS (SELECT CAST(sum(c_tgt) AS DOUBLE) AS t_tgt FROM tgt),
+dist AS (
+  SELECT raw.feature,
+    ln((coalesce(c_tgt, 0) / t_tgt + {eps}) / (c_raw / t_raw + {eps})) AS llr
+  FROM raw LEFT JOIN tgt USING (feature) CROSS JOIN traw CROSS JOIN ttgt
+),
+scored AS (
+  SELECT f.doc_id, sum(f.n) AS n_tokens, sum(f.n * d.llr) AS llr_sum
+  FROM feats f JOIN dist d USING (feature) GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+  coalesce(round(s.llr_sum / s.n_tokens, 6), 0.0) AS log_ratio,
+  coalesce(round(s.llr_sum / s.n_tokens, 6) > 0, false) AS selected
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
 """

@@ -208,3 +208,40 @@ def read_warc_blobs(blobs: DataFrame,
             yield pd.DataFrame(rows)
 
     return blobs.select(content_col).mapInPandas(process, PAGE_SCHEMA)
+
+
+# ----------------------------------------------------------- CDX index
+
+def cdx_index(pages: DataFrame, ts_col: str = "ts",
+              digest_col: str = "digest") -> DataFrame:
+    """(surt_key, ts, url, digest, shard_host, shard_pos): a CDX(J)-
+    style capture index over fetched pages — the lookup sidecar every
+    WARC archive ships with (public convention: Common Crawl's
+    cc-index, pywb cdxj). Rows are keyed by SURT so one site's
+    captures are lexicographic neighbors; ``shard_pos`` is the row's
+    rank within its host shard ordered by (surt_key, ts), i.e. the
+    offset it would occupy in that shard's sorted CDX file.
+
+    Scale shape: SURT is a pure projection (0 shuffles); the only
+    exchange is the per-host shard window — bounded by per-host
+    capture counts, which the politeness budget already caps. A
+    GLOBAL position would be a single-task sort; sharding by host is
+    how real CDX collections are laid out anyway (then merged by the
+    reader as a k-way scan).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flyscrape_spark.functions.urls import host_of, surt_key
+
+    keyed = pages.select(
+        surt_key(F.col("url")).alias("surt_key"),
+        F.col(ts_col).alias("ts"),
+        "url",
+        F.col(digest_col).alias("digest"),
+        host_of(F.col("url")).alias("shard_host"),
+    )
+    w = Window.partitionBy("shard_host").orderBy("surt_key", "ts", "url")
+    return keyed.withColumn(
+        "shard_pos", (F.row_number().over(w) - 1).cast("bigint")
+    )

@@ -50,6 +50,45 @@ CHECKS = {
         "codegen": r"\*\(\d+\)",
         "max_exchanges": 3,
     },
+    "c4_line_filter": {
+        # per-row higher-order array exprs: fuses into the scan
+        "no_shuffle": "!Exchange",
+        "pruned_schema": ("ReadSchema", lambda s: "lang" not in s
+                          and "source" not in s),
+        "max_exchanges": 0,
+    },
+    "gopher_gate": {
+        "no_shuffle": "!Exchange",
+        "pruned_schema": ("ReadSchema", lambda s: "lang" not in s),
+        "max_exchanges": 0,
+    },
+    "temperature_mix": {
+        # ONE corpus shuffle (groupBy source); totals are 1-row
+        # broadcasts (SinglePartition exchanges don't count)
+        "partial_agg": r"partial_",
+        "no_cartesian": "!CartesianProduct",
+        "max_exchanges": 1,
+    },
+    "cdx_index": {
+        # SURT/digest are projections; the only exchange is the
+        # per-host shard window
+        "codegen": r"\*\(\d+\)",
+        "max_exchanges": 1,
+    },
+    "corpus_drift": {
+        # two term counts + one term-key join; totals broadcast
+        "partial_agg": r"partial_count",
+        "no_cartesian": "!CartesianProduct",
+        "max_exchanges": 4,
+    },
+    "dsir_select": {
+        # dim-row distribution tables must BROADCAST onto the
+        # doc-feature counts — the corpus never shuffles for the model
+        "broadcast_model": r"BroadcastHashJoin",
+        "partial_agg": r"partial_",
+        "no_cartesian": "!CartesianProduct",
+        "max_exchanges": 5,
+    },
     "pricing_summary": {
         "pushed_filter": r"PushedFilters: \[[^\]]*LessThanOrEqual\(l_shipdate",
         "pruned_schema": ("ReadSchema", lambda s: "l_orderkey" not in s),
