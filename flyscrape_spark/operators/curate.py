@@ -155,3 +155,118 @@ def flag_contaminated(
             (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def refinedweb_funnel(
+    documents: DataFrame,
+    *,
+    # C4 line stage
+    line_words: int = 0,
+    min_line_words: int = 5,
+    c4_blocklist: tuple[str, ...] | None = None,
+    require_terminal_punct: bool = True,
+    min_kept_lines: int = 3,
+    # Gopher gate
+    min_words: int = 50,
+    stopwords: tuple[str, ...] | None = None,
+    min_stop_hits: int = 2,
+    # MinHash near-dup
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """(doc_id, keep, drop_stage): the RefinedWeb/FineWeb-style
+    curation recipe as ONE composed pipeline — Gopher document gate →
+    C4 line cleaning → exact dedup of the cleaned text → MinHash-LSH
+    near-dup junior drop. drop_stage names the FIRST stage that
+    killed the document ('gopher_<rule>', 'c4_lines', 'exact_dup',
+    'near_dup'; null = kept), which is the loss-attribution table a
+    curation review reads.
+
+    Composition shape (why this is not just four operator calls):
+    - every per-row rule — all five Gopher metrics AND the C4 line
+      transform — evaluates in a SINGLE projection via the rules.py
+      column builders, so the gate costs one scan and prunes before
+      anything shuffles (joining the two operators' outputs back
+      together on doc_id would shuffle the corpus twice for no
+      reason);
+    - exact dedup shuffles only gate survivors, on a 64-bit hash of
+      the CLEANED text (C4 line removal changes what counts as a
+      duplicate — dedup must run downstream of it);
+    - the LSH stage sees only exact-dedup seniors: banded candidates,
+      exact-Jaccard verify on candidates only, and the junior of each
+      verified pair (higher doc_id) drops. Pairwise junior-drop is
+      the RefinedWeb behavior; transitive-closure retention is
+      curate() with connected components.
+    """
+    from flyscrape_spark.operators.rules import (
+        C4_BLOCKLIST, GOPHER_STOPWORDS, c4_line_cols, gopher_metric_cols,
+        gopher_reason,
+    )
+
+    m = gopher_metric_cols(stopwords or GOPHER_STOPWORDS)
+    g_reason = gopher_reason(
+        m, min_words=min_words, min_stop_hits=min_stop_hits
+    )
+    _, kept_lines = c4_line_cols(
+        line_words, min_line_words, c4_blocklist or C4_BLOCKLIST,
+        require_terminal_punct,
+    )
+    perrow = documents.select(
+        "doc_id",
+        g_reason.alias("gopher_reason"),
+        (F.size(kept_lines) >= min_kept_lines).alias("c4_ok"),
+        F.array_join(kept_lines, " ").alias("clean_text"),
+    )
+
+    survivors = perrow.filter(
+        F.col("gopher_reason").isNull() & F.col("c4_ok")
+    ).select("doc_id", "clean_text")
+
+    hashed = survivors.select(
+        "doc_id", portable_hash64(normalized_text("clean_text")).alias("content_hash")
+    )
+    exact_rep = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("exact_rep")
+    )
+    ex = hashed.join(exact_rep, "content_hash").select("doc_id", "exact_rep")
+
+    seniors = (
+        survivors.join(ex, "doc_id")
+        .filter(F.col("doc_id") == F.col("exact_rep"))
+        .select("doc_id", F.col("clean_text").alias("text"))
+    )
+    pairs = dedup.lsh_near_dup(
+        seniors, num_hashes=num_hashes, bands=bands, n=n, threshold=threshold
+    )
+    near_dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+
+    stage = (
+        F.when(
+            F.col("gopher_reason").isNotNull(),
+            F.concat(F.lit("gopher_"), F.col("gopher_reason")),
+        )
+        .when(~F.col("c4_ok"), F.lit("c4_lines"))
+        .when(
+            F.col("exact_rep").isNotNull()
+            & (F.col("doc_id") != F.col("exact_rep")),
+            F.lit("exact_dup"),
+        )
+        .when(F.col("is_near_dup"), F.lit("near_dup"))
+    )
+    return (
+        perrow.join(ex, "doc_id", "left")
+        .join(
+            near_dropped.withColumn("is_near_dup", F.lit(True)),
+            "doc_id",
+            "left",
+        )
+        .withColumn("is_near_dup", F.coalesce("is_near_dup", F.lit(False)))
+        .withColumn("drop_stage", stage)
+        .select(
+            "doc_id",
+            F.col("drop_stage").isNull().alias("keep"),
+            "drop_stage",
+        )
+    )

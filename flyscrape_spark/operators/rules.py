@@ -11,7 +11,11 @@ first failing rule, the shape a curation funnel audits.
 Scale shapes (both operators):
 - pure per-row higher-order array expressions — ZERO shuffles, zero
   Python; they fuse into whatever scan precedes them and compose with
-  the curate.py funnel's gate stage;
+  the curate.py funnel's gate stage. The column builders
+  (``c4_line_cols``, ``gopher_metric_cols``, ``gopher_reason``) are
+  exported separately so a composed pipeline (curate.refinedweb_funnel)
+  can evaluate EVERY per-row rule in one projection instead of
+  joining operator outputs back together on doc_id;
 - the C4 cleaner works line-at-a-time *within* the document column
   (transform/filter over a split array), so a 100 MB outlier document
   costs one task, never a shuffle;
@@ -56,26 +60,23 @@ def _words(text_col: str) -> Column:
     return F.filter(F.split(normalized_text(text_col), " "), lambda t: t != "")
 
 
-def c4_line_filter(
-    documents: DataFrame,
+# ------------------------------------------------------ C4 line rules
+
+
+def c4_line_cols(
     line_words: int = 0,
     min_line_words: int = 5,
     blocklist: tuple[str, ...] = C4_BLOCKLIST,
     require_terminal_punct: bool = True,
-    min_kept_lines: int = 3,
     text_col: str = "text",
-) -> DataFrame:
-    """(doc_id, n_lines, n_kept_lines, keep, clean_text): C4-style
-    line-level cleaning.
+) -> tuple[Column, Column]:
+    """(lines, kept_lines) column pair implementing the C4 line rules
+    as pure expressions — composable into any per-row projection.
 
     ``line_words == 0`` splits on real newlines (the published rule);
     a positive value derives pseudo-lines as non-overlapping
     ``line_words``-token windows for corpora whose line structure was
-    lost upstream (the segments.py convention). A line survives iff
-    it has ``>= min_line_words`` words, contains no blocklist token,
-    and (when ``require_terminal_punct``) ends in terminal
-    punctuation. A document is kept iff ``>= min_kept_lines`` lines
-    survive; ``clean_text`` is the surviving lines re-joined.
+    lost upstream (the segments.py convention).
     """
     if line_words > 0:
         w = _words(text_col)
@@ -108,7 +109,29 @@ def c4_line_filter(
             ok = ok & line.rlike(_TERMINAL_PUNCT)
         return ok
 
-    kept = F.filter(lines, line_ok)
+    return lines, F.filter(lines, line_ok)
+
+
+def c4_line_filter(
+    documents: DataFrame,
+    line_words: int = 0,
+    min_line_words: int = 5,
+    blocklist: tuple[str, ...] = C4_BLOCKLIST,
+    require_terminal_punct: bool = True,
+    min_kept_lines: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_lines, n_kept_lines, keep, clean_text): C4-style
+    line-level cleaning.
+
+    A line survives iff it has ``>= min_line_words`` words, contains
+    no blocklist token, and (when ``require_terminal_punct``) ends in
+    terminal punctuation. A document is kept iff ``>= min_kept_lines``
+    lines survive; ``clean_text`` is the surviving lines re-joined.
+    """
+    lines, kept = c4_line_cols(
+        line_words, min_line_words, blocklist, require_terminal_punct, text_col
+    )
     return documents.select(
         "doc_id",
         F.size(lines).alias("n_lines"),
@@ -118,26 +141,14 @@ def c4_line_filter(
     )
 
 
-def gopher_quality_gate(
-    documents: DataFrame,
-    min_words: int = 50,
-    max_words: int = 100_000,
-    min_mean_word_len: float = 3.0,
-    max_mean_word_len: float = 10.0,
-    min_alpha_frac: float = 0.8,
-    max_symbol_ratio: float = 0.1,
-    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
-    min_stop_hits: int = 2,
-    text_col: str = "text",
-) -> DataFrame:
-    """(doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio,
-    stop_hits, keep, fail_reason): the Gopher document gate.
+# -------------------------------------------------------- Gopher gate
 
-    ``fail_reason`` names the FIRST failing rule in the published
-    evaluation order (word count, word length, symbol ratio,
-    alphabetic fraction, stop words) so a funnel audit can attribute
-    losses per rule; null when the document passes.
-    """
+
+def gopher_metric_cols(
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS, text_col: str = "text"
+) -> dict[str, Column]:
+    """The Gopher gate's five per-document metrics as expressions
+    (rounded exactly as the gate compares them)."""
     w = _words(text_col)
     n = F.size(w)
     mean_len = F.round(
@@ -161,26 +172,69 @@ def gopher_quality_gate(
     )
     stop = F.array([F.lit(s) for s in stopwords])
     stop_hits = F.size(F.array_intersect(F.array_distinct(w), stop))
+    return {
+        "n_words": n,
+        "mean_word_len": mean_len,
+        "alpha_frac": alpha_frac,
+        "symbol_ratio": symbol_ratio,
+        "stop_hits": stop_hits,
+    }
 
-    d = documents.select(
-        "doc_id",
-        n.alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        alpha_frac.alias("alpha_frac"),
-        symbol_ratio.alias("symbol_ratio"),
-        stop_hits.alias("stop_hits"),
-    )
-    reason = (
-        F.when(F.col("n_words") < min_words, "too_few_words")
-        .when(F.col("n_words") > max_words, "too_many_words")
+
+def gopher_reason(
+    m: dict[str, Column],
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    max_symbol_ratio: float = 0.1,
+    min_stop_hits: int = 2,
+) -> Column:
+    """First failing rule (published evaluation order) over a metric
+    column dict — null when the document passes."""
+    return (
+        F.when(m["n_words"] < min_words, "too_few_words")
+        .when(m["n_words"] > max_words, "too_many_words")
         .when(
-            (F.col("mean_word_len") < min_mean_word_len)
-            | (F.col("mean_word_len") > max_mean_word_len),
+            (m["mean_word_len"] < min_mean_word_len)
+            | (m["mean_word_len"] > max_mean_word_len),
             "word_length",
         )
-        .when(F.col("symbol_ratio") > max_symbol_ratio, "symbol_ratio")
-        .when(F.col("alpha_frac") < min_alpha_frac, "non_alpha")
-        .when(F.col("stop_hits") < min_stop_hits, "stopwords")
+        .when(m["symbol_ratio"] > max_symbol_ratio, "symbol_ratio")
+        .when(m["alpha_frac"] < min_alpha_frac, "non_alpha")
+        .when(m["stop_hits"] < min_stop_hits, "stopwords")
+    )
+
+
+def gopher_quality_gate(
+    documents: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    max_symbol_ratio: float = 0.1,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    min_stop_hits: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio,
+    stop_hits, keep, fail_reason): the Gopher document gate.
+
+    ``fail_reason`` names the FIRST failing rule in the published
+    evaluation order (word count, word length, symbol ratio,
+    alphabetic fraction, stop words) so a funnel audit can attribute
+    losses per rule; null when the document passes.
+    """
+    m = gopher_metric_cols(stopwords, text_col)
+    d = documents.select(
+        "doc_id", *[v.alias(k) for k, v in m.items()]
+    )
+    reason = gopher_reason(
+        {k: F.col(k) for k in m},
+        min_words, max_words, min_mean_word_len, max_mean_word_len,
+        min_alpha_frac, max_symbol_ratio, min_stop_hits,
     )
     return d.select(
         "*",

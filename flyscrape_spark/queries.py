@@ -3886,3 +3886,159 @@ SELECT d.doc_id,
   coalesce(round(s.llr_sum / s.n_tokens, 6) > 0, false) AS selected
 FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
 """
+
+
+# --- round-3 batch 4: composed curation funnel, interleaved span stats
+
+
+def q_refinedweb_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/FineWeb-style composed funnel (operators/curate.py
+    refinedweb_funnel): Gopher gate -> C4 line cleaning -> exact dedup
+    of cleaned text -> MinHash-LSH junior drop, each doc labeled with
+    the first stage that killed it. Gate/LSH parameters match the
+    standalone gopher_gate / c4_line_filter / lsh_near_dup queries."""
+    from flyscrape_spark.operators.curate import refinedweb_funnel
+
+    return refinedweb_funnel(
+        load(spark, sf_dir, "documents"),
+        line_words=C4_LINE_WORDS, min_line_words=C4_MIN_LINE_WORDS,
+        c4_blocklist=C4_QUERY_BLOCKLIST, require_terminal_punct=False,
+        min_kept_lines=C4_MIN_KEPT,
+        min_words=GOPHER_MIN_WORDS, stopwords=GOPHER_QUERY_STOPWORDS,
+        min_stop_hits=2,
+        num_hashes=16, bands=4, n=3, threshold=0.2,
+    )
+
+
+def sql_refinedweb_funnel(num_hashes: int = 16, bands: int = 4,
+                          n: int = 3, threshold: float = 0.2) -> str:
+    rows = num_hashes // bands
+    mh = _sql_minhash_aggs(num_hashes)
+
+    def bandcat(b: int) -> str:
+        parts = []
+        for r in range(rows):
+            c = f"CAST(mh_{b * rows + r} AS VARCHAR)"
+            parts.append(c if r == 0 else f"'_' || {c}")
+        return portable_hash64_sql(" || ".join(parts))
+
+    banded = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {bandcat(b)} AS bucket FROM fsigs"
+        for b in range(bands)
+    )
+    shingle_list = _sql_shingle_list(n)
+    norm_ct = "regexp_replace(lower(trim(clean_text)), '\\s+', ' ', 'g')"
+    h_ct = portable_hash64_sql(norm_ct)
+    jac = ("CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) "
+           "/ (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))")
+    return f"""
+WITH g AS ({sql_gopher_gate()}),
+c AS ({sql_c4_line_filter()}),
+perrow AS (
+  SELECT d.doc_id, g.fail_reason AS gr, c.keep AS c4_ok, c.clean_text
+  FROM documents d
+  JOIN g ON g.doc_id = d.doc_id
+  JOIN c ON c.doc_id = d.doc_id
+),
+surv AS (
+  SELECT doc_id, clean_text FROM perrow WHERE gr IS NULL AND c4_ok
+),
+hashed AS (SELECT doc_id, {h_ct} AS content_hash FROM surv),
+exact_rep AS (
+  SELECT content_hash, min(doc_id) AS exact_rep FROM hashed GROUP BY 1
+),
+ex AS (
+  SELECT h.doc_id, e.exact_rep FROM hashed h
+  JOIN exact_rep e USING (content_hash)
+),
+seniors AS (
+  SELECT s.doc_id, s.clean_text FROM surv s
+  JOIN ex ON ex.doc_id = s.doc_id WHERE s.doc_id = ex.exact_rep
+),
+words AS (SELECT doc_id, string_split({norm_ct}, ' ') AS w FROM seniors),
+sh AS (SELECT doc_id, unnest({shingle_list}) AS shingle FROM words),
+fsigs AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+shl AS (SELECT doc_id, {shingle_list} AS s FROM words),
+dropped AS (
+  SELECT DISTINCT c.doc_b AS doc_id
+  FROM cand c
+  JOIN shl sa ON sa.doc_id = c.doc_a
+  JOIN shl sb ON sb.doc_id = c.doc_b
+  WHERE round({jac}, 6) >= {threshold}
+),
+labeled AS (
+  SELECT p.doc_id,
+    CASE WHEN p.gr IS NOT NULL THEN 'gopher_' || p.gr
+         WHEN NOT p.c4_ok THEN 'c4_lines'
+         WHEN ex.exact_rep IS NOT NULL AND p.doc_id != ex.exact_rep
+           THEN 'exact_dup'
+         WHEN dr.doc_id IS NOT NULL THEN 'near_dup'
+    END AS drop_stage
+  FROM perrow p
+  LEFT JOIN ex ON ex.doc_id = p.doc_id
+  LEFT JOIN dropped dr ON dr.doc_id = p.doc_id
+)
+SELECT doc_id, drop_stage IS NULL AS keep, drop_stage FROM labeled
+"""
+
+
+def q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-document span statistics: per doc, counts of
+    text/media/link spans, media share, and the first media position
+    — the corpus-composition table for a multimodal training mix,
+    computed per-row over the parsed span array (0 shuffles; the
+    aggregation never leaves the document)."""
+    from flyscrape_spark.parse.udfs import parse_spans_udf
+
+    pages = synthetic_pages(spark, sf_dir)
+    df = pages.select(
+        F.col("url").alias("doc_id"), parse_spans_udf("html").alias("sp")
+    )
+    sp = F.col("sp")
+    n = F.size(sp)
+
+    def n_kind(kind: str):
+        return F.size(F.filter(sp, lambda s: s["kind"] == kind))
+
+    first_media = F.coalesce(
+        F.array_min(
+            F.transform(
+                F.filter(sp, lambda s: s["kind"] == "media"),
+                lambda s: s["offset"],
+            )
+        ),
+        F.lit(-1),
+    )
+    return df.select(
+        "doc_id",
+        n.alias("n_spans"),
+        n_kind("text").alias("n_text"),
+        n_kind("media").alias("n_media"),
+        n_kind("link").alias("n_links"),
+        F.round(
+            n_kind("media").cast("double") / F.greatest(n, F.lit(1)), 4
+        ).alias("media_ratio"),
+        first_media.cast("int").alias("first_media_offset"),
+    )
+
+
+def sql_span_stats() -> str:
+    return f"""
+WITH sp AS ({sql_interleaved_spans()})
+SELECT doc_id,
+  CAST(count(*) AS INT) AS n_spans,
+  CAST(count(*) FILTER (WHERE kind = 'text') AS INT) AS n_text,
+  CAST(count(*) FILTER (WHERE kind = 'media') AS INT) AS n_media,
+  CAST(count(*) FILTER (WHERE kind = 'link') AS INT) AS n_links,
+  round(CAST(count(*) FILTER (WHERE kind = 'media') AS DOUBLE)
+        / greatest(count(*), 1), 4) AS media_ratio,
+  CAST(coalesce(min("offset") FILTER (WHERE kind = 'media'), -1) AS INT)
+    AS first_media_offset
+FROM sp GROUP BY doc_id
+"""

@@ -219,3 +219,90 @@ def test_dsir_empty_doc(spark):
     assert got[1]["n_tokens"] == 0
     assert got[1]["log_ratio"] == 0.0
     assert got[1]["selected"] is False
+
+
+# ------------------------------------------------ composed funnel
+
+
+def test_refinedweb_funnel_stages(spark):
+    """Each stage claims its doc: gopher kills the short doc, C4 the
+    blocklisted one, exact dedup the verbatim copy, LSH the near-copy;
+    the senior survives."""
+    from flyscrape_spark.operators.curate import refinedweb_funnel
+
+    words = [w for i in range(20) for w in (f"word{i}", "the", "and")]
+    base = " ".join(words)  # 60 words, 5 pseudo-lines at width 12
+    nearw = list(words)
+    nearw[30] = "changedword"  # one token differs INSIDE the kept lines
+    near = " ".join(nearw)
+    other = "javascript " + " ".join(
+        f"thing{i} the and" for i in range(20)
+    )  # disjoint stems: no near-dup with base; 1 blocked line only
+    docs = spark.createDataFrame(
+        [
+            (0, base),            # kept (senior)
+            (1, base),            # exact duplicate of 0
+            (2, near),            # near duplicate of 0
+            (3, "the and tiny"),  # gopher: too few words
+            (4, other),           # kept: one blocked line is not a doc kill
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in refinedweb_funnel(
+            docs,
+            line_words=12, require_terminal_punct=False, min_kept_lines=3,
+            min_words=20, stopwords=("the", "and"), min_stop_hits=2,
+            threshold=0.5,
+        ).collect()
+    }
+    assert got[0]["keep"] is True and got[0]["drop_stage"] is None
+    assert got[1]["drop_stage"] == "exact_dup"
+    assert got[2]["drop_stage"] == "near_dup"
+    assert got[3]["drop_stage"] == "gopher_too_few_words"
+    assert got[4]["keep"] is True
+
+
+def test_refinedweb_funnel_c4_kill(spark):
+    """A doc whose every pseudo-line carries a blocklist token dies at
+    the c4 stage (after passing gopher)."""
+    from flyscrape_spark.operators.curate import refinedweb_funnel
+
+    text = " ".join(
+        ("javascript" if i % 12 == 0 else f"word{i}") + " the and"
+        for i in range(20)
+    )
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    r = refinedweb_funnel(
+        docs,
+        line_words=4, require_terminal_punct=False, min_kept_lines=30,
+        min_words=20, stopwords=("the", "and"), min_stop_hits=2,
+    ).collect()[0]
+    assert r["drop_stage"] == "c4_lines"
+
+
+# ------------------------------------------------------ span stats
+
+
+def test_span_stats_per_row(spark):
+    from flyscrape_spark.parse.udfs import parse_spans_udf
+    from pyspark.sql import functions as F
+
+    html = '<p>hello</p><a href="/x">x</a><img src="/m.png"><a href="/y">y</a>'
+    pages = spark.createDataFrame([("u1", html)], "url string, html string")
+    df = pages.select(F.col("url").alias("doc_id"),
+                      parse_spans_udf("html").alias("sp"))
+    sp = F.col("sp")
+
+    def nk(k):
+        return F.size(F.filter(sp, lambda s: s["kind"] == k))
+
+    r = df.select(
+        F.size(sp).alias("n"), nk("text").alias("t"), nk("media").alias("m"),
+        nk("link").alias("l"),
+        F.array_min(F.transform(F.filter(sp, lambda s: s["kind"] == "media"),
+                                lambda s: s["offset"])).alias("fm"),
+    ).collect()[0]
+    assert (r["n"], r["t"], r["m"], r["l"]) == (4, 1, 1, 2)
+    assert r["fm"] == 2  # text, link, media, link

@@ -50,6 +50,21 @@ CHECKS = {
         "codegen": r"\*\(\d+\)",
         "max_exchanges": 3,
     },
+    "refinedweb_funnel": {
+        # every per-row rule (5 Gopher metrics + C4 line transform)
+        # in ONE projection; dedup stages see survivors only
+        "no_cartesian": "!CartesianProduct",
+        "partial_agg": r"partial_",
+        "codegen": r"\*\(\d+\)",
+        "max_exchanges": 9,
+    },
+    "span_stats": {
+        # per-row aggregation over the span array: the parse UDF is
+        # the only non-codegen stage, nothing shuffles
+        "no_shuffle": "!Exchange hashpartitioning",
+        "arrow_udf": r"ArrowEvalPython|BatchEvalPython",
+        "max_exchanges": 0,
+    },
     "c4_line_filter": {
         # per-row higher-order array exprs: fuses into the scan
         "no_shuffle": "!Exchange",
