@@ -243,3 +243,68 @@ def trustrank(
     finally:
         if materialize:
             e.unpersist()
+
+
+def lpa_communities(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 3,
+    node_col: str = "node",
+) -> DataFrame:
+    """(node, community): synchronous label propagation (Raghavan et
+    al. 2007) for a FIXED number of iterations — the cheap community
+    detector for site/topic clustering over the link graph (async LPA
+    with random tie-breaks is the published default; the synchronous
+    min-tie-break variant here is the deterministic one a correctness
+    gate can pin, same convention as the fixed-iteration PageRank).
+
+    Update rule: each node adopts the most frequent label among its
+    neighbors AND itself (edges treated as undirected), ties broken
+    by SMALLEST label; isolated nodes keep their own label. Labels
+    start as the node id. The self-vote is the standard stabilizer
+    for the synchronous schedule — without it a bipartite pair swaps
+    labels forever (the oscillation Raghavan et al. §3 note for
+    synchronous updates; pinned by test).
+
+    Scale shape: per iteration ONE groupBy(node, label) count (map-
+    side combinable — the vote table is bounded by the edge count)
+    followed by an argmax via max_by over a (count, -label) struct —
+    no window, no sort, shuffles linear in |E|. The undirected edge
+    frame is persisted once and released after the loop (same cache
+    discipline as pagerank, round-2 advice).
+    """
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .persist()
+    )
+    try:
+        und.count()  # noqa: B018 — materialize the reused edge cache
+        labels = nodes.select(F.col(node_col), F.col(node_col).alias("label"))
+        for _ in range(iterations):
+            nbr = und.join(
+                labels.withColumnRenamed(node_col, "b"), "b"
+            ).select(F.col("a").alias(node_col), "label")
+            votes = (
+                nbr.unionAll(labels.select(node_col, "label"))
+                .groupBy(node_col, "label")
+                .agg(F.count("*").alias("n_votes"))
+            )
+            winner = votes.groupBy(node_col).agg(
+                F.max_by(
+                    "label", F.struct(F.col("n_votes"), (-F.col("label")).alias("nl"))
+                ).alias("new_label")
+            )
+            labels = (
+                nodes.select(node_col)
+                .join(labels, node_col)
+                .join(winner, node_col, "left")
+                .select(
+                    node_col,
+                    F.coalesce("new_label", "label").alias("label"),
+                )
+            )
+        return labels.select(node_col, F.col("label").alias("community"))
+    finally:
+        und.unpersist()

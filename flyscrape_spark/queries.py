@@ -4042,3 +4042,89 @@ SELECT doc_id,
     AS first_media_offset
 FROM sp GROUP BY doc_id
 """
+
+
+# --- round-3 batch 5: LPA communities, inverted index ---------------
+
+LPA_ITERS = 3
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (operators/graph.py
+    lpa_communities) over the synthetic link graph: 3 fixed
+    iterations, most-frequent label among neighbors+self with
+    smallest-label tie-break (the self-vote stabilizes the
+    synchronous schedule)."""
+    from flyscrape_spark.operators.graph import lpa_communities
+
+    docs, edges = _graph_edges(spark, sf_dir)
+    return lpa_communities(
+        docs.select(F.col("doc_id").alias("node")), edges,
+        iterations=LPA_ITERS,
+    )
+
+
+def sql_lpa_communities(iterations: int = LPA_ITERS) -> str:
+    ctes = [
+        "und AS (SELECT DISTINCT a, b FROM ("
+        "SELECT src AS a, dst AS b FROM e"
+        " UNION ALL SELECT dst AS a, src AS b FROM e))",
+        "l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents)",
+    ]
+    for it in range(iterations):
+        ctes.append(
+            f"v{it + 1} AS (SELECT node, label, count(*) AS n_votes FROM ("
+            f"SELECT und.a AS node, l{it}.label"
+            f" FROM und JOIN l{it} ON l{it}.node = und.b"
+            f" UNION ALL SELECT node, label FROM l{it}) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"w{it + 1} AS (SELECT node, label AS new_label FROM v{it + 1}"
+            f" QUALIFY row_number() OVER (PARTITION BY node"
+            f" ORDER BY n_votes DESC, label ASC) = 1)"
+        )
+        ctes.append(
+            f"l{it + 1} AS (SELECT l{it}.node,"
+            f" coalesce(w{it + 1}.new_label, l{it}.label) AS label"
+            f" FROM l{it} LEFT JOIN w{it + 1} ON w{it + 1}.node = l{it}.node)"
+        )
+    return (
+        f"WITH {_GRAPH_EDGES_SQL},\n" + ",\n".join(ctes)
+        + f"\nSELECT node, label AS community FROM l{iterations}"
+    )
+
+
+INDEX_MAX_POSTINGS = 10
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped inverted index (operators/index.py): top-10 postings
+    per term by (tf desc, doc_id), exact df on every row — the
+    corpus-search artifact; the cap compiles to WindowGroupLimit."""
+    from flyscrape_spark.operators.index import inverted_index
+
+    return inverted_index(
+        load(spark, sf_dir, "documents"), max_postings=INDEX_MAX_POSTINGS
+    )
+
+
+def sql_inverted_index(max_postings: int = INDEX_MAX_POSTINGS) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+    string_split({_NORM_SQL}, ' '), t -> t != '')) AS token
+  FROM documents
+),
+tf AS (SELECT token, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT token,
+         count(*) OVER (PARTITION BY token) AS df,
+         doc_id, tf,
+         row_number() OVER (
+           PARTITION BY token ORDER BY tf DESC, doc_id ASC) AS rank
+  FROM tf
+)
+SELECT token, CAST(df AS BIGINT) AS df, doc_id, CAST(tf AS BIGINT) AS tf,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {max_postings}
+"""

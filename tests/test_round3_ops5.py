@@ -306,3 +306,60 @@ def test_span_stats_per_row(spark):
     ).collect()[0]
     assert (r["n"], r["t"], r["m"], r["l"]) == (4, 1, 1, 2)
     assert r["fm"] == 2  # text, link, media, link
+
+
+# ------------------------------------------------- LPA communities
+
+
+def test_lpa_two_cliques(spark):
+    """Two triangles joined by nothing: each collapses to its
+    smallest node id within one iteration; labels are stable by 3."""
+    from flyscrape_spark.operators.graph import lpa_communities
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)],
+        "src long, dst long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 10, 11, 12)], "node long"
+    )
+    got = {r["node"]: r["community"]
+           for r in lpa_communities(nodes, edges, iterations=3).collect()}
+    assert {got[0], got[1], got[2]} == {0}
+    assert {got[10], got[11], got[12]} == {10}
+
+
+def test_lpa_isolated_keeps_own_label(spark):
+    from flyscrape_spark.operators.graph import lpa_communities
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    nodes = spark.createDataFrame([(0,), (1,), (7,)], "node long")
+    got = {r["node"]: r["community"]
+           for r in lpa_communities(nodes, edges, iterations=2).collect()}
+    assert got[7] == 7
+    assert got[0] == 0 and got[1] == 0
+
+
+# ------------------------------------------------- inverted index
+
+
+def test_inverted_index_rank_and_cap(spark):
+    from flyscrape_spark.operators.index import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "apple banana banana"),
+         (3, "apple")],
+        "doc_id long, text string",
+    )
+    rows = inverted_index(docs, max_postings=2).collect()
+    apple = sorted(
+        [(r["rank"], r["doc_id"], r["tf"], r["df"]) for r in rows
+         if r["token"] == "apple"]
+    )
+    # df counts ALL 3 docs even though postings cap at 2
+    assert apple == [(1, 1, 2, 3), (2, 2, 1, 3)]
+    banana = sorted(
+        [(r["rank"], r["doc_id"], r["tf"]) for r in rows
+         if r["token"] == "banana"]
+    )
+    assert banana == [(1, 2, 2), (2, 1, 1)]

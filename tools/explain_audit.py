@@ -50,6 +50,20 @@ CHECKS = {
         "codegen": r"\*\(\d+\)",
         "max_exchanges": 3,
     },
+    "lpa_communities": {
+        # per-iteration vote agg is map-side combinable; the argmax
+        # is max_by, never a window sort
+        "partial_agg": r"partial_",
+        "no_cartesian": "!CartesianProduct",
+        "no_window_sort": "!WindowExec",
+    },
+    "inverted_index": {
+        # posting cap compiles to a per-token group limit (heap),
+        # not a full sort of each term's postings
+        "group_limit": r"WindowGroupLimit",
+        "partial_agg": r"partial_count",
+        "max_exchanges": 2,
+    },
     "refinedweb_funnel": {
         # every per-row rule (5 Gopher metrics + C4 line transform)
         # in ONE projection; dedup stages see survivors only
