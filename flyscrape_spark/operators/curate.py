@@ -270,3 +270,39 @@ def refinedweb_funnel(
             "drop_stage",
         )
     )
+
+
+#: FineWeb-convention default: no single domain contributes more
+#: than this many documents to a training shard
+DOMAIN_CAP = 30
+
+
+def domain_cap(
+    documents: DataFrame,
+    domain_col: str = "domain",
+    cap: int = DOMAIN_CAP,
+    order_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document cap: keep at most ``cap`` documents per
+    registrable domain, preferring higher ``order_col`` (quality /
+    length signal) with ``id_col`` as the deterministic tie-break —
+    the anti-concentration step web-corpus recipes apply so one
+    mega-site cannot dominate a shard.
+
+    Scale shape: rank() is a row_number()-<= k predicate, which Spark
+    compiles to WindowGroupLimit — a per-key k-row HEAP on both the
+    map and reduce side, so a domain with 10^8 docs costs its
+    partitions k rows of state each, never a full per-domain sort
+    materialization. One exchange on the domain key; skew is bounded
+    by the cap itself (every key emits <= k rows downstream).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        documents.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= cap)
+    )

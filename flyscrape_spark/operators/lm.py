@@ -125,3 +125,72 @@ def lm_scores(
             ).alias("keep_lm"),
         )
     )
+
+
+#: bucket names in CCNet order: head = best (highest logprob = lowest
+#: perplexity), tail = worst.
+CCNET_BUCKETS = ("head", "middle", "tail")
+
+
+def ccnet_buckets(
+    documents: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    thresholds: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet head/middle/tail quality buckets (Wenzek et al. 2020 §4.4):
+    per-language perplexity terciles over the LM score.
+
+    Two paths, matching the paper's production/estimation split:
+
+    - ``thresholds`` given — (lang, t_head, t_middle) precomputed from
+      a held-out sample: BROADCAST join + two comparisons, zero extra
+      shuffles on the corpus side. This is the 100 TB path (CCNet ships
+      static per-language cutoffs for exactly this reason).
+    - ``thresholds=None`` — exact in-corpus terciles via ``ntile(3)``
+      over (avg_logprob DESC, doc_id ASC) per language. ntile is
+      integer bucketing with a deterministic tie-break, so it is
+      cross-engine exact (no interpolated-quantile float drift); the
+      cost is one window sort per language partition, which is the
+      honest exact semantics at test scale but skew-bound at corpus
+      scale — production estimates thresholds on a sample and takes
+      the broadcast path.
+
+    Docs too short to score (n_bigrams = 0, NULL avg_logprob) land in
+    ``tail`` by definition and are excluded from the tercile split.
+    Output: (doc_id, lang, n_bigrams, avg_logprob, bucket).
+    """
+    from pyspark.sql import Window
+
+    scores = lm_scores(documents, text_col=text_col, model=model)
+    scored = documents.select("doc_id", F.col(lang_col).alias("lang")).join(
+        scores, "doc_id"
+    )
+    if thresholds is not None:
+        t = F.broadcast(thresholds)
+        return scored.join(t, "lang", "left").select(
+            "doc_id", "lang", "n_bigrams", "avg_logprob",
+            F.when(F.col("avg_logprob").isNull(), F.lit("tail"))
+            .when(F.col("avg_logprob") >= F.col("t_head"), F.lit("head"))
+            .when(F.col("avg_logprob") >= F.col("t_middle"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id").asc()
+    )
+    with_tile = scored.filter(F.col("n_bigrams") > 0).withColumn(
+        "tile", F.ntile(3).over(w)
+    )
+    bucketed = with_tile.select(
+        "doc_id", "lang", "n_bigrams", "avg_logprob",
+        F.element_at(
+            F.array(*[F.lit(b) for b in CCNET_BUCKETS]), F.col("tile")
+        ).alias("bucket"),
+    )
+    unscored = scored.filter(F.col("n_bigrams") == 0).select(
+        "doc_id", "lang", "n_bigrams", "avg_logprob",
+        F.lit("tail").alias("bucket"),
+    )
+    return bucketed.unionByName(unscored)

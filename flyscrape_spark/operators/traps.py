@@ -83,3 +83,54 @@ def trap_stats(
             flag.alias("is_trap"),
         )
     )
+
+
+#: families at or above this many distinct URLs are parametric
+FAMILY_THRESHOLD = 50
+
+
+def url_template_full(col: str | F.Column = "url") -> F.Column:
+    """Hex-aware URL template: lowercase, maximal hex runs of >= 12
+    chars collapse to ``H`` (session ids, content hashes), remaining
+    digit runs to ``N`` (page numbers, item ids). Order matters: the
+    hex rule must fire first or its digits are consumed by ``N``."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    c = F.regexp_replace(c, r"[0-9a-f]{12,}", "H")
+    return F.regexp_replace(c, r"[0-9]+", "N")
+
+
+def template_families(
+    urls: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    threshold: int = FAMILY_THRESHOLD,
+) -> DataFrame:
+    """Per-(host, template) URL-family table: how many distinct URLs
+    collapse into each template, a deterministic example (the min
+    URL), and the parametric flag at ``threshold`` — the
+    URL-normalization complement to the per-host ``trap_stats``
+    ratio: families tell the curator WHICH pattern to cap or rewrite
+    (session-id stripping, pagination limits), not just which host
+    is suspicious.
+
+    Scale shape: one distinct on (host, template, url) — a plain
+    hash-repartition on near-unique keys, skew-free — then a
+    map-side-combinable count + min per family. No windows, no
+    self-joins; at 10^10 URLs both exchanges carry the URL count
+    once."""
+    fam = (
+        urls.select(
+            F.col(host_col).alias("host"),
+            url_template_full(url_col).alias("template"),
+            F.col(url_col).alias("url"),
+        )
+        .distinct()
+        .groupBy("host", "template")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.min("url").alias("example_url"),
+        )
+    )
+    return fam.withColumn(
+        "parametric", F.col("n_urls") >= F.lit(threshold)
+    )

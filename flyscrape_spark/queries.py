@@ -4128,3 +4128,256 @@ SELECT token, CAST(df AS BIGINT) AS df, doc_id, CAST(tf AS BIGINT) AS tf,
        CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {max_postings}
 """
+
+
+# UT1-style blocklist: (domain, category) literals spanning the
+# _site_hosts suffix population. "b.site3.org.uk" is MORE specific
+# than "site3.org.uk" — a.b.site3.* must take the deeper category;
+# "ite4.zz" must NOT match cdn.site4.zz (label alignment).
+BLOCKLIST_ENTRIES = (
+    ("site0.co.uk", "adult"),
+    ("site1.com", "ads"),
+    ("site2.github.io", "malware"),
+    ("b.site3.org.uk", "gambling"),
+    ("site3.org.uk", "phishing"),
+    ("ite4.zz", "adult"),
+    ("site5.com", "ads"),
+)
+
+
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain blocklist gate (operators/blocklist.py):
+    label-aligned suffix match against a category blocklist,
+    most-specific listed domain decides the category."""
+    from flyscrape_spark.operators.blocklist import domain_blocklist_filter
+
+    hosts = _site_hosts(spark, sf_dir)
+    bl = spark.createDataFrame(
+        list(BLOCKLIST_ENTRIES), "domain string, category string"
+    )
+    return domain_blocklist_filter(hosts, bl, n_blocked=len(BLOCKLIST_ENTRIES))
+
+
+def sql_domain_blocklist() -> str:
+    values = ", ".join(
+        f"('{d}', '{c}')" for d, c in BLOCKLIST_ENTRIES
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'www.site' || (doc_id % 7) || '.co.uk'
+           WHEN 1 THEN 'blog.site' || (doc_id % 7) || '.com'
+           WHEN 2 THEN 'site' || (doc_id % 7) || '.github.io'
+           WHEN 3 THEN 'a.b.site' || (doc_id % 7) || '.org.uk'
+           ELSE 'cdn.site' || (doc_id % 7) || '.zz'
+         END AS host
+  FROM documents
+),
+bl(domain, category) AS (VALUES {values}),
+sfx AS (
+  SELECT doc_id, s.pos, s.suffix FROM (
+    SELECT doc_id,
+      unnest(list_transform(
+        range(0, greatest(len(string_split(host, '.')) - 2, 0) + 1),
+        i -> {{'pos': i,
+               'suffix': array_to_string(string_split(host, '.')[i+1:], '.')}}
+      )) AS s
+    FROM h
+  )
+),
+best AS (
+  SELECT doc_id,
+         min_by(sfx.suffix, sfx.pos) AS matched_domain,
+         min_by(bl.category, sfx.pos) AS category
+  FROM sfx JOIN bl ON bl.domain = sfx.suffix
+  GROUP BY doc_id
+)
+SELECT h.doc_id, h.host,
+       best.matched_domain IS NOT NULL AS blocked,
+       best.matched_domain, best.category
+FROM h LEFT JOIN best USING (doc_id)
+"""
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity buckets (operators/lm.py
+    ccnet_buckets): per-language LM-score terciles via deterministic
+    ntile(3); unscored docs land in tail."""
+    from flyscrape_spark.operators.lm import ccnet_buckets
+
+    return ccnet_buckets(load(spark, sf_dir, "documents"))
+
+
+def sql_ccnet_buckets() -> str:
+    return f"""
+WITH words AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+bg0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> {{'w1': w[i], 'w2': w[i+1]}})) AS p
+  FROM words WHERE len(w) >= 2
+),
+bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg0),
+bgc AS (SELECT w1, w2, count(*) AS c_bigram FROM bg GROUP BY 1, 2),
+ugc AS (SELECT w1, count(*) AS c_unigram FROM bg GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT x) AS DOUBLE) AS vocab
+      FROM (SELECT w1 AS x FROM bg UNION ALL SELECT w2 FROM bg)),
+sc AS (
+  SELECT bg.doc_id,
+         ln(CAST(coalesce(c_bigram, 0) + 1 AS DOUBLE)
+            / (CAST(coalesce(c_unigram, 0) AS DOUBLE) + vocab)) AS lp
+  FROM bg LEFT JOIN bgc USING (w1, w2) LEFT JOIN ugc USING (w1) CROSS JOIN v
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logprob
+  FROM sc GROUP BY 1
+),
+scored AS (
+  SELECT d.doc_id, d.lang,
+         CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         p.avg_logprob
+  FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+),
+tiled AS (
+  SELECT doc_id, lang, n_bigrams, avg_logprob,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY avg_logprob DESC, doc_id ASC) AS tile
+  FROM scored WHERE n_bigrams > 0
+)
+SELECT doc_id, lang, n_bigrams, avg_logprob,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket
+FROM tiled
+UNION ALL
+SELECT doc_id, lang, n_bigrams, avg_logprob, 'tail' AS bucket
+FROM scored WHERE n_bigrams = 0
+"""
+
+
+FAMILY_MIN_URLS = 5
+
+
+def _family_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic parametric-URL population: doc i's URL rotates
+    through an item-id path, a hex-session query, a static page and
+    a two-parameter path by i%4 — so per host, three templates
+    collapse many URLs and one is a single static URL."""
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    istr = i.cast("string")
+    host = F.concat(F.lit("h"), (i % GRAPH_HOSTS).cast("string"),
+                    F.lit(".example"))
+    path = (
+        F.when(i % 4 == 0, F.concat(F.lit("/article/"), istr))
+        .when(i % 4 == 1, F.concat(F.lit("/item?id="), istr,
+                                   F.lit("&session=abcdef"), istr,
+                                   F.lit("deadbeef")))
+        .when(i % 4 == 2, F.lit("/static/about"))
+        .otherwise(F.concat(F.lit("/p/"), istr, F.lit("/v/"),
+                            (i * 7).cast("string")))
+    )
+    return docs.select(
+        "doc_id", host.alias("host"),
+        F.concat(F.lit("http://"), host, path).alias("url"),
+    )
+
+
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parametric URL-family mining (operators/traps.py
+    template_families): hex-aware template collapse, per-(host,
+    template) distinct-URL counts, deterministic example, parametric
+    flag — the pattern-level complement to the per-host trap ratio."""
+    from flyscrape_spark.operators.traps import template_families
+
+    return template_families(
+        _family_urls(spark, sf_dir), threshold=FAMILY_MIN_URLS
+    )
+
+
+def sql_url_templates(threshold: int = FAMILY_MIN_URLS) -> str:
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+         'h' || (doc_id % {GRAPH_HOSTS}) || '.example' AS host,
+         'http://h' || (doc_id % {GRAPH_HOSTS}) || '.example' ||
+         CASE doc_id % 4
+           WHEN 0 THEN '/article/' || doc_id
+           WHEN 1 THEN '/item?id=' || doc_id || '&session=abcdef'
+                       || doc_id || 'deadbeef'
+           WHEN 2 THEN '/static/about'
+           ELSE '/p/' || doc_id || '/v/' || (doc_id * 7)
+         END AS url
+  FROM documents
+),
+fam AS (
+  SELECT host,
+         regexp_replace(
+           regexp_replace(lower(url), '[0-9a-f]{{12,}}', 'H', 'g'),
+           '[0-9]+', 'N', 'g') AS template,
+         url
+  FROM u GROUP BY ALL
+),
+agg AS (
+  SELECT host, template, count(*) AS n_urls, min(url) AS example_url
+  FROM fam GROUP BY 1, 2
+)
+SELECT host, template, CAST(n_urls AS BIGINT) AS n_urls, example_url,
+       n_urls >= {threshold} AS parametric
+FROM agg
+"""
+
+
+DOMAIN_CAP_K = 10
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style per-domain document cap (operators/curate.py
+    domain_cap): at most K docs per registrable domain, preferring
+    longer documents, doc_id tie-break; compiles to
+    WindowGroupLimit (k-row heap, never a full per-domain sort)."""
+    from flyscrape_spark.functions.urls import registrable_domain
+    from flyscrape_spark.operators.curate import domain_cap
+    from flyscrape_spark.operators.text import token_count
+
+    docs = load(spark, sf_dir, "documents")
+    hosts = _site_hosts(spark, sf_dir)
+    with_dom = (
+        docs.join(hosts.select("doc_id", "host"), "doc_id")
+        .select(
+            "doc_id",
+            registrable_domain("host").alias("registrable"),
+            token_count().alias("n_tokens"),
+        )
+    )
+    return domain_cap(
+        with_dom, domain_col="registrable", cap=DOMAIN_CAP_K
+    ).select("doc_id", "registrable", "n_tokens", "rank")
+
+
+def sql_domain_cap(cap: int = DOMAIN_CAP_K) -> str:
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'site' || (doc_id % 7) || '.co.uk'
+           WHEN 1 THEN 'site' || (doc_id % 7) || '.com'
+           WHEN 2 THEN 'site' || (doc_id % 7) || '.github.io'
+           WHEN 3 THEN 'site' || (doc_id % 7) || '.org.uk'
+           ELSE NULL
+         END AS registrable
+  FROM documents
+),
+t AS (
+  SELECT d.doc_id, h.registrable, {_N_TOKENS_SQL} AS n_tokens
+  FROM documents d JOIN h ON h.doc_id = d.doc_id
+),
+r AS (
+  SELECT doc_id, registrable, n_tokens,
+         CAST(row_number() OVER (
+           PARTITION BY registrable
+           ORDER BY n_tokens DESC, doc_id ASC) AS INT) AS rank
+  FROM t
+)
+SELECT doc_id, registrable, n_tokens, rank FROM r WHERE rank <= {cap}
+"""

@@ -516,6 +516,36 @@ CHECKS = {
         "arrow_cumsum": r"MapInPandas",
         "max_exchanges": 0,
     },
+    "domain_blocklist": {
+        # suffix chain is a bounded per-row explode; the list side is
+        # BROADCAST (sized), so the URL side never shuffles for the
+        # match — the only exchange is the most-specific groupBy
+        "broadcast_list": r"BroadcastHashJoin",
+        "partial_agg": r"partial_min_by",
+        "no_cartesian": "!CartesianProduct",
+        "max_exchanges": 2,
+    },
+    "ccnet_buckets": {
+        # exact-tercile path: the ntile window partitions by lang
+        # (documented skew-bound; thresholds-broadcast is the 100 TB
+        # path, audited via the lm broadcast-model spec)
+        "no_cartesian_grams": "!CartesianProduct",
+        "partial_agg": r"partial_",
+    },
+    "url_templates": {
+        # distinct on near-unique (host, template, url) then a
+        # combinable count+min — no windows, no self-joins
+        "partial_agg": r"partial_",
+        "no_window": r"!Window \[",
+        "no_join": r"!Join",
+        "max_exchanges": 2,
+    },
+    "domain_cap": {
+        # rank<=k compiles to a per-key k-row heap on BOTH sides of
+        # the single domain-key exchange
+        "group_limit": r"WindowGroupLimit",
+        "max_exchanges": 2,
+    },
 }
 
 
