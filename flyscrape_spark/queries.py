@@ -4381,3 +4381,124 @@ r AS (
 )
 SELECT doc_id, registrable, n_tokens, rank FROM r WHERE rank <= {cap}
 """
+
+
+def _canonical_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages with rel=canonical variety: every 3 consecutive docs
+    share the canonical of the first. i%3==0 declares none (self
+    fallback); i%3==1 declares it absolute (alternating rel-first /
+    href-first attribute order by i%6); i%3==2 declares it
+    root-relative (resolves against the PAGE's own host)."""
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    base = i - (i % 3)
+    abs_href = _doc_url(base)
+    rel_href = F.concat(F.lit("/d/"), base.cast("string"))
+    link = (
+        F.when(i % 3 == 0, F.lit(""))
+        .when((i % 6) == 1,
+              F.concat(F.lit('<link rel="canonical" href="'), abs_href,
+                       F.lit('"/>')))
+        .when(i % 3 == 1,
+              F.concat(F.lit('<link href="'), abs_href,
+                       F.lit('" rel="canonical"/>')))
+        .otherwise(
+            F.concat(F.lit('<link rel="canonical" href="'), rel_href,
+                     F.lit('"/>')))
+    )
+    html = F.concat(
+        F.lit("<html><head>"), link,
+        F.lit("</head><body><p>d</p></body></html>"),
+    )
+    return docs.select(_doc_url(i).alias("url"), html.alias("html"))
+
+
+def q_rel_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical consolidation (operators/canonical.py): declared
+    canonicals extracted (both attribute orders), root-relative
+    resolved against the page host, groups rolled up with the
+    canonical-fetched frontier-feedback flag."""
+    from flyscrape_spark.operators.canonical import canonical_groups
+
+    return canonical_groups(_canonical_pages(spark, sf_dir))
+
+
+def sql_rel_canonical() -> str:
+    url = _doc_url_sql("doc_id")
+    base = _doc_url_sql("(doc_id - (doc_id % 3))")
+    return f"""
+WITH p AS (
+  SELECT doc_id, {url} AS url,
+         CASE
+           WHEN doc_id % 3 = 0 THEN NULL
+           WHEN doc_id % 3 = 1 THEN {base}
+           ELSE 'http://h' || (doc_id % {GRAPH_HOSTS}) || '.example'
+                || '/d/' || (doc_id - (doc_id % 3))
+         END AS canon
+  FROM documents
+),
+m AS (SELECT url, coalesce(canon, url) AS canonical_url FROM p)
+SELECT canonical_url, count(*) AS n_pages, min(url) AS example_url,
+       CAST(max(CASE WHEN url = canonical_url THEN 1 ELSE 0 END) AS BOOLEAN)
+         AS canonical_fetched
+FROM m GROUP BY 1
+"""
+
+
+def _mirror_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, content_hash): every doc on its h-host, plus an
+    'm'-prefixed mirror host carrying each EVEN doc — deterministic
+    perfect-overlap mirrors on top of the corpus's natural cross-host
+    duplicate texts."""
+    from flyscrape_spark.operators.dedup import normalized_text
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    h = portable_hash64(normalized_text("text"))
+    base = docs.select(
+        F.concat(F.lit("h"), (i % GRAPH_HOSTS).cast("string")).alias("host"),
+        h.alias("content_hash"),
+    )
+    mirror = docs.filter(i % 2 == 0).select(
+        F.concat(F.lit("m"), (i % GRAPH_HOSTS).cast("string")).alias("host"),
+        h.alias("content_hash"),
+    )
+    return base.unionByName(mirror)
+
+
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-host mirror detection (operators/mirrors.py): distinct
+    content-hash postings, boilerplate-frequency cap, within-bucket
+    pairing, containment overlap vs the smaller host."""
+    from flyscrape_spark.operators.mirrors import mirror_hosts
+
+    return mirror_hosts(_mirror_content(spark, sf_dir))
+
+
+def sql_mirror_hosts(max_hosts: int = 20, threshold: float = 0.5) -> str:
+    h = portable_hash64_sql(_NORM_SQL)
+    return f"""
+WITH c AS (
+  SELECT 'h' || (doc_id % {GRAPH_HOSTS}) AS host, {h} AS ch FROM documents
+  UNION ALL
+  SELECT 'm' || (doc_id % {GRAPH_HOSTS}) AS host, {h} AS ch
+  FROM documents WHERE doc_id % 2 = 0
+),
+hh AS (SELECT DISTINCT ch, host FROM c),
+sizes AS (SELECT host, count(*) AS n FROM hh GROUP BY 1),
+eligible AS (SELECT ch FROM hh GROUP BY ch HAVING count(*) <= {max_hosts}),
+f AS (SELECT hh.ch, hh.host FROM hh JOIN eligible USING (ch)),
+pairs AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+  FROM f a JOIN f b ON a.ch = b.ch AND a.host < b.host
+  GROUP BY 1, 2
+)
+SELECT host_a, host_b, CAST(shared AS BIGINT) AS shared,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       round(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 6) AS overlap,
+       round(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 6) >= {threshold}
+         AS is_mirror
+FROM pairs
+JOIN sizes sa ON sa.host = host_a
+JOIN sizes sb ON sb.host = host_b
+"""

@@ -546,6 +546,19 @@ CHECKS = {
         "group_limit": r"WindowGroupLimit",
         "max_exchanges": 2,
     },
+    "rel_canonical": {
+        # extraction is JVM regex fused into the scan; ONE groupBy
+        "no_python": "!EvalPython",
+        "codegen": r"\*\(\d+\)",
+        "partial_agg": r"partial_",
+        "max_exchanges": 1,
+    },
+    "mirror_hosts": {
+        # within-hash-bucket pairing only; boilerplate cap upstream
+        "no_cartesian": "!CartesianProduct",
+        "partial_agg": r"partial_",
+        "max_exchanges": 6,
+    },
 }
 
 
