@@ -4502,3 +4502,73 @@ FROM pairs
 JOIN sizes sa ON sa.host = host_a
 JOIN sizes sb ON sb.host = host_b
 """
+
+
+def q_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots meta directives (operators/metarobots.py): noindex /
+    nofollow per page, both attribute orders, case-insensitive
+    tokens, ``none`` expanding to both."""
+    from flyscrape_spark.operators.metarobots import meta_robots
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    meta = (
+        F.when(i % 5 == 0,
+               F.lit('<meta name="robots" content="noindex, nofollow"/>'))
+        .when(i % 5 == 1, F.lit('<meta content="noindex" name="robots"/>'))
+        .when(i % 5 == 2, F.lit('<meta name="robots" content="NOFOLLOW"/>'))
+        .when(i % 5 == 3, F.lit('<meta name="robots" content="none"/>'))
+        .otherwise(F.lit(""))
+    )
+    pages = docs.select(
+        _doc_url(i).alias("url"),
+        F.concat(F.lit("<html><head>"), meta,
+                 F.lit("</head><body/></html>")).alias("html"),
+    )
+    return meta_robots(pages)
+
+
+def sql_meta_robots() -> str:
+    # ground truth from the synthesis rule: i%5 -> directive set
+    return f"""
+SELECT {_doc_url_sql('doc_id')} AS url,
+       (doc_id % 5) IN (0, 1, 3) AS noindex,
+       (doc_id % 5) IN (0, 2, 3) AS nofollow
+FROM documents
+"""
+
+
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed refresh scheduling (Cho & Garcia-Molina): importance
+    (fixed-iteration PageRank) x estimated change rate (Poisson
+    lambda_hat) -> expected importance-weighted changes per day, the
+    recrawl queue's ordering key. Pure composition of two verified
+    operators joined on the URL key."""
+    from flyscrape_spark.operators.graph import pagerank
+    from flyscrape_spark.operators.recrawl import change_rate
+
+    docs, edges = _graph_edges(spark, sf_dir)
+    ranks = pagerank(
+        docs.select(F.col("doc_id").alias("node")), edges,
+        iterations=PAGERANK_ITERS, damping=PAGERANK_DAMPING,
+    ).select(_doc_url(F.col("node")).alias("url"),
+             F.round("pr", 8).alias("pr"))
+    rates = change_rate(_fetch_history(spark, sf_dir), horizon=86400.0)
+    return ranks.join(rates.select("url", "lambda_hat"), "url").select(
+        "url", "pr", "lambda_hat",
+        F.round(F.col("pr") * F.col("lambda_hat") * 86400.0, 8)
+        .alias("priority"),
+    )
+
+
+def sql_recrawl_priority() -> str:
+    return f"""
+SELECT cr.url, pr.pr, cr.lambda_hat,
+       round(pr.pr * cr.lambda_hat * 86400.0, 8) AS priority
+FROM ({sql_change_rate()}) cr
+JOIN (
+  SELECT 'http://h' || (node % {GRAPH_HOSTS}) || '.example/d/' || node
+           AS url, pr
+  FROM ({sql_pagerank()})
+) pr USING (url)
+"""

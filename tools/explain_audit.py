@@ -559,6 +559,18 @@ CHECKS = {
         "partial_agg": r"partial_",
         "max_exchanges": 6,
     },
+    "meta_robots": {
+        # pure JVM regex + array ops: fuses into the page projection
+        "no_python": "!EvalPython",
+        "no_shuffle": "!Exchange hashpartitioning",
+        "codegen": r"\*\(\d+\)",
+    },
+    "recrawl_priority": {
+        # composition: pagerank iterations + rate windows + ONE
+        # equi-join on the url key; no cartesian anywhere
+        "no_cartesian": "!CartesianProduct",
+        "partial_agg": r"partial_",
+    },
 }
 
 
