@@ -75,6 +75,13 @@ class CrawlConfig:
     # fetch time (they still enter the seen set, like any
     # validator-dropped URL, scrape.go:276-285 semantics).
     respect_robots: bool = False
+    # page-level robots meta directives (operators/metarobots.py;
+    # engine-only — the reference follows links unconditionally,
+    # scrape.go:210-268). When on: a page declaring nofollow
+    # contributes no outlinks to the next generation, and a page
+    # declaring noindex is fetched and link-followed but excluded
+    # from results. Seen/ordering semantics are untouched.
+    respect_meta_robots: bool = False
     # best-first admission: cap on URLs FETCHED per generation, chosen
     # by priority score (CrawlEngine's ``priority_scores`` table, e.g.
     # PageRank/in-degree from the previous crawl's link graph —

@@ -644,8 +644,19 @@ class CrawlEngine:
                     F.coalesce(F.col("follow_urls"), empty),
                     F.coalesce(link_arr, empty),
                 )
+            link_src = fetched.filter(F.col("body").isNotNull())
+            if config.respect_meta_robots:
+                # nofollow pages contribute no outlinks (page-level
+                # REP; operators/metarobots.py — pure JVM exprs, so
+                # the gate fuses into the fan-out projection)
+                from flyscrape_spark.operators.metarobots import (
+                    meta_robots_cols,
+                )
+
+                _, nofollow = meta_robots_cols("body")
+                link_src = link_src.filter(~nofollow)
             links = (
-                fetched.filter(F.col("body").isNotNull())
+                link_src
                 .select(
                     F.col("discovery_order").alias("parent_order"),
                     F.posexplode(link_arr).alias("pos", "url"),
@@ -676,6 +687,17 @@ class CrawlEngine:
             if "parsed" in frame.columns:
                 frame = frame.withColumn("spans", F.col("parsed.spans")).drop("parsed")
             frame = frame.drop("follow_urls")  # frontier plumbing, not a result
+            if config.respect_meta_robots:
+                # noindex pages are crawled (seen/order intact, links
+                # already fanned out above) but kept out of the corpus
+                from flyscrape_spark.operators.metarobots import (
+                    meta_robots_cols,
+                )
+
+                noindex, _ = meta_robots_cols("body")
+                frame = frame.filter(
+                    F.col("body").isNull() | ~noindex
+                )
             frame = frame if self.keep_body else frame.drop("body")
             results = frame if results is None else results.unionByName(frame)
         if results is None:
