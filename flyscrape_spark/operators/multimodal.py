@@ -200,3 +200,83 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 rows, columns=["media_ref", "frame_idx", "ts_ms", "frame"])
 
     return media.mapInPandas(process, schema=FRAME_SCHEMA)
+
+
+def media_frontier(
+    results: DataFrame,
+    fetched: DataFrame | None = None,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """The media fetch list: every media ref demanded by the crawl's
+    interleaved spans, minus refs already fetched — the media analog
+    of the URL-seen anti-join (the reference's analog is the download
+    skip-if-exists, js_lib.go:174-176, done per-file at fetch time;
+    here it is one set operation planning the whole media generation).
+
+    Output: (media_ref, n_refs, first_doc) — demand count (fetch-
+    priority signal) and the deterministic first referencing doc.
+
+    Scale shape: explode -> ONE map-side-combinable groupBy on the
+    ref key; the fetched side anti-joins on that same key (bucketed
+    media stores make it exchange-free, the seen_store pattern).
+    """
+    demand = (
+        results.select(F.col(id_col).alias("doc"),
+                       F.explode(spans_col).alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .groupBy(F.col("s.media_ref").alias("media_ref"))
+        .agg(F.count("*").alias("n_refs"), F.min("doc").alias("first_doc"))
+    )
+    if fetched is not None:
+        demand = demand.join(
+            fetched.select("media_ref"), "media_ref", "left_anti"
+        )
+    return demand
+
+
+#: sentinel wrapping a media ref inside a rendered training sample
+MEDIA_TOKEN_PREFIX = "<|media:"
+MEDIA_TOKEN_SUFFIX = "|>"
+
+
+def interleave_render(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    sep: str = " ",
+) -> DataFrame:
+    """Serialize each document's interleaved spans into ONE training
+    sample string in span order: text and link spans contribute their
+    text, media spans contribute the ``<|media:REF|>`` sentinel the
+    multimodal tokenizer later swaps for encoder embeddings.
+
+    Output: (doc_id, n_spans, n_media, sample).
+
+    Scale shape: pure higher-order array expressions per row —
+    transform to (offset, rendered) structs, array_sort (offsets are
+    unique per doc, so the struct sort is deterministic), project +
+    join. ZERO shuffles; fuses into whatever scan feeds it.
+    """
+    spans = F.col(spans_col)
+    rendered = F.transform(
+        spans,
+        lambda s: F.struct(
+            s["offset"].alias("o"),
+            F.when(
+                s["kind"] == "media",
+                F.concat(F.lit(MEDIA_TOKEN_PREFIX), s["media_ref"],
+                         F.lit(MEDIA_TOKEN_SUFFIX)),
+            ).otherwise(s["text"]).alias("r"),
+        ),
+    )
+    sample = F.array_join(
+        F.transform(F.array_sort(rendered), lambda x: x["r"]), sep
+    )
+    n_media = F.size(F.filter(spans, lambda s: s["kind"] == "media"))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(spans).alias("n_spans"),
+        n_media.alias("n_media"),
+        sample.alias("sample"),
+    )

@@ -4572,3 +4572,105 @@ JOIN (
   FROM ({sql_pagerank()})
 ) pr USING (url)
 """
+
+
+def q_media_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media fetch planning (operators/multimodal.py media_frontier):
+    demand-counted media refs from the REAL parse UDF's spans,
+    anti-joined against the prior crawl's fetched set (pages with
+    doc_id%8==0 modeled as already fetched)."""
+    from flyscrape_spark.operators.multimodal import media_frontier
+    from flyscrape_spark.parse.udfs import parse_spans_udf
+
+    pages = synthetic_pages(spark, sf_dir)
+    parsed = pages.select(
+        F.col("url").alias("doc_id"), parse_spans_udf("html").alias("spans")
+    )
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    n_media = max(n // 4, 1)
+    i = F.col("doc_id")
+    fetched = (
+        docs.filter(i % 8 == 0)
+        .select(
+            F.concat(F.lit("/media/m"), ((3 * i) % n_media).cast("string"),
+                     F.lit(".png")).alias("media_ref")
+        )
+        .distinct()
+    )
+    return media_frontier(parsed, fetched=fetched)
+
+
+def sql_media_frontier() -> str:
+    return f"""
+WITH n AS (SELECT greatest(count(*) // 4, 1) AS n_media FROM documents),
+refs AS (
+  SELECT {_doc_url_sql('doc_id')} AS doc,
+         '/media/m' || ((3 * doc_id) % n.n_media) || '.png' AS media_ref
+  FROM documents, n WHERE doc_id % 4 = 0
+),
+demand AS (
+  SELECT media_ref, CAST(count(*) AS BIGINT) AS n_refs,
+         min(doc) AS first_doc
+  FROM refs GROUP BY 1
+),
+fetched AS (
+  SELECT DISTINCT '/media/m' || ((3 * doc_id) % n.n_media) || '.png'
+           AS media_ref
+  FROM documents, n WHERE doc_id % 8 = 0
+)
+SELECT d.media_ref, d.n_refs, d.first_doc
+FROM demand d LEFT JOIN fetched f ON f.media_ref = d.media_ref
+WHERE f.media_ref IS NULL
+"""
+
+
+def q_interleave_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal sample serialization (operators/multimodal.py
+    interleave_render): spans from the REAL parse UDF rendered in
+    offset order — text/link spans verbatim, media spans as
+    <|media:REF|> sentinels."""
+    from flyscrape_spark.operators.multimodal import interleave_render
+    from flyscrape_spark.parse.udfs import parse_spans_udf
+
+    pages = synthetic_pages(spark, sf_dir)
+    parsed = pages.select(
+        F.col("url").alias("doc_id"), parse_spans_udf("html").alias("spans")
+    )
+    return interleave_render(parsed)
+
+
+def sql_interleave_render() -> str:
+    u1 = _doc_url_sql("(2 * b.doc_id + 1) % n.n")
+    u2 = _doc_url_sql("(3 * b.doc_id + 2) % n.n")
+    return f"""
+WITH n AS (SELECT count(*) AS n, greatest(count(*) // 4, 1) AS n_media FROM documents),
+b AS (
+  SELECT doc_id, {_doc_url_sql('b0.doc_id')} AS url,
+         regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS chunk,
+         doc_id % 4 = 0 AS has_media
+  FROM documents b0
+),
+spans AS (
+  SELECT url AS doc_id, chunk AS r, 0 AS off, FALSE AS is_media
+  FROM b WHERE chunk != ''
+  UNION ALL
+  SELECT url, 'a', CASE WHEN chunk != '' THEN 1 ELSE 0 END, FALSE
+  FROM b, n
+  UNION ALL
+  SELECT url,
+         '<|media:/media/m' || ((3 * b.doc_id) % n.n_media) || '.png|>',
+         (CASE WHEN chunk != '' THEN 1 ELSE 0 END) + 1, TRUE
+  FROM b, n WHERE has_media
+  UNION ALL
+  SELECT url, 'b',
+         (CASE WHEN chunk != '' THEN 1 ELSE 0 END) + 1
+         + (CASE WHEN has_media THEN 1 ELSE 0 END), FALSE
+  FROM b, n
+)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_spans,
+       CAST(sum(CASE WHEN is_media THEN 1 ELSE 0 END) AS INT) AS n_media,
+       string_agg(r, ' ' ORDER BY off) AS sample
+FROM spans GROUP BY doc_id
+"""

@@ -571,6 +571,21 @@ CHECKS = {
         "no_cartesian": "!CartesianProduct",
         "partial_agg": r"partial_",
     },
+    "media_frontier": {
+        # explode -> ONE combinable groupBy on the ref key; fetched
+        # side anti-joins on the same key
+        "partial_agg": r"partial_",
+        "no_cartesian": "!CartesianProduct",
+        "arrow_udf": r"ArrowEvalPython|BatchEvalPython",
+        "max_exchanges": 3,
+    },
+    "interleave_render": {
+        # pure higher-order array exprs after the parse UDF: zero
+        # shuffles, fuses into the page scan
+        "no_shuffle": "!Exchange hashpartitioning",
+        "arrow_udf": r"ArrowEvalPython|BatchEvalPython",
+        "max_exchanges": 0,
+    },
 }
 
 
