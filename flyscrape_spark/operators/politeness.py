@@ -219,3 +219,53 @@ def host_health(
         ((F.col("n_fetches") >= min_fetches)
          & (ratio >= cooldown_ratio)).alias("cooldown"),
     )
+
+
+#: a server at or above this many co-hosted names is shared hosting
+SHARED_HOSTING_THRESHOLD = 10
+
+
+def server_politeness(
+    hosts: DataFrame,
+    server_cap: float = 60.0,
+    host_col: str = "host",
+    ip_col: str = "ip",
+    rate_col: str = "requested_rate",
+) -> DataFrame:
+    """Server-level politeness rollup: hostnames sharing one IP share
+    ONE origin server, so per-HOST rate budgets that individually look
+    polite can jointly hammer a box (virtual hosting / CDN edge). The
+    reference rate-limits globally (modules/ratelimit/ratelimit.go:
+    38-40) and this engine per host (host_budget above); this operator
+    is the third level — per server — that real crawlers add once DNS
+    resolution is in the loop.
+
+    Input: (host, ip, requested_rate req/min) — the resolver output
+    joined to the per-host budget table. Output one row per ip:
+      n_hosts, total_requested, throttled (total > cap),
+      effective_host_rate = min(cap, total) / n_hosts — the fair
+      per-host share each co-hosted name is clamped to,
+      shared_hosting flag at ``SHARED_HOSTING_THRESHOLD`` names.
+
+    Scale shape: ONE map-side-combinable groupBy on the ip key.
+    Skew note: a CDN ip fronting 10^6 names is one heavy group but
+    the agg is partial-combinable, so the hot key costs one reducer
+    a few counters, never a buffer.
+    """
+    return (
+        hosts.groupBy(F.col(ip_col).alias("ip"))
+        .agg(
+            F.countDistinct(host_col).alias("n_hosts"),
+            F.round(F.sum(rate_col), 6).alias("total_requested"),
+        )
+        .select(
+            "ip", "n_hosts", "total_requested",
+            (F.col("total_requested") > F.lit(server_cap)).alias("throttled"),
+            F.round(
+                F.least(F.lit(server_cap), F.col("total_requested"))
+                / F.col("n_hosts"), 6
+            ).alias("effective_host_rate"),
+            (F.col("n_hosts") >= F.lit(SHARED_HOSTING_THRESHOLD))
+            .alias("shared_hosting"),
+        )
+    )

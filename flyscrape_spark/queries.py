@@ -4674,3 +4674,101 @@ SELECT doc_id,
        string_agg(r, ' ' ORDER BY off) AS sample
 FROM spans GROUP BY doc_id
 """
+
+
+SERVER_CAP = 60.0
+
+
+def _resolved_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake DNS over the multi-suffix host population:
+    ip = 10.0.(hash(host)%7).1 (collisions by construction — virtual
+    hosting), per-host requested rate = 10 + hash(host)%20 req/min."""
+    hosts = _site_hosts(spark, sf_dir).select("host").distinct()
+    h = portable_hash64(F.col("host"))
+    return hosts.select(
+        "host",
+        F.concat(F.lit("10.0."), F.pmod(h, F.lit(7)).cast("string"),
+                 F.lit(".1")).alias("ip"),
+        (F.lit(10) + F.pmod(h, F.lit(20))).cast("double")
+        .alias("requested_rate"),
+    )
+
+
+def q_server_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Server-level politeness rollup (operators/politeness.py
+    server_politeness): co-hosted names share one origin's budget —
+    per-ip totals, throttle flag at the 60 req/min cap, fair per-host
+    share."""
+    from flyscrape_spark.operators.politeness import server_politeness
+
+    return server_politeness(
+        _resolved_hosts(spark, sf_dir), server_cap=SERVER_CAP
+    )
+
+
+def sql_server_politeness(cap: float = SERVER_CAP) -> str:
+    h = portable_hash64_sql("host")
+    return f"""
+WITH hosts AS (
+  SELECT DISTINCT
+         CASE doc_id % 5
+           WHEN 0 THEN 'www.site' || (doc_id % 7) || '.co.uk'
+           WHEN 1 THEN 'blog.site' || (doc_id % 7) || '.com'
+           WHEN 2 THEN 'site' || (doc_id % 7) || '.github.io'
+           WHEN 3 THEN 'a.b.site' || (doc_id % 7) || '.org.uk'
+           ELSE 'cdn.site' || (doc_id % 7) || '.zz'
+         END AS host
+  FROM documents
+),
+r AS (
+  SELECT host, '10.0.' || (({h}) % 7 + CASE WHEN ({h}) % 7 < 0 THEN 7 ELSE 0 END) || '.1' AS ip,
+         CAST(10 + (({h}) % 20 + CASE WHEN ({h}) % 20 < 0 THEN 20 ELSE 0 END) AS DOUBLE)
+           AS requested_rate
+  FROM hosts
+),
+g AS (
+  SELECT ip, count(DISTINCT host) AS n_hosts,
+         round(sum(requested_rate), 6) AS total_requested
+  FROM r GROUP BY 1
+)
+SELECT ip, n_hosts, total_requested,
+       total_requested > {cap} AS throttled,
+       round(least({cap}, total_requested) / n_hosts, 6)
+         AS effective_host_rate,
+       n_hosts >= 10 AS shared_hosting
+FROM g
+"""
+
+
+def q_frontier_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-depth frontier growth over the flagship BFS: URLs first
+    discovered at each depth and the generation-over-generation
+    growth factor — the branching observable that decides frontier
+    capacity planning. The window runs over ≤ depth+1 rows (one per
+    generation), not over URLs."""
+    from pyspark.sql import Window
+
+    seen = q_crawl_bfs(spark, sf_dir)
+    per_depth = seen.groupBy("depth").agg(F.count("*").alias("n_urls"))
+    w = Window.orderBy("depth")
+    return per_depth.select(
+        "depth", "n_urls",
+        F.round(
+            F.col("n_urls").cast("double")
+            / F.lag("n_urls").over(w).cast("double"), 6
+        ).alias("growth"),
+    )
+
+
+def sql_frontier_growth() -> str:
+    return f"""
+WITH bfs AS ({sql_crawl_bfs()}),
+per_depth AS (
+  SELECT depth, CAST(count(*) AS BIGINT) AS n_urls FROM bfs GROUP BY 1
+)
+SELECT depth, n_urls,
+       round(CAST(n_urls AS DOUBLE)
+             / CAST(lag(n_urls) OVER (ORDER BY depth) AS DOUBLE), 6)
+         AS growth
+FROM per_depth
+"""

@@ -586,6 +586,16 @@ CHECKS = {
         "arrow_udf": r"ArrowEvalPython|BatchEvalPython",
         "max_exchanges": 0,
     },
+    "server_politeness": {
+        # ONE combinable groupBy on the ip key
+        "partial_agg": r"partial_",
+        "no_join": r"!Join",
+        "no_window": r"!Window \[",
+        "max_exchanges": 2,
+    },
+    # frontier_growth intentionally unaudited here: it re-runs the
+    # flagship engine (crawl_bfs, already audited) and then windows
+    # over <= depth+1 aggregate rows.
 }
 
 
