@@ -320,9 +320,10 @@ def surt_key(url: Column | str) -> Column:
     rest = F.when(rest == "", F.lit("/")).otherwise(rest)
     path = F.substring_index(rest, "?", 1)
     has_q = F.instr(rest, "?") > 0
-    qsorted = F.array_join(
-        F.array_sort(F.split(F.substring_index(rest, "?", -1), "&")), "&"
-    )
+    # Query = everything after the FIRST '?' (a second '?' is legal and
+    # belongs inside the query), matching surt_key_sql's strpos split.
+    query = rest.substr(F.instr(rest, "?") + F.lit(1), F.lit(1 << 20))
+    qsorted = F.array_join(F.array_sort(F.split(query, "&")), "&")
     return F.concat(
         rev,
         F.lit(")"),

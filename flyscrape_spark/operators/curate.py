@@ -290,6 +290,12 @@ def domain_cap(
     the anti-concentration step web-corpus recipes apply so one
     mega-site cannot dominate a shard.
 
+    NULL-domain rows (registrable_domain() yields NULL for unknown
+    TLDs) are EXEMPT from the cap: each forms its own singleton
+    window partition (keyed by ``id_col``), so the corpus-scale slice
+    of unknown-TLD hosts is never collectively squashed to ``cap``
+    documents total. Their rank is always 1.
+
     Scale shape: rank() is a row_number()-<= k predicate, which Spark
     compiles to WindowGroupLimit — a per-key k-row HEAP on both the
     map and reduce side, so a domain with 10^8 docs costs its
@@ -299,7 +305,11 @@ def domain_cap(
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(domain_col).orderBy(
+    key = F.coalesce(
+        F.col(domain_col).cast("string"),
+        F.concat(F.lit("\x00null:"), F.col(id_col).cast("string")),
+    )
+    w = Window.partitionBy(key).orderBy(
         F.col(order_col).desc(), F.col(id_col).asc()
     )
     return (

@@ -291,9 +291,17 @@ def lpa_communities(
                 .groupBy(node_col, "label")
                 .agg(F.count("*").alias("n_votes"))
             )
+            # min_by over (-votes, label): most votes first, then the
+            # SMALLEST label — struct comparison is lexicographic, so
+            # this tie-break works for ANY orderable label type (string
+            # URL/host ids included; negating a string label would
+            # yield NULL and degrade to an arbitrary pick).
             winner = votes.groupBy(node_col).agg(
-                F.max_by(
-                    "label", F.struct(F.col("n_votes"), (-F.col("label")).alias("nl"))
+                F.min_by(
+                    "label",
+                    F.struct(
+                        (-F.col("n_votes")).alias("nv"), F.col("label").alias("lb")
+                    ),
                 ).alias("new_label")
             )
             labels = (

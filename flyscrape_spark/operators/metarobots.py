@@ -30,11 +30,16 @@ _CONTENT_NAME = (
 
 
 def robots_content(html_col: str | Column = "html") -> Column:
-    """The raw robots-meta content string ('' when absent)."""
+    """Comma-joined union of EVERY matching robots-meta tag's content
+    ('' when absent). The robots-meta spec combines directives across
+    multiple tags (most restrictive wins), so a page with
+    ``<meta name=robots content=noindex>`` followed by
+    ``<meta name=robots content=nofollow>`` must yield both tokens —
+    extracting only the first tag would drop the later directives."""
     h = F.col(html_col) if isinstance(html_col, str) else html_col
-    a = F.regexp_extract(h, _NAME_CONTENT, 1)
-    b = F.regexp_extract(h, _CONTENT_NAME, 1)
-    return F.when(a != "", a).otherwise(b)
+    a = F.regexp_extract_all(h, F.lit(_NAME_CONTENT), 1)
+    b = F.regexp_extract_all(h, F.lit(_CONTENT_NAME), 1)
+    return F.array_join(F.concat(a, b), ",")
 
 
 def _directives(html_col: str | Column) -> Column:

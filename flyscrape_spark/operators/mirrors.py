@@ -19,8 +19,10 @@ ngram_jaccard, dedup.py:66-118):
   index, and the hosts it would pair are not mirrors anyway);
 - pair generation: self-join WITHIN a hash bucket only, host_a <
   host_b, then a map-side-combinable count per pair;
-- the overlap denominator joins each side's distinct-content count
-  (a tiny host-cardinality table, broadcast by AQE).
+- the overlap denominator joins each side's CAPPED distinct-content
+  count (a tiny host-cardinality table, broadcast by AQE) — same
+  universe as the numerator, so syndication past the cap cannot
+  deflate a genuine mirror's score.
 
 Overlap = shared / min(|A|, |B|) (containment, not Jaccard: a small
 mirror of a big site should still score 1.0).
@@ -51,7 +53,6 @@ def mirror_hosts(
     hh = content.select(
         F.col(hash_col).alias("h"), F.col(host_col).alias("host")
     ).distinct()
-    sizes = hh.groupBy("host").agg(F.count("*").alias("n"))
     # frequency cap as a count-over-window on the hash partition (no
     # ordering, so no per-partition sort pass): the filtered postings
     # stay h-partitioned and BOTH sides of the pairing self-join reuse
@@ -63,6 +64,12 @@ def mirror_hosts(
         .filter(F.col("n_hosts") <= max_hosts_per_hash)
         .select("h", "host")
     )
+    # sizes from the CAPPED postings so numerator and denominator see
+    # the same hash universe: a genuine mirror pair whose common
+    # content is syndicated past the cap would otherwise score below
+    # threshold (denominator inflated by hashes the numerator never
+    # counts). n_a/n_b therefore mean "eligible distinct hashes".
+    sizes = capped.groupBy("host").agg(F.count("*").alias("n"))
     pairs = (
         capped.alias("a")
         .join(capped.alias("b"),

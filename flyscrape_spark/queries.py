@@ -4373,9 +4373,12 @@ t AS (
   FROM documents d JOIN h ON h.doc_id = d.doc_id
 ),
 r AS (
+  -- NULL-domain rows are cap-exempt: each is its own singleton
+  -- partition (mirrors operators/curate.py domain_cap)
   SELECT doc_id, registrable, n_tokens,
          CAST(row_number() OVER (
-           PARTITION BY registrable
+           PARTITION BY coalesce(registrable,
+                                 chr(0) || 'null:' || CAST(doc_id AS VARCHAR))
            ORDER BY n_tokens DESC, doc_id ASC) AS INT) AS rank
   FROM t
 )
@@ -4485,9 +4488,11 @@ WITH c AS (
   FROM documents WHERE doc_id % 2 = 0
 ),
 hh AS (SELECT DISTINCT ch, host FROM c),
-sizes AS (SELECT host, count(*) AS n FROM hh GROUP BY 1),
 eligible AS (SELECT ch FROM hh GROUP BY ch HAVING count(*) <= {max_hosts}),
 f AS (SELECT hh.ch, hh.host FROM hh JOIN eligible USING (ch)),
+-- sizes from the CAPPED postings (mirrors operators/mirrors.py):
+-- numerator and denominator see the same hash universe
+sizes AS (SELECT host, count(*) AS n FROM f GROUP BY 1),
 pairs AS (
   SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
   FROM f a JOIN f b ON a.ch = b.ch AND a.host < b.host

@@ -19,9 +19,11 @@ the fetch step behind a Transport that turns a frontier DataFrame
   salted host-hash repartitioning + an in-partition token bucket, to
   exercise the politeness path end-to-end (virtual clock by default).
 
-- :class:`HttpTransport` — real-network stub (aiohttp is not in this
-  container); raises with guidance. The politeness/retry machinery is
-  transport-independent and fully exercised by the join transports.
+- :class:`HttpTransport` — real HTTP fetch (stdlib urllib in a thread
+  pool per Arrow batch): reference retry semantics, proxy/UA
+  rotation, per-host pacing, and body decoding per Content-Encoding +
+  charset (:func:`decode_body`) — exercised by localhost pytest
+  servers.
 
 Error semantics copied from scrape.go:176-196: missing page == Go
 transport error ("no such host") -> error set, empty body, no links;
@@ -204,6 +206,94 @@ class ConstantTransport(Transport):
 RETRY_AFTER_CAP = 30.0
 
 
+_CHARSET_RE = None  # compiled lazily on executors
+
+
+def _charset_patterns():
+    global _CHARSET_RE
+    if _CHARSET_RE is None:
+        import re
+
+        _CHARSET_RE = (
+            # Content-Type header parameter: charset=x / charset="x"
+            re.compile(r'charset\s*=\s*"?\s*([A-Za-z0-9._:-]+)', re.I),
+            # HTML5 prescan (first 1024 bytes): <meta charset=...> or
+            # <meta http-equiv=content-type content="...charset=...">
+            re.compile(
+                rb'<meta[^>]{0,512}?charset\s*=\s*["\']?\s*'
+                rb"([A-Za-z0-9._:-]+)",
+                re.I,
+            ),
+        )
+    return _CHARSET_RE
+
+
+def decode_body(raw: bytes, content_type: str | None = None,
+                content_encoding: str | None = None) -> str:
+    """Bytes-to-text the way the reference gets for free from Go's
+    net/http + goquery (scrape.go:178-196): decompress per
+    Content-Encoding, then decode per the declared charset.
+
+    - Content-Encoding: gzip/x-gzip and deflate (both the RFC 1950
+      zlib-wrapped form and the raw RFC 1951 form some servers send),
+      comma-chained encodings applied in reverse order; a server that
+      serves gzip REGARDLESS of Accept-Encoding (a real-web pattern)
+      is caught by magic-byte sniffing even with no header.
+    - Charset: Content-Type ``charset=`` parameter first; fallback is
+      the HTML5 prescan rule — BOM, then a meta-tag sniff over the
+      first 1024 bytes (covers both ``<meta charset=..>`` and the
+      http-equiv form); final fallback UTF-8 with replacement (an
+      unknown/garbled label also lands here). Without this an
+      ISO-8859-1 or Shift-JIS page mojibakes every downstream span,
+      dedup hash, and LM score.
+    """
+    hdr_re, meta_re = _charset_patterns()
+    if content_encoding:
+        encs = [e.strip().lower()
+                for e in content_encoding.split(",") if e.strip()]
+        for enc in reversed(encs):
+            try:
+                if enc in ("gzip", "x-gzip"):
+                    import gzip
+
+                    raw = gzip.decompress(raw)
+                elif enc == "deflate":
+                    import zlib
+
+                    try:
+                        raw = zlib.decompress(raw)
+                    except zlib.error:
+                        raw = zlib.decompress(raw, -zlib.MAX_WBITS)
+                # identity / unknown codings: pass bytes through
+            except Exception:
+                break  # truncated/garbled stream: decode what we have
+    elif raw[:2] == b"\x1f\x8b":  # undeclared gzip (magic bytes)
+        import gzip
+
+        try:
+            raw = gzip.decompress(raw)
+        except Exception:
+            pass
+    charset = None
+    if content_type:
+        m = hdr_re.search(content_type)
+        if m:
+            charset = m.group(1)
+    if not charset:
+        if raw[:3] == b"\xef\xbb\xbf":
+            charset = "utf-8-sig"
+        elif raw[:2] in (b"\xff\xfe", b"\xfe\xff"):
+            charset = "utf-16"
+        else:
+            m = meta_re.search(raw[:1024])
+            if m:
+                charset = m.group(1).decode("ascii", "replace")
+    try:
+        return raw.decode(charset or "utf-8", "replace")
+    except LookupError:  # unknown charset label
+        return raw.decode("utf-8", "replace")
+
+
 def parse_retry_after(value: str) -> float | None:
     """Retry-After: seconds or an HTTP date (the reference accepts 9
     date layouts, modules/retry/retry.go:102-134; RFC 9110 requires
@@ -257,10 +347,20 @@ def _http_fetch_one(url: str, headers: dict, timeout: float,
         attempts += 1
         retry_after = None
         try:
-            req = urllib.request.Request(url, headers=headers or {})
+            hdrs = dict(headers or {})
+            if not any(k.lower() == "accept-encoding" for k in hdrs):
+                # advertise gzip (Go's net/http does this by default
+                # and transparently decompresses; decode_body is our
+                # equivalent of that free behavior)
+                hdrs["Accept-Encoding"] = "gzip"
+            req = urllib.request.Request(url, headers=hdrs)
             with open_fn(req, timeout=timeout) as resp:
                 status = resp.status
-                body = resp.read().decode("utf-8", "replace")
+                body = decode_body(
+                    resp.read(),
+                    resp.headers.get("Content-Type"),
+                    resp.headers.get("Content-Encoding"),
+                )
                 etag = resp.headers.get("ETag")
                 lastmod = resp.headers.get("Last-Modified")
             last = (status, body, None, etag, lastmod)
@@ -274,7 +374,11 @@ def _http_fetch_one(url: str, headers: dict, timeout: float,
                              e.headers.get("Last-Modified")), attempts)
             body = None
             try:
-                body = e.read().decode("utf-8", "replace")
+                body = decode_body(
+                    e.read(),
+                    e.headers.get("Content-Type"),
+                    e.headers.get("Content-Encoding"),
+                )
             except Exception:
                 pass
             last = (e.code, body, f"{e.code} error", None, None)

@@ -143,6 +143,10 @@ def test_surt_key_cases(spark):
         ("https://a.b.example.org/", "org,example,b,a)/"),
         ("http://example.com/p?b=2&a=1", "com,example)/p?a=1&b=2"),
         ("http://example.com/p?single=1", "com,example)/p?single=1"),
+        # a second '?' is legal inside the query: everything after
+        # the FIRST '?' is the query (matches surt_key_sql's split)
+        ("http://example.com/x?a=1?b=2", "com,example)/x?a=1?b=2"),
+        ("http://example.com/x?b=2?z&a=1", "com,example)/x?a=1&b=2?z"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["s"] for r in df.select(surt_key("url").alias("s")).collect()]
@@ -338,6 +342,26 @@ def test_lpa_isolated_keeps_own_label(spark):
            for r in lpa_communities(nodes, edges, iterations=2).collect()}
     assert got[7] == 7
     assert got[0] == 0 and got[1] == 0
+
+
+def test_lpa_string_node_ids_deterministic(spark):
+    """String node ids (URL/host graphs) must get the same smallest-
+    label tie-break as numeric ids — negating a string label yields
+    NULL and would silently degrade to an arbitrary pick."""
+    from flyscrape_spark.operators.graph import lpa_communities
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("y", "z"),
+         ("z", "x")],
+        "src string, dst string",
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in ("a", "b", "c", "x", "y", "z")], "node string"
+    )
+    got = {r["node"]: r["community"]
+           for r in lpa_communities(nodes, edges, iterations=3).collect()}
+    assert {got["a"], got["b"], got["c"]} == {"a"}
+    assert {got["x"], got["y"], got["z"]} == {"x"}
 
 
 # ------------------------------------------------- inverted index

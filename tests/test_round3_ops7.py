@@ -75,7 +75,23 @@ def test_domain_cap_keeps_topk_deterministically(spark):
     kept = sorted(by_dom["big.com"], key=lambda r: r["rank"])
     assert [r["n_tokens"] for r in kept] == [104, 103, 102]
     assert len(by_dom["small.org"]) == 2  # under the cap
-    assert len(by_dom[None]) == 1  # NULL domain is one group
+    assert len(by_dom[None]) == 1  # NULL domain row kept
+
+
+def test_domain_cap_exempts_null_domains(spark):
+    """registrable_domain() returns NULL for unknown TLDs; those rows
+    must NOT collapse into one collectively-capped partition — each
+    NULL-domain doc is its own singleton (rank 1, always kept)."""
+    rows = [(i, None, 100 + i) for i in range(10)]
+    rows += [(100 + j, "big.com", 200 + j) for j in range(5)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, registrable string, n_tokens long"
+    )
+    out = domain_cap(df, domain_col="registrable", cap=3).collect()
+    nulls = [r for r in out if r["registrable"] is None]
+    assert len(nulls) == 10                       # none discarded
+    assert all(r["rank"] == 1 for r in nulls)     # singleton groups
+    assert len([r for r in out if r["registrable"] == "big.com"]) == 3
 
 
 def test_domain_cap_compiles_to_group_limit(spark):

@@ -93,3 +93,28 @@ def test_mirror_boilerplate_cap(spark):
     assert len(out) == 1
     assert (out[0]["host_a"], out[0]["host_b"]) == ("h0", "h1")
     assert out[0]["shared"] == 1
+    # denominators count the CAPPED universe (the boilerplate hash is
+    # invisible to both numerator and denominator): h0/h1 each have 1
+    # eligible hash, share it -> overlap 1.0, flagged as mirrors.
+    assert out[0]["n_a"] == 1 and out[0]["n_b"] == 1
+    assert out[0]["overlap"] == 1.0 and out[0]["is_mirror"]
+
+
+def test_mirror_syndication_does_not_deflate_score(spark):
+    """A genuine mirror pair whose common content is ALSO syndicated
+    past the cap must still score on the eligible universe — the
+    pre-cap denominator would have flagged it below threshold."""
+    # a and m share eligible hashes 1,2; both also carry boilerplate
+    # hashes 100..104 syndicated to 6 hosts (cap 3 drops them)
+    rows = [("a", h) for h in (1, 2)] + [("m", h) for h in (1, 2)]
+    for boiler in (100, 101, 102, 103, 104):
+        for host in ("a", "m", "x1", "x2", "x3", "x4"):
+            rows.append((host, boiler))
+    content = spark.createDataFrame(rows, "host string, content_hash long")
+    out = {
+        (r["host_a"], r["host_b"]): r
+        for r in mirror_hosts(content, max_hosts_per_hash=3).collect()
+    }
+    am = out[("a", "m")]
+    assert am["shared"] == 2 and am["n_a"] == 2 and am["n_b"] == 2
+    assert am["overlap"] == 1.0 and am["is_mirror"]

@@ -15,6 +15,13 @@ def test_meta_robots_directive_forms(spark):
             (3, '<meta name="robots" content="none"/>'),      # expands
             (4, "<p>no meta at all</p>"),
             (5, '<meta name="robots" content="index, follow"/>'),
+            # multiple tags: directives UNION across tags (robots-meta
+            # spec: most restrictive wins) — the second tag must not
+            # be lost to a first-match-only extract
+            (6, '<meta name="robots" content="noindex"/>'
+                '<meta name="robots" content="nofollow"/>'),
+            (7, '<meta name="robots" content="index"/>'
+                '<meta content="none" name="robots"/>'),
         ],
         "doc_id long, html string",
     )
@@ -30,6 +37,8 @@ def test_meta_robots_directive_forms(spark):
     assert out[3] == (True, True)   # none -> both
     assert out[4] == (False, False)
     assert out[5] == (False, False)
+    assert out[6] == (True, True)   # union across two tags
+    assert out[7] == (True, True)   # later reversed-order 'none' tag
 
 
 def test_meta_robots_is_pure_jvm(spark):
