@@ -39,9 +39,21 @@ scrape return in JSON.stringify): undefined/function props dropped,
 NaN/Infinity -> null, integral doubles print as integers, Sets
 serialize as ``{}``, insertion order preserved.
 
+Round-4 additions (the two constructs most likely in wild scripts
+beyond the shipped set, per the round-3 verdict):
+
+* regex literals ``/pat/flags`` (g i m s; named groups translated to
+  Python syntax) with ``test``/``exec`` (lastIndex tracked for /g)
+  and regex-aware String ``replace``/``replaceAll``/``match``/
+  ``matchAll``/``split``/``search`` including ``$1 $& $$ $<n>``
+  replacement templates and function replacers
+* ``try``/``catch``/``finally`` + ``throw`` and ``new Error(msg)``;
+  host (Python) exceptions surface in ``catch`` as Error-shaped
+  values with ``name``/``message``
+
 Out of scope (raises JsCompileError/JsRuntimeError with a message):
-classes, generators, async/await, regex literals, try/catch, labels,
-getters/setters, prototype mutation. None appear in any shipped
+classes, generators, async/await, labels, getters/setters,
+``instanceof``, prototype mutation. None appear in any shipped
 reference script.
 """
 
@@ -129,13 +141,141 @@ class JSSet:
         return list(self._items)
 
 
+class JSError:
+    """``new Error(msg)`` / thrown host exceptions: the Error shape
+    scripts observe in a catch clause (``e.message``, ``e.name``,
+    ``String(e)`` -> "Name: message")."""
+
+    def __init__(self, message=UNDEFINED, name: str = "Error"):
+        self.message = "" if message is UNDEFINED else js_string(message)
+        self.name = name
+
+    def to_string(self):
+        return f"{self.name}: {self.message}" if self.message else self.name
+
+    toString = to_string
+
+    def __repr__(self):
+        return self.to_string()
+
+
+def _js_regex_to_py(source: str) -> str:
+    """JS regex source -> Python: named groups ``(?<n>`` become
+    ``(?P<n>`` (lookbehind ``(?<=`` / ``(?<!`` untouched); the rest
+    of the observed subset is syntax-compatible."""
+    import re
+
+    return re.sub(r"\(\?<(?![=!])", "(?P<", source)
+
+
+class JSRegExp:
+    """Regex literal ``/source/flags``: flags g i m s; ``test``/
+    ``exec`` with JS lastIndex semantics under /g (the
+    ``while ((m = re.exec(s)) !== null)`` idiom); a fresh object per
+    literal evaluation, per spec. Bridged as a host object, so
+    ``re.source`` / ``re.flags`` / ``re.global`` / ``re.lastIndex``
+    all resolve."""
+
+    def __init__(self, source: str, flags: str = ""):
+        import re
+
+        self.source, self.flags = source, flags
+        f = 0
+        if "i" in flags:
+            f |= re.IGNORECASE
+        if "m" in flags:
+            f |= re.MULTILINE
+        if "s" in flags:
+            f |= re.DOTALL
+        try:
+            self._re = re.compile(_js_regex_to_py(source), f)
+        except re.error as e:
+            raise JsCompileError(f"invalid regex /{source}/{flags}: {e}")
+        self.last_index = 0
+        setattr(self, "global", "g" in flags)  # `global` prop name
+
+    def _is_global(self) -> bool:
+        return "g" in self.flags
+
+    def exec(self, s=UNDEFINED):
+        text = js_string(s)
+        start = self.last_index if self._is_global() else 0
+        if start > len(text):
+            self.last_index = 0
+            return None
+        m = self._re.search(text, start)
+        if m is None:
+            self.last_index = 0
+            return None
+        if self._is_global():
+            # zero-width match must still advance (JS engines do)
+            self.last_index = m.end() if m.end() > m.start() else m.end() + 1
+        return [m.group(0)] + [
+            UNDEFINED if g is None else g for g in m.groups()
+        ]
+
+    # exec's Python None IS JS null (the `while ((m = re.exec(s))
+    # !== null)` idiom depends on it), not undefined
+    exec.__js_none_is_undefined__ = False
+
+    def test(self, s=UNDEFINED):
+        return self.exec(s) is not None
+
+    def to_string(self):
+        return f"/{self.source}/{self.flags}"
+
+    toString = to_string
+
+
+def _js_repl_template(t: str) -> str:
+    """JS replacement template -> Python re.sub template:
+    ``$$``->$, ``$&``->whole match, ``$1..``->group refs,
+    ``$<name>``->named refs; literal backslashes escaped."""
+    out: list[str] = []
+    i, n = 0, len(t)
+    while i < n:
+        c = t[i]
+        if c == "\\":
+            out.append("\\\\")
+            i += 1
+        elif c == "$" and i + 1 < n:
+            nx = t[i + 1]
+            if nx == "$":
+                out.append("$")
+                i += 2
+            elif nx == "&":
+                out.append("\\g<0>")
+                i += 2
+            elif nx == "<":
+                end = t.find(">", i + 2)
+                if end > 0:
+                    out.append(f"\\g<{t[i + 2:end]}>")
+                    i = end + 1
+                else:
+                    out.append("$")
+                    i += 1
+            elif nx.isdigit():
+                j = i + 1
+                while j < n and t[j].isdigit():
+                    j += 1
+                out.append(f"\\g<{t[i + 1:j]}>")
+                i = j
+            else:
+                out.append("$")
+                i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 # --------------------------------------------------------------- lexer
 
 _KEYWORDS = {
     "const", "let", "var", "function", "return", "if", "else", "for",
     "while", "of", "in", "new", "typeof", "true", "false", "null",
     "undefined", "export", "default", "import", "from", "break",
-    "continue", "NaN", "Infinity",
+    "continue", "NaN", "Infinity", "try", "catch", "finally", "throw",
 }
 
 _PUNCT = [
@@ -152,6 +292,28 @@ class Tok:
     value: Any
     line: int
     col: int
+
+
+#: value-like keywords: a `/` after one is division, not a regex
+_VALUE_KEYWORDS = frozenset(
+    ("true", "false", "null", "undefined", "NaN", "Infinity", "this")
+)
+
+
+def _regex_allowed(toks: list) -> bool:
+    """`/` starts a regex literal iff the lexer is in EXPRESSION
+    position (the standard one-token-lookbehind heuristic): after
+    nothing, an operator/open-bracket punct, or a non-value keyword
+    (return, typeof, case...). After an identifier, literal, `)`,
+    `]` or `++`/`--` it is division."""
+    if not toks:
+        return True
+    t = toks[-1]
+    if t.kind in ("num", "str", "template", "regex", "ident"):
+        return False
+    if t.kind == "kw":
+        return t.value not in _VALUE_KEYWORDS
+    return t.value not in (")", "]", "}", "++", "--")
 
 
 def _lex(src: str) -> list[Tok]:
@@ -264,6 +426,39 @@ def _lex(src: str) -> list[Tok]:
             toks.append(Tok("template", (parts, exprs), *pos(i)))
             i = j + 1
             continue
+        if c == "/" and _regex_allowed(toks):
+            # regex literal: scan to the unescaped closing '/' outside
+            # a [...] character class, then the flag letters
+            j = i + 1
+            in_class = False
+            while j < n:
+                ch = src[j]
+                if ch == "\\":
+                    j += 2
+                    continue
+                if ch == "\n":
+                    break
+                if in_class:
+                    if ch == "]":
+                        in_class = False
+                elif ch == "[":
+                    in_class = True
+                elif ch == "/":
+                    break
+                j += 1
+            if j >= n or src[j] != "/":
+                raise JsCompileError("unterminated regex literal", *pos(i))
+            pattern = src[i + 1:j]
+            k = j + 1
+            while k < n and (src[k].isalpha() or src[k] == "_"):
+                k += 1
+            flags = src[j + 1:k]
+            if any(f not in "gims" for f in flags):
+                raise JsCompileError(
+                    f"unsupported regex flags {flags!r}", *pos(i))
+            toks.append(Tok("regex", (pattern, flags), *pos(i)))
+            i = k
+            continue
         for p in _PUNCT:
             if src.startswith(p, i):
                 toks.append(Tok("punct", p, *pos(i)))
@@ -367,6 +562,26 @@ class _P:
                 self.next()
                 self.semi()
                 return ("continue", t.line)
+            if t.value == "throw":
+                self.next()
+                e = self.expression()
+                self.semi()
+                return ("throw", e, t.line)
+            if t.value == "try":
+                self.next()
+                block = self.block()
+                param = handler = finalizer = None
+                if self.eat("kw", "catch"):
+                    if self.eat("punct", "("):
+                        param = self.binding_target()
+                        self.expect("punct", ")")
+                    handler = self.block()
+                if self.eat("kw", "finally"):
+                    finalizer = self.block()
+                if handler is None and finalizer is None:
+                    raise JsCompileError(
+                        "try requires catch or finally", t.line, t.col)
+                return ("try", block, param, handler, finalizer, t.line)
         if self.at("punct", "{"):
             return self.block()
         if self.at("punct", ";"):
@@ -709,6 +924,11 @@ class _P:
         if t.kind == "str":
             self.next()
             return ("str", t.value)
+        if t.kind == "regex":
+            self.next()
+            pattern, flags = t.value
+            JSRegExp(pattern, flags)  # validate at parse time
+            return ("regex", pattern, flags)
         if t.kind == "template":
             self.next()
             parts, expr_srcs = t.value
@@ -866,6 +1086,24 @@ class _Continue(Exception):
     pass
 
 
+class _Throw(Exception):
+    """A JS ``throw`` in flight; ``value`` is the thrown JS value."""
+
+    def __init__(self, value):
+        self.value = value
+
+
+def _as_error_value(exc: BaseException):
+    """Host/runtime exception -> the Error-shaped value a catch
+    clause binds (goja surfaces Go-side errors the same way)."""
+    if isinstance(exc, _Throw):
+        return exc.value
+    if isinstance(exc, JSError):
+        return exc
+    name = "Error" if isinstance(exc, JsRuntimeError) else type(exc).__name__
+    return JSError(str(exc), name=name)
+
+
 def js_truthy(v) -> bool:
     if v is UNDEFINED or v is None or v is False:
         return False
@@ -970,14 +1208,77 @@ def _norm_index(i, length, clamp_end=False):
     return max(0, min(i, length)) if clamp_end else i
 
 
-def _string_method(s: str, name: str):
+def _string_method(s: str, name: str, interp=None):
+    def _sub(rx: "JSRegExp", repl, count: int) -> str:
+        if callable(repl) or isinstance(repl, JSFunction):
+            def py_repl(m):
+                args = [m.group(0)]
+                args += [UNDEFINED if g is None else g for g in m.groups()]
+                args += [m.start(), s]
+                return js_string(_call_cb(interp, repl, args))
+
+            return rx._re.sub(py_repl, s, count=count)
+        return rx._re.sub(_js_repl_template(js_string(repl)), s,
+                          count=count)
+
     def replace(pat, repl):
+        if isinstance(pat, JSRegExp):
+            # /g replaces all; otherwise first match only
+            return _sub(pat, repl, 0 if pat._is_global() else 1)
         # JS String.replace with a string pattern replaces FIRST only
+        if callable(repl) or isinstance(repl, JSFunction):
+            needle = js_string(pat)
+            at = s.find(needle)
+            if at < 0:
+                return s
+            rep = js_string(_call_cb(interp, repl, [needle, at, s]))
+            return s[:at] + rep + s[at + len(needle):]
         return s.replace(js_string(pat), js_string(repl), 1)
+
+    def replace_all(pat, repl):
+        if isinstance(pat, JSRegExp):
+            return _sub(pat, repl, 0)
+        if callable(repl) or isinstance(repl, JSFunction):
+            import re as _re
+
+            rx = JSRegExp(_re.escape(js_string(pat)), "g")
+            return _sub(rx, repl, 0)
+        return s.replace(js_string(pat), js_string(repl))
+
+    def match(pat):
+        rx = pat if isinstance(pat, JSRegExp) else JSRegExp(js_string(pat))
+        if rx._is_global():
+            out = [m.group(0) for m in rx._re.finditer(s)]
+            return out if out else None
+        m = rx._re.search(s)
+        if m is None:
+            return None
+        return [m.group(0)] + [UNDEFINED if g is None else g
+                               for g in m.groups()]
+
+    match.__js_none_is_undefined__ = False  # no-match is JS null
+
+    def match_all(pat):
+        rx = pat if isinstance(pat, JSRegExp) else JSRegExp(js_string(pat))
+        return [
+            [m.group(0)] + [UNDEFINED if g is None else g
+                            for g in m.groups()]
+            for m in rx._re.finditer(s)
+        ]
+
+    def search(pat):
+        rx = pat if isinstance(pat, JSRegExp) else JSRegExp(js_string(pat))
+        m = rx._re.search(s)
+        return -1 if m is None else m.start()
 
     def split(sep=UNDEFINED, limit=UNDEFINED):
         if sep is UNDEFINED:
             out = [s]
+        elif isinstance(sep, JSRegExp):
+            # JS splices capture groups into the result; Python's
+            # re.split does the same (None for non-participating)
+            out = [UNDEFINED if p is None else p
+                   for p in sep._re.split(s)]
         elif sep == "":
             out = list(s)
         else:
@@ -1010,8 +1311,10 @@ def _string_method(s: str, name: str):
 
     methods = {
         "replace": replace,
-        "replaceAll": lambda pat, repl: s.replace(js_string(pat),
-                                                  js_string(repl)),
+        "replaceAll": replace_all,
+        "match": match,
+        "matchAll": match_all,
+        "search": search,
         "split": split,
         "slice": slice_,
         "substring": substring,
@@ -1297,13 +1600,22 @@ class Interpreter:
                 [_call_cb(self, cb, [v, i])
                  for i, v in enumerate([] if x is UNDEFINED else list(x))]),
         })
-        g.declare("Number", {
-            "isInteger": lambda x=UNDEFINED: isinstance(x, int)
-                or (isinstance(x, float) and x.is_integer()),
-            "isNaN": lambda x=UNDEFINED: isinstance(x, float) and math.isnan(x),
-            "parseFloat": _parse_float,
-            "parseInt": _parse_int,
-        })
+        def _number(x=UNDEFINED):
+            # Number(x) as a conversion function; integral -> int
+            # (ints are preserved in this value model)
+            if x is UNDEFINED:
+                return 0
+            v = js_number(x)
+            return int(v) if (not math.isnan(v) and not math.isinf(v)
+                              and v.is_integer()) else v
+
+        _number.isInteger = lambda x=UNDEFINED: isinstance(x, int) \
+            or (isinstance(x, float) and x.is_integer())
+        _number.isNaN = lambda x=UNDEFINED: (isinstance(x, float)
+                                             and math.isnan(x))
+        _number.parseFloat = _parse_float
+        _number.parseInt = _parse_int
+        g.declare("Number", _number)
         g.declare("String", lambda x=UNDEFINED: js_string(x) if x is not UNDEFINED else "")
         g.declare("Boolean", _boolean)
         g.declare("parseInt", _parse_int)
@@ -1315,6 +1627,14 @@ class Interpreter:
             "warn": self._console("warn"),
         })
         g.declare("Set", JSSet)  # constructed via `new`
+        g.declare("RegExp", lambda pat=UNDEFINED, flags=UNDEFINED: JSRegExp(
+            pat.source if isinstance(pat, JSRegExp) else js_string(pat),
+            "" if flags is UNDEFINED else js_string(flags)))
+        g.declare("Error", lambda msg=UNDEFINED: JSError(msg))
+        g.declare("TypeError",
+                  lambda msg=UNDEFINED: JSError(msg, name="TypeError"))
+        g.declare("RangeError",
+                  lambda msg=UNDEFINED: JSError(msg, name="RangeError"))
 
     @staticmethod
     def _console(level):
@@ -1400,6 +1720,26 @@ class Interpreter:
             raise _Break()
         elif kind == "continue":
             raise _Continue()
+        elif kind == "throw":
+            raise _Throw(self.eval(s[1], env))
+        elif kind == "try":
+            _, block, param, handler, finalizer, _line = s
+            try:
+                try:
+                    self.exec_block(block[1], _Env(env))
+                except (_Return, _Break, _Continue):
+                    raise  # control flow is not a catchable error
+                except (_Throw, JsRuntimeError, Exception) as exc:
+                    if handler is None:
+                        raise
+                    h_env = _Env(env)
+                    if param is not None:
+                        self.bind(param, _as_error_value(exc), h_env,
+                                  declare=True)
+                    self.exec_block(handler[1], h_env)
+            finally:
+                if finalizer is not None:
+                    self.exec_block(finalizer[1], _Env(env))
         elif kind == "empty":
             pass
         else:
@@ -1449,6 +1789,10 @@ class Interpreter:
             return UNDEFINED
         if kind == "ident":
             return env.get(e[1])
+        if kind == "regex":
+            # fresh object per evaluation (spec: a literal in a loop
+            # yields distinct objects with independent lastIndex)
+            return JSRegExp(e[1], e[2])
         if kind == "template":
             parts, exprs = e[1], e[2]
             out = [parts[0]]
@@ -1672,7 +2016,7 @@ class Interpreter:
         if isinstance(obj, str):
             if name == "length":
                 return len(obj)
-            m = _string_method(obj, name)
+            m = _string_method(obj, name, self)
             return m if m is not None else UNDEFINED
         if isinstance(obj, list):
             if name == "length":

@@ -294,8 +294,16 @@ def test_unsupported_features_error_cleanly():
         compile_module("export default class Foo {}")
     with pytest.raises((JsCompileError, JsRuntimeError)):
         m = compile_module(
-            "export default function() { return /re/.test('x'); }")
+            "export default function* gen() { yield 1; }")
         m.interp.call(m.default, [])
+
+
+def test_regex_literal_supported():
+    # round-4: regex literals are in scope (was an unsupported-form
+    # pin through round 3)
+    m = compile_module(
+        "export default function() { return /re/.test('pre/post'); }")
+    assert m.interp.call(m.default, []) is True
 
 
 # ------------------------- part 3: reference .js files end-to-end (Spark)
