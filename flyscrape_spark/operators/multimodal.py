@@ -8,11 +8,15 @@ a crawl's media spans become (media_ref, bytes, meta) rows in a media
 table, deduplicated by content hash, with decode/feature-extraction as
 mapInPandas stages.
 
-Image/audio codecs are NOT in this container, so ``decode`` is a
-clearly-marked deterministic stub (NotImplementedError for real
-codecs); the Spark-side plumbing — binary schema, dedup, batch
-iteration, partitioning — is real and tested. On a cluster, swap
-``_fake_decode`` for PIL/torchaudio inside the same mapInPandas.
+Codec policy (round-4): Pillow is detected at runtime inside the
+mapInPandas worker (:func:`_load_pil`). When present,
+``extract_features`` / ``resize_images`` decode real images through
+``PIL.Image``; bytes PIL cannot decode (and everything, when PIL is
+absent — this container ships no codecs) fall back to the same
+deterministic stub as before, so the oracle-twinned contract is
+unchanged. ``use_pil=False`` pins the stub path explicitly (the
+driver-gate queries do, keeping the DuckDB twin exact regardless of
+the environment); ``use_pil=True`` raises if Pillow is missing.
 """
 
 from __future__ import annotations
@@ -73,32 +77,67 @@ def media_from_results(results: DataFrame, pages: DataFrame | None = None) -> Da
     return refs.select("media_ref", payload.cast("binary").alias("content"))
 
 
-def extract_features(media: DataFrame, batch_size: int = 1024) -> DataFrame:
-    """Feature extraction over binary media — the mapInPandas decode
-    stage. Stubbed decode: real image/audio decoding raises
-    NotImplementedError in this container; the fake path derives
-    deterministic pseudo-dimensions so the pipeline shape is testable.
-    """
+def _load_pil():
+    """Pillow's Image module if importable, else None. Called INSIDE
+    the mapInPandas worker so detection happens where decoding runs
+    (executors), not just on the driver."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — optional dependency
 
-    def _fake_decode(content: bytes) -> tuple[str, int, int]:
-        if not content:
-            return ("empty", 0, 0)
-        # REAL DECODE GOES HERE on a cluster:
-        #   raise NotImplementedError("image/audio codecs not available")
-        # deterministic fake: derive dims from leading bytes
-        width = 16 + content[0] % 64
-        height = 16 + (content[1] if len(content) > 1 else 0) % 64
-        kind = "image" if len(content) % 2 == 0 else "audio"
-        return (kind, width, height)
+        return Image
+    except Exception:
+        return None
+
+
+def _fake_decode(content: bytes) -> tuple[str, int, int]:
+    """Deterministic stub decode (the oracle-twinned contract): dims
+    from leading bytes, kind from byte-length parity."""
+    if not content:
+        return ("empty", 0, 0)
+    width = 16 + content[0] % 64
+    height = 16 + (content[1] if len(content) > 1 else 0) % 64
+    kind = "image" if len(content) % 2 == 0 else "audio"
+    return (kind, width, height)
+
+
+def _resolve_pil(use_pil: bool | None):
+    """None -> auto-detect; True -> require; False -> stub path."""
+    if use_pil is False:
+        return None
+    img = _load_pil()
+    if use_pil is True and img is None:
+        raise NotImplementedError(
+            "use_pil=True but Pillow is not installed on this worker")
+    return img
+
+
+def extract_features(media: DataFrame, batch_size: int = 1024,
+                     use_pil: bool | None = None) -> DataFrame:
+    """Feature extraction over binary media — the mapInPandas decode
+    stage. With Pillow present (``use_pil=None`` auto-detect or
+    ``True``), real images decode through ``PIL.Image.open`` (kind
+    'image', true width/height); undecodable bytes — and everything
+    when Pillow is absent or ``use_pil=False`` — go through the
+    deterministic stub, keeping the DuckDB oracle contract exact."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+        import io
 
+        image_mod = _resolve_pil(use_pil)
         for pdf in batches:
             feats = []
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
                 raw = bytes(content) if content is not None else b""
-                kind, width, height = _fake_decode(raw)
+                kind = width = None
+                if image_mod is not None and raw:
+                    try:
+                        with image_mod.open(io.BytesIO(raw)) as im:
+                            kind, width, height = "image", im.width, im.height
+                    except Exception:
+                        kind = None  # not an image PIL knows -> stub
+                if kind is None:
+                    kind, width, height = _fake_decode(raw)
                 h = int.from_bytes(hashlib.md5(raw).digest()[:7], "big")
                 feats.append((ref, len(raw), h, kind, width, height))
             yield pd.DataFrame(
@@ -124,17 +163,21 @@ RESIZE_SCHEMA = StructType(
 )
 
 
-def resize_images(media: DataFrame, max_dim: int = 24) -> DataFrame:
-    """Aspect-preserving resize plumbing — the mapInPandas stage a real
-    pipeline points at PIL's ``Image.thumbnail``. Stubbed codec: dims
-    come from the same fake decode as :func:`extract_features`; the
-    integer scale math (out = dim * max_dim // longest side, floor,
-    min 1px) and the batch shape are the real contract. The "resized"
-    payload is a deterministic truncation of the source bytes (real
-    decode-resize-encode raises NotImplementedError in this
-    container)."""
+def resize_images(media: DataFrame, max_dim: int = 24,
+                  use_pil: bool | None = None) -> DataFrame:
+    """Aspect-preserving resize. With Pillow present (auto-detected in
+    the worker, or ``use_pil=True``), real images decode, resize via
+    ``Image.thumbnail((max_dim, max_dim))`` and re-encode as PNG —
+    the production path. Undecodable bytes — and everything when
+    Pillow is absent or ``use_pil=False`` — use the stub: dims from
+    the fake decode, the same floor scale math (out = dim * max_dim
+    // longest, min 1px), payload a deterministic truncation of the
+    source bytes. The stub keeps the DuckDB oracle contract exact."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        image_mod = _resolve_pil(use_pil)
         for pdf in batches:
             rows = []
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
@@ -142,10 +185,20 @@ def resize_images(media: DataFrame, max_dim: int = 24) -> DataFrame:
                 if not raw:
                     rows.append((ref, 0, 0, 0, 0, b""))
                     continue
-                # REAL DECODE+RESIZE GOES HERE on a cluster:
-                #   raise NotImplementedError("image codecs unavailable")
-                width = 16 + raw[0] % 64
-                height = 16 + (raw[1] if len(raw) > 1 else 0) % 64
+                if image_mod is not None:
+                    try:
+                        with image_mod.open(io.BytesIO(raw)) as im:
+                            width, height = im.width, im.height
+                            im.thumbnail((max_dim, max_dim))
+                            ow, oh = im.width, im.height
+                            buf = io.BytesIO()
+                            im.save(buf, format="PNG")
+                        rows.append((ref, width, height, ow, oh,
+                                     buf.getvalue()))
+                        continue
+                    except Exception:
+                        pass  # not an image PIL knows -> stub below
+                _, width, height = _fake_decode(raw)
                 longest = max(width, height)
                 if longest <= max_dim:
                     ow, oh = width, height

@@ -1425,7 +1425,9 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = synthetic_pages(spark, sf_dir)
     results = pages.select(parse_spans_udf("html").alias("spans"))
     media = multimodal.media_from_results(results)
-    return multimodal.extract_features(media)
+    # use_pil=False pins the deterministic stub the DuckDB twin
+    # models (production auto-detects Pillow; see multimodal.py)
+    return multimodal.extract_features(media, use_pil=False)
 
 
 def sql_media_features() -> str:
@@ -1475,7 +1477,7 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = synthetic_pages(spark, sf_dir)
     results = pages.select(parse_spans_udf("html").alias("spans"))
     media = multimodal.media_from_results(results)
-    return multimodal.resize_images(media, max_dim=24).select(
+    return multimodal.resize_images(media, max_dim=24, use_pil=False).select(
         "media_ref", "width", "height", "out_width", "out_height",
         F.length("content").cast("int").alias("out_len"),
     )
