@@ -168,6 +168,59 @@ def engine_kernel(spark, n_pages: int, seeds: int = 2000, depth: int = 2,
     }
 
 
+def engine_ablation_kernel(spark, n_pages: int, layers: str,
+                           seeds: int = 2000, depth: int = 2) -> dict:
+    """Depth-2 engine kernel with the three seen layers COMPOSED
+    (round-3 verdict item #8): '+'-joined subset of
+    {bloom, cuckoo, store} on top of the fingerprint anti-join
+    baseline. Each layer keeps the others' contracts: bloom splits
+    definitely-unseen candidates off the shuffle, cuckoo shards do the
+    same exactly at 10^10 scale with delete support, the bucketed
+    store makes the remaining anti-join's seen side shuffle-free."""
+    from flyscrape_spark.config import CrawlConfig
+    from flyscrape_spark.plans.frontier import CrawlEngine
+    from flyscrape_spark.sources.synth import SyntheticWebTransport
+
+    clear_persisted(spark)
+    wanted = set(filter(None, layers.split("+"))) - {"none"}
+    unknown = wanted - {"bloom", "cuckoo", "store"}
+    assert not unknown, f"unknown seen layers: {unknown}"
+    kwargs = {}
+    if "bloom" in wanted:
+        from flyscrape_spark.operators.bloom import BroadcastBloom
+
+        kwargs["seen_bloom"] = BroadcastBloom(spark, n_bits=1 << 24)
+    if "cuckoo" in wanted:
+        from flyscrape_spark.operators.cuckoo import CuckooShards
+
+        kwargs["seen_cuckoo"] = CuckooShards(
+            spark, n_shards=32, capacity_per_shard=1 << 18)
+    if "store" in wanted:
+        from flyscrape_spark.sources.seen_store import BucketedSeenStore
+
+        kwargs["seen_store"] = BucketedSeenStore(
+            spark, table=f"seen_ablation_{abs(hash(layers)) % 10**6}",
+            buckets=32, fingerprint=True)
+    config = CrawlConfig(depth=depth, domain_filter=False,
+                         seen_fingerprint=True)
+    engine = CrawlEngine(
+        spark, config, SyntheticWebTransport(n_pages),
+        collect_metrics=False, small_generation_rows=20_000, **kwargs,
+    )
+    seed_urls = [f"http://w{(i * 37) % 1009}.example/d/{i * 37}"
+                 for i in range(seeds)]
+    t0 = time.time()
+    result = engine.run(seed_urls)
+    n_seen = result.seen.count()
+    n_fetched = result.results.count()
+    dt = time.time() - t0
+    return {
+        "layers": layers or "none", "n_pages": n_pages, "seeds": seeds,
+        "depth": depth, "seen": n_seen, "fetched": n_fetched,
+        "sec": round(dt, 3), "urls_per_sec": round(n_seen / dt),
+    }
+
+
 def run_bench(cpus: int, include_queries: bool = True) -> dict:
     from flyscrape_spark.session import get_spark
 
@@ -299,10 +352,42 @@ def main():
             result["fingerprint"] = fp
         elif kind == "kernel_exact":
             result = frontier_kernel(spark, N_URLS, mode="exact")
+        elif kind.startswith("engine_ablation:"):
+            layers = kind.split(":", 1)[1]
+            engine_ablation_kernel(spark, N_ENGINE_PAGES, layers)  # warm
+            result = engine_ablation_kernel(spark, N_ENGINE_PAGES, layers)
         else:
             result = frontier_kernel(spark, N_URLS, mode="fp128")
         spark.stop()
         print("WORKER_JSON:" + json.dumps(result))
+        return
+
+    if "--ablation" in sys.argv:
+        # seen-layer ablation (round-3 verdict item #8): fresh JVM per
+        # config, baseline -> +bloom -> +bloom+cuckoo ->
+        # +bloom+cuckoo+store, depth-2 engine kernel at bench scale
+        cpus = CPUS
+        configs = os.environ.get(
+            "BENCH_ABLATION_LAYERS",
+            "none,bloom,bloom+cuckoo,bloom+cuckoo+store").split(",")
+        rows = []
+        for layers in configs:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--worker", str(cpus),
+                 f"engine_ablation:{layers}"],
+                capture_output=True, text=True, timeout=3600,
+                env={**os.environ, "SPARK_DRIVER_MEMORY": "16g"},
+            )
+            line = [l for l in proc.stdout.splitlines()
+                    if l.startswith("WORKER_JSON:")]
+            if not line:
+                print(f"ablation config {layers!r} FAILED:\n"
+                      + proc.stderr[-2000:], file=sys.stderr)
+                continue
+            row = json.loads(line[0][len("WORKER_JSON:"):])
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+        print(json.dumps({"ablation": rows}, indent=2))
         return
 
     if "--scaling" in sys.argv:
@@ -321,10 +406,27 @@ def main():
                  for p in pairs_env.split(",")]
         samples = int(os.environ.get("BENCH_SCALING_SAMPLES", "2"))
         kinds = os.environ.get("BENCH_SCALING_KINDS", "kernel,engine").split(",")
+        # round-4 attribution knobs (verdict item #3):
+        #   BENCH_PIN_CPUS=1     pin each width to an explicit cpuset
+        #                        (taskset -c 0..N-1): deterministic core
+        #                        assignment, no scheduler migration
+        #   BENCH_BW_NORMALIZE=1 probe available memory bandwidth at
+        #                        each width (tools/membw.py, same
+        #                        cpuset, immediately before AND after
+        #                        the width's samples) and report
+        #                        URLs/s per GB/s + the bandwidth-
+        #                        normalized efficiency alongside raw
+        pin = os.environ.get("BENCH_PIN_CPUS", "0") == "1"
+        normalize = os.environ.get("BENCH_BW_NORMALIZE", "0") == "1"
+        here = os.path.dirname(os.path.abspath(__file__))
+
+        def cpuset_prefix(cpus: int) -> list[str]:
+            return ["taskset", "-c", f"0-{cpus - 1}"] if pin else []
 
         def worker(cpus: int, kind: str) -> dict:
             proc = subprocess.run(
-                [sys.executable, __file__, "--worker", str(cpus), kind],
+                cpuset_prefix(cpus)
+                + [sys.executable, __file__, "--worker", str(cpus), kind],
                 capture_output=True, text=True, timeout=3600,
                 env={**os.environ, "SPARK_DRIVER_MEMORY": "16g"},
             )
@@ -332,10 +434,34 @@ def main():
                     if l.startswith("WORKER_JSON:")]
             return json.loads(line[0][len("WORKER_JSON:"):])
 
+        def probe_bw(cpus: int) -> float:
+            """Aggregate GB/s achievable by `cpus` memory-bound
+            processes right now, on the same cpuset as the Spark run."""
+            proc = subprocess.run(
+                cpuset_prefix(cpus)
+                + [sys.executable, os.path.join(here, "tools", "membw.py"),
+                   str(cpus)],
+                capture_output=True, text=True, timeout=600,
+            )
+            for l in proc.stdout.splitlines():
+                try:
+                    d = json.loads(l)
+                except json.JSONDecodeError:
+                    continue
+                if d.get("procs") == cpus:
+                    return d["aggregate_gb_per_sec"]
+            return float("nan")
+
         def sample(cpus: int, kind: str) -> dict:
+            bw_before = probe_bw(cpus) if normalize else None
             runs = [worker(cpus, kind) for _ in range(samples)]
+            bw_after = probe_bw(cpus) if normalize else None
             best = max(runs, key=lambda r: r["urls_per_sec"])
             best["all_jvm_urls_per_sec"] = [r["urls_per_sec"] for r in runs]
+            if normalize:
+                best["bw_gbps_before"] = bw_before
+                best["bw_gbps_after"] = bw_after
+                best["bw_gbps"] = round((bw_before + bw_after) / 2, 2)
             return best
 
         report = {}
@@ -345,7 +471,7 @@ def main():
                 rn = sample(n, kind)
                 rw = sample(wide, kind)
                 tpn, tpw = rn["urls_per_sec"], rw["urls_per_sec"]
-                report[f"{kind}_{n}to{wide}"] = {
+                entry = {
                     f"local{n}_urls_per_sec": tpn,
                     f"local{wide}_urls_per_sec": tpw,
                     f"local{n}_samples": rn["all_jvm_urls_per_sec"],
@@ -354,9 +480,27 @@ def main():
                     "scaling_efficiency": round(tpw / tpn / factor, 3),
                     ("n_urls" if kind == "kernel" else "n_pages"):
                         rn.get("n_urls", rn.get("n_pages")),
+                    "pinned_cpuset": pin,
                 }
-                print(json.dumps({f"{kind}_{n}to{wide}":
-                                  report[f"{kind}_{n}to{wide}"]}),
+                if normalize:
+                    bwn, bww = rn["bw_gbps"], rw["bw_gbps"]
+                    entry.update({
+                        f"local{n}_bw_gbps": bwn,
+                        f"local{wide}_bw_gbps": bww,
+                        f"local{n}_bw_before_after": [
+                            rn["bw_gbps_before"], rn["bw_gbps_after"]],
+                        f"local{wide}_bw_before_after": [
+                            rw["bw_gbps_before"], rw["bw_gbps_after"]],
+                        f"local{n}_urls_per_gbs": round(tpn / bwn),
+                        f"local{wide}_urls_per_gbs": round(tpw / bww),
+                        # 1.0 = throughput tracked available bandwidth
+                        # exactly; the gap raw efficiency shows is the
+                        # host's bandwidth ceiling, not the plan
+                        "bandwidth_normalized_efficiency": round(
+                            (tpw / bww) / (tpn / bwn), 3),
+                    })
+                report[f"{kind}_{n}to{wide}"] = entry
+                print(json.dumps({f"{kind}_{n}to{wide}": entry}),
                       flush=True)
         print(json.dumps(report, indent=2))
         return

@@ -448,6 +448,7 @@ class HttpTransport(Transport):
         from flyscrape_spark.operators.politeness import schedule
 
         rate = self.config.rate or 6000.0
+        host_interval = 60.0 / rate
         scheduled = schedule(
             frontier, rate_per_min=rate, shard_target=self.shard_target,
             max_fanout=self.config.max_host_fanout,
@@ -474,10 +475,22 @@ class HttpTransport(Transport):
 
         def run_batches(batches):
             import hashlib
+            import threading
             import time as _time
             from concurrent.futures import ThreadPoolExecutor
 
-            start = _time.monotonic()
+            # Clock anchor = FIRST BATCH ARRIVAL, not generator start:
+            # the batches iterator blocks on the JVM's schedule shuffle
+            # before yielding, and anchoring earlier silently consumes
+            # the first ~pipeline-latency seconds of every fetch_time
+            # offset (observed: sub-interval same-host bursts at the
+            # start of each task). None until the loop below runs.
+            start: list[float] = []
+            # belt-and-braces per-host floor: even if offsets drift
+            # (late batch, clock anchor, retries), never START two
+            # requests to one host closer than its scheduled spacing
+            host_last: dict = {}
+            host_lock = threading.Lock()
 
             def pick_proxy(url: str) -> str | None:
                 if not proxies:
@@ -487,9 +500,18 @@ class HttpTransport(Transport):
 
             def one(row):
                 if pace:
-                    wait = row["fetch_time"] - (_time.monotonic() - start)
+                    wait = row["fetch_time"] - (_time.monotonic() - start[0])
                     if wait > 0:
                         _time.sleep(wait)
+                    host = row.get("host")
+                    while True:
+                        now = _time.monotonic()
+                        with host_lock:
+                            nxt = host_last.get(host, now)
+                            if now >= nxt:
+                                host_last[host] = now + host_interval
+                                break
+                        _time.sleep(max(nxt - now, 0.0))
                 headers = dict(row.get("request_headers") or {})
                 # conditional validators (RevalidatingTransport) win
                 # over any configured header of the same name
@@ -502,6 +524,8 @@ class HttpTransport(Transport):
 
             with ThreadPoolExecutor(max_workers=pool_size) as pool:
                 for pdf in batches:
+                    if not start:
+                        start.append(_time.monotonic())
                     results = list(pool.map(one, pdf.to_dict("records")))
                     pdf = pdf.copy()
                     pdf["status"] = [r[0] for r in results]

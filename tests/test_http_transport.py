@@ -190,3 +190,76 @@ def test_revalidation_changed_page_refetches(spark, reval_server):
     out2 = RevalidatingTransport(HttpTransport(cfg, pace=False), empty_prior) \
         .fetch(frontier2).collect()[0]
     assert out2["status"] == 200 and out2["not_modified"] is False
+
+
+# ------------------------------------------------- per-host pacing
+
+
+class PacedHandler(BaseHTTPRequestHandler):
+    """Records (Host header, monotonic arrival) per request."""
+
+    arrivals: list = []
+
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):
+        import time as _t
+
+        PacedHandler.arrivals.append(
+            (self.headers.get("Host", "?"), _t.monotonic()))
+        body = b"<p>ok</p>"
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture
+def paced_server():
+    PacedHandler.arrivals = []
+    srv = ThreadingHTTPServer(("0.0.0.0", 0), PacedHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_port
+    srv.shutdown()
+
+
+def test_per_host_pacing_under_real_io(spark, paced_server):
+    """Round-4 pin for the clock-anchor fix: the fetch_time offsets
+    are awaited relative to FIRST BATCH ARRIVAL (not generator
+    creation — the JVM's schedule shuffle used to consume the first
+    ~0.3s of offsets, collapsing pacing into a same-host burst), plus
+    the per-host client-side floor. 127.0.0.x loopback addresses are
+    distinct politeness keys on one listener."""
+    interval = 0.15
+    hosts, pages = 3, 4
+    seeds = [
+        f"http://127.0.0.{h + 2}:{paced_server}/h{h}/p{p}"
+        for h in range(hosts) for p in range(pages)
+    ]
+    cfg = CrawlConfig(depth=0, domain_filter=False,
+                      rate=60.0 / interval, retry_delays=(0.05,))
+    r = CrawlEngine(spark, cfg,
+                    HttpTransport(cfg, timeout=5.0, pool_size=32),
+                    collect_metrics=False).run(seeds)
+    assert r.results.filter("status = 200").count() == hosts * pages
+
+    from collections import defaultdict
+
+    per_host = defaultdict(list)
+    for host, ts in PacedHandler.arrivals:
+        per_host[host].append(ts)
+    assert len(per_host) == hosts
+    for host, ts in per_host.items():
+        assert len(ts) == pages
+        ts.sort()
+        gaps = [b - a for a, b in zip(ts, ts[1:])]
+        # no same-host burst: every arrival gap well above the
+        # pre-fix ~1ms collapse (50% allowance covers accept-queue
+        # jitter on a loaded box)
+        assert min(gaps) > 0.5 * interval, (host, gaps)
+        # sustained per-host rate within budget (+20% jitter allowance)
+        span = ts[-1] - ts[0]
+        assert (pages - 1) / span <= 1.2 / interval, (host, span)
