@@ -50,11 +50,18 @@ beyond the shipped set, per the round-3 verdict):
 * ``try``/``catch``/``finally`` + ``throw`` and ``new Error(msg)``;
   host (Python) exceptions surface in ``catch`` as Error-shaped
   values with ``name``/``message``
+* ES2015 classes: declarations + expressions, ``extends``/``super``
+  (constructor call and ``super.m()``), ``static`` methods, instance
+  and static field initializers, ``instanceof`` (incl. the native
+  Error constructors), method-call ``this`` binding (object-literal
+  methods too; arrows stay lexical), and ES5 function-constructors
+  (``new F()`` with ``this``-assignment). JSON.stringify serializes
+  an instance's own enumerable props, like goja.
 
 Out of scope (raises JsCompileError/JsRuntimeError with a message):
-classes, generators, async/await, labels, getters/setters,
-``instanceof``, prototype mutation. None appear in any shipped
-reference script.
+generators, async/await, labels, getters/setters, computed method
+names, prototype mutation. None appear in any shipped reference
+script.
 """
 
 from __future__ import annotations
@@ -276,6 +283,7 @@ _KEYWORDS = {
     "while", "of", "in", "new", "typeof", "true", "false", "null",
     "undefined", "export", "default", "import", "from", "break",
     "continue", "NaN", "Infinity", "try", "catch", "finally", "throw",
+    "class", "extends", "super", "instanceof",
 }
 
 _PUNCT = [
@@ -536,6 +544,8 @@ class _P:
                 return d
             if t.value == "function":
                 return self.function_decl()
+            if t.value == "class":
+                return self.class_decl()
             if t.value == "return":
                 self.next()
                 if self.at("punct", ";") or self.at("punct", "}") or self.at("eof"):
@@ -637,6 +647,8 @@ class _P:
             d = self.var_decl()
             self.semi()
             return ("export_named", d, t.line)
+        if self.at("kw", "class"):
+            return ("export_named", self.class_decl(), t.line)
         raise JsCompileError("unsupported export form", t.line, t.col)
 
     def var_decl(self):
@@ -708,6 +720,53 @@ class _P:
                 break
         self.expect("punct", ")")
         return params
+
+    def class_decl(self, expr: bool = False):
+        """``class Name [extends Expr] { ... }`` — methods (incl.
+        ``static``), ``constructor``, and plain field initializers
+        (``x = 1;`` / ``static x = 1;``). Getters/setters and computed
+        member names stay out of scope."""
+        t = self.expect("kw", "class")
+        name = None
+        if self.at("ident"):
+            name = self.next().value
+        elif not expr:
+            raise JsCompileError("class name required", t.line, t.col)
+        parent = None
+        if self.eat("kw", "extends"):
+            parent = self.call_member(self.primary(), no_call=True)
+        self.expect("punct", "{")
+        members = []   # ("method"|"field", static, name, ...)
+        while not self.at("punct", "}"):
+            if self.eat("punct", ";"):
+                continue
+            static = False
+            if (self.at("ident", "static")
+                    and not self.at("punct", "(", ahead=1)
+                    and not self.at("punct", "=", ahead=1)):
+                self.next()
+                static = True
+            kt = self.next()
+            if kt.kind not in ("ident", "kw", "str"):
+                raise JsCompileError("bad class member name",
+                                     kt.line, kt.col)
+            key = str(kt.value)
+            if self.at("punct", "("):
+                params = self.param_list()
+                body = self.block()
+                members.append(("method", static, key, params, body,
+                                kt.line))
+            elif self.eat("punct", "="):
+                init = self.assignment()
+                self.semi()
+                members.append(("field", static, key, init, kt.line))
+            else:
+                raise JsCompileError(
+                    f"unsupported class member {key!r} "
+                    "(getters/setters are out of scope)",
+                    kt.line, kt.col)
+        self.expect("punct", "}")
+        return ("class", name, parent, members, t.line)
 
     def if_stmt(self):
         t = self.expect("kw", "if")
@@ -835,10 +894,10 @@ class _P:
 
     def relational(self):
         e = self._binary(self.additive, ("<", ">", "<=", ">="))
-        # `x in obj` (relational precedence)
-        while self.at("kw", "in"):
-            self.next()
-            e = ("binop", "in", e, self.additive())
+        # `x in obj` / `x instanceof C` (relational precedence)
+        while self.at("kw", "in") or self.at("kw", "instanceof"):
+            op = self.next().value
+            e = ("binop", op, e, self.additive())
         return e
 
     def additive(self):
@@ -962,6 +1021,11 @@ class _P:
                 return ("num", float("inf"))
             if t.value == "function":
                 return self.function_decl(anonymous_ok=True)
+            if t.value == "class":
+                return self.class_decl(expr=True)
+            if t.value == "super":
+                self.next()
+                return ("super", t.line)
             if t.value == "of" or t.value == "from" or t.value == "default":
                 # contextual keywords usable as plain identifiers
                 self.next()
@@ -1066,11 +1130,94 @@ class JSFunction:
     body: Any          # ("block", ...) or ("body_expr", expr)
     env: _Env
     interp: "Interpreter" = field(repr=False, default=None)
+    is_arrow: bool = False      # arrows keep lexical `this`
+    home_cls: Any = None        # defining JSClass (for super.m())
 
     def __call__(self, *args):
         """Python-callable bridge: host code (Sel.map etc.) can invoke
         a JS function directly."""
         return self.interp.call(self, list(args))
+
+
+class JSClass:
+    """A user-defined ES2015 class: constructor + methods + statics +
+    field initializers, single-inheritance chain via ``parent``."""
+
+    def __init__(self, name: str, parent: "JSClass | None", env: _Env):
+        self.name = name or ""
+        self.parent = parent
+        self.env = env                    # defining scope (field inits)
+        self.ctor: JSFunction | None = None
+        self.methods: dict[str, JSFunction] = {}
+        self.statics: dict[str, Any] = {}
+        self.fields: list[tuple[str, Any]] = []   # (name, init_ast)
+
+    def find_method(self, name: str):
+        c = self
+        while c is not None:
+            if name in c.methods:
+                return c.methods[name]
+            c = c.parent
+        return None
+
+    def find_static(self, name: str):
+        c = self
+        while c is not None:
+            if name in c.statics:
+                return c.statics[name]
+            c = c.parent
+        return None
+
+    def isa(self, other: "JSClass") -> bool:
+        c = self
+        while c is not None:
+            if c is other:
+                return True
+            c = c.parent
+        return False
+
+
+class JSInstance:
+    """An object constructed from a JSClass: own props + method lookup
+    through the class chain."""
+
+    __slots__ = ("cls", "props")
+
+    def __init__(self, cls: JSClass):
+        self.cls = cls
+        self.props: dict[str, Any] = {}
+
+
+@dataclass
+class JSBoundMethod:
+    """A method plucked off an instance/class — carries its receiver
+    so both ``obj.m()`` and ``const f = obj.m; f()`` bind `this`."""
+    fn: JSFunction
+    this_val: Any
+
+    def __call__(self, *args):
+        return self.fn.interp.call(self.fn, list(args),
+                                   this_val=self.this_val)
+
+
+class NativeErrorCtor:
+    """Host constructor for Error/TypeError/RangeError — a class-like
+    callable so ``instanceof Error`` works on caught values."""
+
+    def __init__(self, error_name: str):
+        self.error_name = error_name
+
+    def __call__(self, msg=UNDEFINED):
+        return JSError(msg, name=self.error_name)
+
+    def matches(self, v) -> bool:
+        if not isinstance(v, JSError):
+            return False
+        return self.error_name == "Error" or v.name == self.error_name
+
+
+#: "no receiver" sentinel for Interpreter.call (None is a real JS value)
+_NO_THIS = object()
 
 
 class _Return(Exception):
@@ -1139,8 +1286,10 @@ def js_string(v) -> str:
     if isinstance(v, list):
         return ",".join("" if x is None or x is UNDEFINED else js_string(x)
                         for x in v)
-    if isinstance(v, dict):
+    if isinstance(v, (dict, JSInstance)):
         return "[object Object]"
+    if isinstance(v, JSClass):
+        return f"class {v.name} {{ ... }}"
     if isinstance(v, (JSFunction, Callable)):
         return f"function {getattr(v, 'name', '') or ''}() {{ ... }}"
     return str(v)
@@ -1495,9 +1644,16 @@ def js_json_stringify(v, indent=None) -> str | None:
                 if c is not _SKIP:
                     out[js_string(k)] = c
             return out
+        if isinstance(x, JSInstance):
+            out = {}
+            for k, val in x.props.items():
+                c = conv(val)
+                if c is not _SKIP:
+                    out[js_string(k)] = c
+            return out
         if isinstance(x, JSSet):
             return {}
-        if isinstance(x, JSFunction) or callable(x):
+        if isinstance(x, (JSFunction, JSClass)) or callable(x):
             return _SKIP
         # host objects (Sel etc.): no enumerable own props in goja's
         # eyes except the Document map's WARNING (js.go:249-255)
@@ -1582,13 +1738,21 @@ class Interpreter:
             "PI": math.pi,
             "E": math.e,
         })
+        def _own(o) -> dict:
+            """Enumerable own props: dicts as-is, class instances via
+            their props map."""
+            if isinstance(o, dict):
+                return o
+            if isinstance(o, JSInstance):
+                return o.props
+            return {}
+
         g.declare("Object", {
-            "keys": lambda o: list(o.keys()) if isinstance(o, dict) else [],
-            "values": lambda o: list(o.values()) if isinstance(o, dict) else [],
-            "entries": lambda o: [[k, v] for k, v in o.items()]
-                if isinstance(o, dict) else [],
+            "keys": lambda o: list(_own(o).keys()),
+            "values": lambda o: list(_own(o).values()),
+            "entries": lambda o: [[k, v] for k, v in _own(o).items()],
             "assign": lambda target, *srcs: (
-                [target.update(s) for s in srcs if isinstance(s, dict)],
+                [_own(target).update(_own(s)) for s in srcs],
                 target)[1],
             "fromEntries": lambda pairs: {js_string(k): v for k, v in pairs},
         })
@@ -1630,11 +1794,11 @@ class Interpreter:
         g.declare("RegExp", lambda pat=UNDEFINED, flags=UNDEFINED: JSRegExp(
             pat.source if isinstance(pat, JSRegExp) else js_string(pat),
             "" if flags is UNDEFINED else js_string(flags)))
-        g.declare("Error", lambda msg=UNDEFINED: JSError(msg))
-        g.declare("TypeError",
-                  lambda msg=UNDEFINED: JSError(msg, name="TypeError"))
-        g.declare("RangeError",
-                  lambda msg=UNDEFINED: JSError(msg, name="RangeError"))
+        g.declare("Error", NativeErrorCtor("Error"))
+        g.declare("TypeError", NativeErrorCtor("TypeError"))
+        g.declare("RangeError", NativeErrorCtor("RangeError"))
+        # module-level `this` is undefined (ES module semantics)
+        g.declare("this", UNDEFINED)
 
     @staticmethod
     def _console(level):
@@ -1668,6 +1832,8 @@ class Interpreter:
                 self.bind(target, value, env, declare=True)
         elif kind == "function":
             pass  # hoisted in exec_block
+        elif kind == "class":
+            env.declare(s[1], self.build_class(s, env))
         elif kind == "return":
             raise _Return(UNDEFINED if s[1] is None
                           else self.eval(s[1], env))
@@ -1824,10 +1990,22 @@ class Interpreter:
             return out
         if kind == "arrow" or kind == "function":
             if kind == "arrow":
-                return JSFunction(None, e[1], e[2], env, self)
+                return JSFunction(None, e[1], e[2], env, self,
+                                  is_arrow=True)
             fn = JSFunction(e[1], e[2], ("body_block", e[3]), env, self)
             return fn
+        if kind == "class":
+            return self.build_class(e, env)
+        if kind == "super":
+            raise JsRuntimeError("'super' outside a method")
         if kind == "member":
+            if e[1][0] == "super":
+                home, this_val = self._super_context(env)
+                fn = home.parent.find_method(e[2]) if home.parent else None
+                if fn is None:
+                    raise JsRuntimeError(
+                        f"super.{e[2]} is not a function")
+                return JSBoundMethod(fn, this_val)
             obj = self.eval(e[1], env)
             if e[3] and (obj is None or obj is UNDEFINED):  # optional ?.
                 return UNDEFINED
@@ -1843,8 +2021,15 @@ class Interpreter:
             args = self.eval_args(e[2], env)
             if callee is JSSet:
                 return JSSet(args[0] if args else None)
+            if isinstance(callee, JSClass):
+                return self.construct(callee, args)
             if isinstance(callee, JSFunction):
-                raise JsRuntimeError("user-defined constructors unsupported")
+                # ES5 function-constructor: fresh object bound as
+                # `this`; an explicit object return overrides it
+                inst: dict = {}
+                out = self.call(callee, args, this_val=inst)
+                return out if isinstance(out, (dict, list, JSInstance)) \
+                    else inst
             if callable(callee):
                 return callee(*args)
             raise JsRuntimeError("not a constructor")
@@ -1887,7 +2072,7 @@ class Interpreter:
                 return "number"
             if isinstance(v, str):
                 return "string"
-            if isinstance(v, JSFunction) or callable(v):
+            if isinstance(v, (JSFunction, JSClass)) or callable(v):
                 return "function"
             return "object"
         if kind == "update":
@@ -1920,6 +2105,10 @@ class Interpreter:
             obj = self.eval(target[1], env)
             if isinstance(obj, dict):
                 obj[target[2]] = value
+            elif isinstance(obj, JSInstance):
+                obj.props[target[2]] = value
+            elif isinstance(obj, JSClass):
+                obj.statics[target[2]] = value
             else:
                 raise JsRuntimeError("cannot set property on non-object")
         elif kind == "index":
@@ -1932,6 +2121,8 @@ class Interpreter:
                 obj[i] = value
             elif isinstance(obj, dict):
                 obj[js_string(idx)] = value
+            elif isinstance(obj, JSInstance):
+                obj.props[js_string(idx)] = value
             else:
                 raise JsRuntimeError("cannot index-assign this value")
         else:
@@ -1997,10 +2188,20 @@ class Interpreter:
         if op == "in":
             if isinstance(b, dict):
                 return js_string(a) in b
+            if isinstance(b, JSInstance):
+                return js_string(a) in b.props
             if isinstance(b, list):
                 i = js_number(a)
                 return 0 <= i < len(b)
             raise JsRuntimeError("'in' on non-object")
+        if op == "instanceof":
+            if isinstance(b, JSClass):
+                return isinstance(a, JSInstance) and a.cls.isa(b)
+            if isinstance(b, NativeErrorCtor):
+                return b.matches(a)
+            if b is JSSet:
+                return isinstance(a, JSSet)
+            raise JsRuntimeError("right side of instanceof is not a class")
         raise JsRuntimeError(f"unsupported operator {op!r}")
 
     # -- property access / host bridge ---------------------------------------
@@ -2011,6 +2212,28 @@ class Interpreter:
                 return UNDEFINED
             raise JsRuntimeError(
                 f"cannot read property {name!r} of {js_string(obj)}")
+        if isinstance(obj, JSInstance):
+            if name in obj.props:
+                return obj.props[name]
+            m = obj.cls.find_method(name)
+            if m is not None:
+                return JSBoundMethod(m, obj)
+            if name == "constructor":
+                return obj.cls
+            return UNDEFINED
+        if isinstance(obj, JSClass):
+            if name == "name":
+                return obj.name
+            v = obj.find_static(name)
+            if isinstance(v, JSFunction):
+                return JSBoundMethod(v, obj)
+            return UNDEFINED if v is None else v
+        if isinstance(obj, JSError):
+            if name in ("message", "name"):
+                return getattr(obj, name)
+            if name == "toString":
+                return obj.to_string
+            return UNDEFINED
         if isinstance(obj, dict):
             return obj.get(name, UNDEFINED)
         if isinstance(obj, str):
@@ -2085,26 +2308,58 @@ class Interpreter:
         _, callee_e, arg_nodes, optional = e
         # method call: keep `this` via direct dispatch
         fn = None
+        this_val = _NO_THIS
+        if callee_e[0] == "super":
+            # super(...) — parent constructor on the current `this`
+            home, this_val = self._super_context(env)
+            parent = home.parent
+            if parent is None:
+                raise JsRuntimeError("'super' in a class without parent")
+            args = self.eval_args(arg_nodes, env)
+            ctor = self._find_ctor(parent)
+            if ctor is not None:
+                self.call(ctor, args, this_val=this_val)
+            return UNDEFINED
         if callee_e[0] == "member":
-            obj = self.eval(callee_e[1], env)
-            if (obj is None or obj is UNDEFINED) and (callee_e[3] or optional):
-                return UNDEFINED
-            fn = self.get_prop(obj, callee_e[2])
-            if fn is UNDEFINED:
-                if optional:
+            if callee_e[1][0] == "super":
+                fn = self.eval(callee_e, env)   # JSBoundMethod
+            else:
+                obj = self.eval(callee_e[1], env)
+                if (obj is None or obj is UNDEFINED) and (callee_e[3] or optional):
                     return UNDEFINED
-                raise JsRuntimeError(
-                    f"{js_string(obj)[:40]}.{callee_e[2]} is not a function")
+                fn = self.get_prop(obj, callee_e[2])
+                if isinstance(fn, JSFunction):
+                    this_val = obj   # obj.m() binds `this` = obj
+                if fn is UNDEFINED:
+                    if optional:
+                        return UNDEFINED
+                    raise JsRuntimeError(
+                        f"{js_string(obj)[:40]}.{callee_e[2]} is not a function")
         else:
             fn = self.eval(callee_e, env)
             if (fn is None or fn is UNDEFINED) and optional:
                 return UNDEFINED
         args = self.eval_args(arg_nodes, env)
-        return self.call(fn, args)
+        return self.call(fn, args, this_val=this_val)
 
-    def call(self, fn, args: list):
+    def call(self, fn, args: list, this_val=None):
+        if this_val is None:
+            this_val = _NO_THIS
+        if isinstance(fn, JSBoundMethod):
+            return self.call(fn.fn, args, this_val=fn.this_val)
+        if isinstance(fn, JSClass):
+            raise JsRuntimeError(
+                f"class constructor {fn.name} cannot be invoked "
+                "without 'new'")
         if isinstance(fn, JSFunction):
             env = _Env(fn.env)
+            if not fn.is_arrow:
+                # plain functions get their own `this` (undefined when
+                # called bare); arrows keep the lexical one
+                env.declare("this",
+                            UNDEFINED if this_val is _NO_THIS else this_val)
+                if fn.home_cls is not None:
+                    env.declare("__home__", fn.home_cls)
             for i, p in enumerate(fn.params):
                 self.bind(p, args[i] if i < len(args) else UNDEFINED,
                           env, declare=True)
@@ -2130,6 +2385,81 @@ class Interpreter:
             return UNDEFINED if out is None and self._returns_none_ok(fn) \
                 else out
         raise JsRuntimeError(f"{js_string(fn)[:60]} is not a function")
+
+    # -- classes ---------------------------------------------------------------
+
+    def build_class(self, node, env: _Env) -> JSClass:
+        """Evaluate a ("class", name, parent_expr, members, line) node."""
+        _, name, parent_e, members, _line = node
+        parent = None
+        if parent_e is not None:
+            parent = self.eval(parent_e, env)
+            if not isinstance(parent, JSClass):
+                raise JsRuntimeError(
+                    f"class {name or ''} can only extend another class")
+        cls = JSClass(name, parent, env)
+        for m in members:
+            if m[0] == "method":
+                _, static, key, params, body, _ln = m
+                fn = JSFunction(key, params, ("body_block", body), env,
+                                self, home_cls=cls)
+                if key == "constructor" and not static:
+                    cls.ctor = fn
+                elif static:
+                    cls.statics[key] = fn
+                else:
+                    cls.methods[key] = fn
+            else:  # field
+                _, static, key, init, _ln = m
+                if static:
+                    cls.statics[key] = self.eval(init, env)
+                else:
+                    cls.fields.append((key, init))
+        return cls
+
+    @staticmethod
+    def _find_ctor(cls: JSClass) -> JSFunction | None:
+        c = cls
+        while c is not None:
+            if c.ctor is not None:
+                return c.ctor
+            c = c.parent
+        return None
+
+    def construct(self, cls: JSClass, args: list) -> JSInstance:
+        """``new cls(...)``: field initializers run root->leaf with
+        `this` bound, then the nearest constructor in the chain runs
+        (``super(...)`` inside it invokes the parent constructor body —
+        fields are already initialized, a lenient simplification of
+        the spec's super-before-this rule)."""
+        inst = JSInstance(cls)
+        chain = []
+        c = cls
+        while c is not None:
+            chain.append(c)
+            c = c.parent
+        for c in reversed(chain):
+            for key, init in c.fields:
+                fenv = _Env(c.env)
+                fenv.declare("this", inst)
+                fenv.declare("__home__", c)
+                inst.props[key] = self.eval(init, fenv)
+        ctor = self._find_ctor(cls)
+        if ctor is not None:
+            self.call(ctor, args, this_val=inst)
+        return inst
+
+    def _super_context(self, env: _Env):
+        """(home class, this) of the currently executing method."""
+        try:
+            home = env.get("__home__")
+            this_val = env.get("this")
+        except JsRuntimeError:
+            home = None
+            this_val = UNDEFINED
+        if not isinstance(home, JSClass):
+            raise JsRuntimeError("'super' outside a class method")
+        return home, this_val
 
     @staticmethod
     def _host_arity(fn, have: int) -> int:
@@ -2269,6 +2599,9 @@ def compile_module(source: str, imports: dict | None = None,
         if kind == "export_named":
             decl = s[1]
             if decl[0] == "function":
+                exports[decl[1]] = env.get(decl[1])
+            elif decl[0] == "class":
+                interp.exec_stmt(decl, env)
                 exports[decl[1]] = env.get(decl[1])
             else:  # var decl
                 interp.exec_stmt(decl, env)

@@ -2608,7 +2608,9 @@ def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     build exactly."""
     from flyscrape_spark.sources.sitemaps import parse_sitemaps
 
-    return parse_sitemaps(_sitemap_xml(spark, sf_dir))
+    return parse_sitemaps(_sitemap_xml(spark, sf_dir)).select(
+        "host", "url", "lastmod", "position"
+    )
 
 
 def sql_sitemap_extract() -> str:
@@ -4778,4 +4780,141 @@ SELECT depth, n_urls,
              / CAST(lag(n_urls) OVER (ORDER BY depth) AS DOUBLE), 6)
          AS growth
 FROM per_depth
+"""
+
+
+SM_HOSTS = 5
+SM_PATHS = 60
+SM_CAP = 25
+
+
+def _synthetic_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sitemap XML per host, derived from doc_id: loc
+    repeats every lcm(5,60)=60 ids (exercising the per-(host,loc)
+    dedup), lastmod on ids % 3 == 0, priority on even ids, pretty-
+    printed whitespace inside <loc> (exercising the trim)."""
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    host = F.concat(F.lit("h"), (i % SM_HOSTS).cast("string"),
+                    F.lit(".example"))
+    loc = F.concat(F.lit("https://"), host, F.lit("/page/"),
+                   (i % SM_PATHS).cast("string"))
+    lastmod = F.when(
+        i % 3 == 0,
+        F.concat(F.lit("<lastmod>2026-01-"),
+                 F.lpad((i % 28 + 1).cast("string"), 2, "0"),
+                 F.lit("</lastmod>")),
+    ).otherwise(F.lit(""))
+    priority = F.when(
+        i % 2 == 0,
+        F.concat(F.lit("<priority>"),
+                 F.round((i % 7) / 10.0 + 0.2, 1).cast("string"),
+                 F.lit("</priority>")),
+    ).otherwise(F.lit(""))
+    entry = F.concat(
+        F.lit("<url>\n  <loc> "), loc, F.lit(" </loc>\n  "),
+        lastmod, priority, F.lit("\n</url>\n"),
+    )
+    return (
+        docs.select(host.alias("host"), entry.alias("entry"))
+        .groupBy("host")
+        .agg(F.array_join(F.collect_list("entry"), "").alias("body"))
+        .select(
+            F.concat(F.lit("https://"), F.col("host"),
+                     F.lit("/sitemap.xml")).alias("sitemap_url"),
+            F.concat(F.lit('<?xml version="1.0"?>\n<urlset>\n'),
+                     F.col("body"), F.lit("</urlset>")).alias("xml"),
+        )
+    )
+
+
+def q_sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap seed planning (operators/sitemaps.py): deterministic
+    <urlset> XML synthesized per host -> JVM from_xml parse
+    (sources/sitemaps.py) -> canonicalized locs -> per-(host,loc)
+    dedup -> per-host (priority, lastmod) seed ranking with cap. The
+    oracle computes
+    the expected seeds closed-form from the same doc_id rules, so
+    the whole XML round-trip is what's under test."""
+    from flyscrape_spark.operators.sitemaps import sitemap_seeds
+
+    return sitemap_seeds(
+        _synthetic_sitemaps(spark, sf_dir), per_host_cap=SM_CAP
+    )
+
+
+def sql_sitemap_seeds() -> str:
+    return f"""
+WITH syn AS (
+  SELECT doc_id,
+         'h' || (doc_id % {SM_HOSTS}) || '.example' AS host,
+         'https://h' || (doc_id % {SM_HOSTS}) || '.example/page/'
+           || (doc_id % {SM_PATHS}) AS loc,
+         CASE WHEN doc_id % 3 = 0
+              THEN '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR),
+                                      2, '0') END AS lastmod,
+         CASE WHEN doc_id % 2 = 0
+              THEN round((doc_id % 7) / 10.0 + 0.2, 6)
+              ELSE 0.5 END AS priority
+  FROM documents
+),
+per_url AS (
+  SELECT host, loc, max(priority) AS priority, max(lastmod) AS lastmod
+  FROM syn GROUP BY 1, 2
+),
+ranked AS (
+  SELECT host, loc, round(priority, 6) AS priority, lastmod,
+         CAST(row_number() OVER (
+           PARTITION BY host
+           ORDER BY priority DESC, lastmod DESC NULLS LAST, loc ASC
+         ) AS BIGINT) AS seed_rank
+  FROM per_url
+)
+SELECT host, loc, priority, lastmod, seed_rank
+FROM ranked WHERE seed_rank <= {SM_CAP}
+"""
+
+
+BPE_MIN_COUNT = 2
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training step-0 statistics (operators/bpe.py): adjacent
+    character-pair frequencies over the corpus weighted by word
+    frequency, word-final symbols pairing with the </w> marker
+    (Sennrich 2016). Corpus is touched once by a combinable word
+    count; the char fan-out runs over the bounded vocabulary."""
+    from flyscrape_spark.operators.bpe import bpe_pair_counts
+
+    return bpe_pair_counts(
+        load(spark, sf_dir, "documents"), min_count=BPE_MIN_COUNT
+    )
+
+
+def sql_bpe_pairs(min_count: int = BPE_MIN_COUNT) -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split({_NORM_SQL}, ' '),
+                            t -> t <> '')) AS word
+  FROM documents
+),
+words AS (SELECT word, count(*) AS freq FROM toks GROUP BY 1),
+pairs AS (
+  SELECT freq,
+         unnest(list_transform(range(1, length(word) + 1),
+                               i -> substr(word, i, 1))) AS left_sym,
+         unnest(list_transform(range(1, length(word) + 1),
+             i -> CASE WHEN i < length(word)
+                       THEN substr(word, i + 1, 1)
+                       ELSE '</w>' END)) AS right_sym
+  FROM words
+),
+counts AS (
+  SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY 1, 2 HAVING sum(freq) >= {min_count}
+)
+SELECT left_sym, right_sym, pair_count,
+       CAST(row_number() OVER (ORDER BY pair_count DESC, left_sym ASC,
+                               right_sym ASC) AS BIGINT) AS merge_rank
+FROM counts
 """

@@ -23,17 +23,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-URLSET_SCHEMA = "url ARRAY<STRUCT<loc: STRING, lastmod: STRING>>"
+URLSET_SCHEMA = (
+    "url ARRAY<STRUCT<loc: STRING, lastmod: STRING,"
+    " changefreq: STRING, priority: STRING>>"
+)
 INDEX_SCHEMA = "sitemap ARRAY<STRUCT<loc: STRING, lastmod: STRING>>"
+
+#: sitemaps.org default when <priority> is absent
+DEFAULT_PRIORITY = 0.5
 
 
 def parse_sitemaps(
     sitemaps: DataFrame, xml_col: str = "xml", host_col: str = "host"
 ) -> DataFrame:
-    """(host, url, lastmod, position) for every <url> entry of every
-    sitemap body, in document order. Entries with no <loc> are
-    dropped (spec: loc is required); lastmod is optional and NULL
-    when absent."""
+    """(host, url, lastmod, position, changefreq, priority) for every
+    <url> entry of every sitemap body, in document order. Entries
+    with no <loc> are dropped (spec: loc is required); lastmod and
+    changefreq are optional and NULL when absent; priority defaults
+    to 0.5 per the protocol."""
     parsed = sitemaps.select(
         F.col(host_col).alias("host"),
         F.from_xml(F.col(xml_col), URLSET_SCHEMA).alias("s"),
@@ -43,9 +50,17 @@ def parse_sitemaps(
         .filter(F.col("u.loc").isNotNull())
         .select(
             "host",
-            F.col("u.loc").alias("url"),
+            F.trim(F.col("u.loc")).alias("url"),
             F.col("u.lastmod").alias("lastmod"),
             "position",
+            F.col("u.changefreq").alias("changefreq"),
+            F.round(
+                F.coalesce(
+                    F.col("u.priority").cast("double"),
+                    F.lit(DEFAULT_PRIORITY),
+                ),
+                6,
+            ).alias("priority"),
         )
     )
 

@@ -290,12 +290,76 @@ def test_scrape_fn_adapter_matches_sequential_oracle():
 
 
 def test_unsupported_features_error_cleanly():
-    with pytest.raises((JsCompileError, JsRuntimeError)):
-        compile_module("export default class Foo {}")
+    # generators / getters stay out of scope (classes joined the
+    # supported surface in round 4)
     with pytest.raises((JsCompileError, JsRuntimeError)):
         m = compile_module(
             "export default function* gen() { yield 1; }")
         m.interp.call(m.default, [])
+    with pytest.raises((JsCompileError, JsRuntimeError)):
+        compile_module("class G { get x() { return 1; } }\n"
+                       "export default function() { return 0; }")
+
+
+def test_classes_end_to_end():
+    # round-4: ES2015 classes — ctor/fields/methods/static/extends/
+    # super/instanceof/this-binding (object literals too)
+    m = compile_module("""
+class Animal {
+  legs = 4;
+  static kingdom = "Animalia";
+  constructor(name) { this.name = name; }
+  speak() { return this.name + " speaks"; }
+}
+class Dog extends Animal {
+  constructor(name, breed) { super(name); this.breed = breed; }
+  speak() { return super.speak() + " woof"; }
+  lexical() { const f = () => this.legs; return f(); }
+}
+const lit = { n: 5, double() { return this.n * 2; } };
+export default function() {
+  const d = new Dog("Rex", "lab");
+  let caught = "";
+  try { throw new TypeError("boom"); } catch (e) {
+    caught = (e instanceof TypeError) && (e instanceof Error)
+      ? e.message : "no";
+  }
+  return {
+    speak: d.speak(), isAnimal: d instanceof Animal,
+    legs: d.legs, arrowThis: d.lexical(),
+    statics: Animal.kingdom, literalThis: lit.double(),
+    keys: Object.keys(d), json: JSON.stringify(d),
+    t: typeof Dog, caught: caught,
+  };
+}
+""")
+    out = m.interp.call(m.exports["default"], [])
+    assert out["speak"] == "Rex speaks woof"
+    assert out["isAnimal"] is True
+    assert out["legs"] == 4 and out["arrowThis"] == 4
+    assert out["statics"] == "Animalia"
+    assert out["literalThis"] == 10
+    assert out["keys"] == ["legs", "name", "breed"]
+    assert out["json"] == '{"legs":4,"name":"Rex","breed":"lab"}'
+    assert out["t"] == "function"
+    assert out["caught"] == "boom"
+
+
+def test_function_constructor_and_class_expression():
+    m = compile_module("""
+function Point(x, y) { this.x = x; this.y = y; }
+const C = class { constructor() { this.v = 1; } };
+class D extends C {}
+export default function() {
+  const p = new Point(1, 2);
+  let err = "";
+  try { C(); } catch (e) { err = e.message; }
+  return {sum: p.x + p.y, v: new D().v,
+          needsNew: err.indexOf("new") >= 0};
+}
+""")
+    out = m.interp.call(m.exports["default"], [])
+    assert out == {"sum": 3, "v": 1, "needsNew": True}
 
 
 def test_regex_literal_supported():

@@ -460,6 +460,28 @@ CHECKS = {
         "generate_explode": r"Generate posexplode",
         "max_exchanges": 0,
     },
+    "sitemap_seeds": {
+        # from_xml parse + canonicalize are pure JVM; shuffles: the
+        # synthetic fixture's per-host XML build, the per-(host,loc)
+        # dedup agg (map-side combinable max), and the per-host rank
+        # window — the window partitions by host, never globally
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "partial_agg": r"partial_max",
+        "no_cartesian": r"!CartesianProduct",
+        "per_host_window": r"Window.*partitionBy|Window \[.*host",
+        "max_exchanges": 3,
+    },
+    "bpe_pairs": {
+        # the corpus is touched ONCE by the combinable word count;
+        # the char fan-out + pair agg run over the bounded vocabulary;
+        # the rank window is global but over <= |charset|^2 rows
+        # (Exchange SinglePartition, outside the hash-shuffle budget)
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "partial_agg": r"partial_(count|sum)",
+        "no_cartesian": r"!CartesianProduct",
+        "codegen": r"\*\(\d+\)",
+        "max_exchanges": 2,
+    },
     "change_rate": {
         # the lag window and the per-url aggregate share ONE shuffle
         # on url (the events_sessionize pattern)
