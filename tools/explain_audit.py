@@ -576,10 +576,13 @@ CHECKS = {
         "max_exchanges": 1,
     },
     "mirror_hosts": {
-        # within-hash-bucket pairing only; boilerplate cap upstream
+        # within-hash-bucket pairing only; boilerplate cap upstream.
+        # budget 7: the round-3 advice fix computes per-host sizes
+        # from the CAPPED postings (numerator and denominator see the
+        # same universe), which adds one combinable groupBy(host)
         "no_cartesian": "!CartesianProduct",
         "partial_agg": r"partial_",
-        "max_exchanges": 6,
+        "max_exchanges": 7,
     },
     "meta_robots": {
         # pure JVM regex + array ops: fuses into the page projection
