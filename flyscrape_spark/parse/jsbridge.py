@@ -143,6 +143,16 @@ def run_js_script(module: JsModule, html: str, url: str,
     follows: list[str] = []
     value = module.interp.call(fn, [_make_params(module, html, url,
                                                  fetch, follows)])
+    # async scrape functions return a settled promise (all host APIs
+    # are synchronous): unwrap it — a rejection surfaces exactly like
+    # a synchronous throw
+    from flyscrape_spark.parse.jsvm import JSPromise, JsRuntimeError as _RTE
+    if isinstance(value, JSPromise):
+        if value.state == "rejected":
+            from flyscrape_spark.parse.jsvm import js_string
+            raise _RTE(js_string(value.value))
+        value._settled_or_raise("scrape result")
+        value = value.value
     data = js_json_stringify(value)
     if data == "null":
         data = None

@@ -58,10 +58,20 @@ beyond the shipped set, per the round-3 verdict):
   (``new F()`` with ``this``-assignment). JSON.stringify serializes
   an instance's own enumerable props, like goja.
 
+* ``async``/``await`` + Promise with SYNCHRONOUS resolution: the
+  reference runs scripts inside a synchronous per-page goja call
+  (js.go:155-163) with no event loop, and every host API here
+  resolves immediately — so ``async function`` returns an
+  already-settled JSPromise, ``await`` unwraps it (re-throwing a
+  rejection), and ``then``/``catch``/``finally`` run their callbacks
+  at call time. ``Promise.resolve/reject/all/allSettled/race/any``
+  and ``new Promise(executor)`` (executor runs immediately; a
+  promise the executor leaves unsettled can never settle later —
+  awaiting it raises a clear error instead of hanging).
+
 Out of scope (raises JsCompileError/JsRuntimeError with a message):
-generators, async/await, labels, getters/setters, computed method
-names, prototype mutation. None appear in any shipped reference
-script.
+generators, labels, getters/setters, computed method names,
+prototype mutation. None appear in any shipped reference script.
 """
 
 from __future__ import annotations
@@ -164,6 +174,135 @@ class JSError:
 
     def __repr__(self):
         return self.to_string()
+
+
+class JSPromise:
+    """A promise with synchronous-resolution semantics (see module
+    docstring: the host has no event loop, mirroring the reference's
+    synchronous per-page goja call at js.go:155-163). ``state`` is
+    'fulfilled', 'rejected' or 'pending'; pending promises can never
+    settle (no queue exists to settle them from), so awaiting or
+    chaining one raises instead of deadlocking."""
+
+    __slots__ = ("state", "value")
+
+    def __init__(self, state: str = "pending", value=UNDEFINED):
+        self.state = state
+        self.value = value
+
+    def _settled_or_raise(self, op: str):
+        if self.state == "pending":
+            raise JsRuntimeError(
+                f"{op} on a forever-pending promise: the jsvm has no "
+                "event loop (all host APIs are synchronous), so a "
+                "promise not settled at construction never settles")
+
+    def _then(self, interp, on_f=UNDEFINED, on_r=UNDEFINED) -> "JSPromise":
+        self._settled_or_raise("then")
+        cb = on_f if self.state == "fulfilled" else on_r
+        if not (callable(cb) or isinstance(cb, (JSFunction, JSBoundMethod))):
+            return JSPromise(self.state, self.value)  # pass-through
+        try:
+            out = interp.call(cb, [self.value])
+        except _Throw as t:
+            return JSPromise("rejected", t.value)
+        except (JsRuntimeError, JsCompileError) as exc:
+            return JSPromise("rejected", _as_error_value(exc))
+        return out if isinstance(out, JSPromise) \
+            else JSPromise("fulfilled", out)
+
+    def _finally(self, interp, cb=UNDEFINED) -> "JSPromise":
+        self._settled_or_raise("finally")
+        if callable(cb) or isinstance(cb, (JSFunction, JSBoundMethod)):
+            try:
+                interp.call(cb, [])
+            except _Throw as t:
+                return JSPromise("rejected", t.value)
+            except (JsRuntimeError, JsCompileError) as exc:
+                return JSPromise("rejected", _as_error_value(exc))
+        return JSPromise(self.state, self.value)
+
+    def __repr__(self):
+        return f"Promise<{self.state}>"
+
+
+def _promise_of(v) -> "JSPromise":
+    """Promise.resolve semantics: promises pass through, plain values
+    wrap as fulfilled."""
+    return v if isinstance(v, JSPromise) else JSPromise("fulfilled", v)
+
+
+class PromiseCtor:
+    """The ``Promise`` global: combinator statics + ``new
+    Promise(executor)`` (the executor runs immediately — see
+    JSPromise). With every input already settled, ``race``/``any``
+    reduce to scanning the array in order."""
+
+    def __init__(self, interp):
+        self._interp = interp
+
+    def resolve(self, v=UNDEFINED):
+        return _promise_of(v)
+
+    def reject(self, v=UNDEFINED):
+        return JSPromise("rejected", v)
+
+    @staticmethod
+    def _settled(xs):
+        ps = [_promise_of(x) for x in ([] if xs is UNDEFINED else list(xs))]
+        for p in ps:
+            p._settled_or_raise("Promise combinator")
+        return ps
+
+    def all(self, xs=UNDEFINED):
+        out = []
+        for p in self._settled(xs):
+            if p.state == "rejected":
+                return p
+            out.append(p.value)
+        return JSPromise("fulfilled", out)
+
+    def all_settled(self, xs=UNDEFINED):
+        return JSPromise("fulfilled", [
+            {"status": p.state, "value": p.value}
+            if p.state == "fulfilled"
+            else {"status": p.state, "reason": p.value}
+            for p in self._settled(xs)
+        ])
+
+    def race(self, xs=UNDEFINED):
+        ps = self._settled(xs)
+        # an empty race never settles in JS; no event loop -> pending
+        return ps[0] if ps else JSPromise("pending")
+
+    def any(self, xs=UNDEFINED):
+        ps = self._settled(xs)
+        for p in ps:
+            if p.state == "fulfilled":
+                return p
+        return JSPromise(
+            "rejected",
+            JSError("All promises were rejected", name="AggregateError"))
+
+    def construct(self, executor=UNDEFINED) -> JSPromise:
+        p = JSPromise("pending")
+
+        def settle(state):
+            def cb(v=UNDEFINED):
+                if p.state == "pending":   # first settle wins
+                    p.state, p.value = state, v
+                return UNDEFINED
+            return cb
+
+        if executor is UNDEFINED:
+            raise JsRuntimeError("Promise executor is not a function")
+        try:
+            self._interp.call(executor,
+                              [settle("fulfilled"), settle("rejected")])
+        except _Throw as t:
+            if p.state == "pending":
+                p.state, p.value = "rejected", t.value
+        return p
 
 
 def _js_regex_to_py(source: str) -> str:
@@ -283,7 +422,7 @@ _KEYWORDS = {
     "while", "of", "in", "new", "typeof", "true", "false", "null",
     "undefined", "export", "default", "import", "from", "break",
     "continue", "NaN", "Infinity", "try", "catch", "finally", "throw",
-    "class", "extends", "super", "instanceof",
+    "class", "extends", "super", "instanceof", "await",
 }
 
 _PUNCT = [
@@ -533,6 +672,9 @@ class _P:
 
     def statement(self, top: bool = False):
         t = self.peek()
+        if self.at("ident", "async") and self.at("kw", "function", 1):
+            self.next()
+            return self.function_decl(is_async=True)
         if t.kind == "kw":
             if t.value == "import" and top:
                 return self.import_decl()
@@ -635,14 +777,21 @@ class _P:
     def export_decl(self):
         t = self.expect("kw", "export")
         if self.eat("kw", "default"):
-            if self.at("kw", "function"):
-                fn = self.function_decl(anonymous_ok=True)
+            if self.at("kw", "function") or (
+                    self.at("ident", "async")
+                    and self.at("kw", "function", 1)):
+                is_async = self.eat_async()
+                fn = self.function_decl(anonymous_ok=True,
+                                        is_async=is_async)
                 return ("export_default", fn, t.line)
             e = self.expression()
             self.semi()
             return ("export_default", ("expr_value", e), t.line)
-        if self.at("kw", "function"):
-            return ("export_named", self.function_decl(), t.line)
+        if self.at("kw", "function") or (
+                self.at("ident", "async") and self.at("kw", "function", 1)):
+            is_async = self.eat_async()
+            return ("export_named",
+                    self.function_decl(is_async=is_async), t.line)
         if self.at("kw", "const") or self.at("kw", "let") or self.at("kw", "var"):
             d = self.var_decl()
             self.semi()
@@ -700,7 +849,15 @@ class _P:
         t = self.peek()
         raise JsCompileError(f"bad binding target {t.value!r}", t.line, t.col)
 
-    def function_decl(self, anonymous_ok: bool = False):
+    def eat_async(self) -> bool:
+        """Consume a contextual ``async`` that prefixes ``function``."""
+        if self.at("ident", "async") and self.at("kw", "function", 1):
+            self.next()
+            return True
+        return False
+
+    def function_decl(self, anonymous_ok: bool = False,
+                      is_async: bool = False):
         t = self.expect("kw", "function")
         name = None
         if self.at("ident"):
@@ -709,7 +866,7 @@ class _P:
             raise JsCompileError("function name required", t.line, t.col)
         params = self.param_list()
         body = self.block()
-        return ("function", name, params, body, t.line)
+        return ("function", name, params, body, t.line, is_async)
 
     def param_list(self):
         self.expect("punct", "(")
@@ -746,6 +903,12 @@ class _P:
                     and not self.at("punct", "=", ahead=1)):
                 self.next()
                 static = True
+            is_async = False
+            if (self.at("ident", "async")
+                    and not self.at("punct", "(", ahead=1)
+                    and not self.at("punct", "=", ahead=1)):
+                self.next()
+                is_async = True
             kt = self.next()
             if kt.kind not in ("ident", "kw", "str"):
                 raise JsCompileError("bad class member name",
@@ -755,7 +918,7 @@ class _P:
                 params = self.param_list()
                 body = self.block()
                 members.append(("method", static, key, params, body,
-                                kt.line))
+                                kt.line, is_async))
             elif self.eat("punct", "="):
                 init = self.assignment()
                 self.semi()
@@ -846,15 +1009,23 @@ class _P:
         """Backtracking arrow-function parse; returns None if the
         upcoming tokens are not an arrow function."""
         start = self.i
+        is_async = False
         try:
+            if self.at("ident", "async") and (
+                    self.at("punct", "(", 1)
+                    or (self.at("ident", None, 1)
+                        and self.at("punct", "=>", 2))):
+                # tentative: `async(x)` the CALL backtracks out below
+                self.next()
+                is_async = True
             if self.at("ident") and self.at("punct", "=>", 1):
                 param = ("bind_ident", self.next().value)
                 self.expect("punct", "=>")
-                return ("arrow", [param], self.arrow_body())
+                return ("arrow", [param], self.arrow_body(), is_async)
             if self.at("punct", "("):
                 params = self.param_list()
                 if self.eat("punct", "=>"):
-                    return ("arrow", params, self.arrow_body())
+                    return ("arrow", params, self.arrow_body(), is_async)
         except JsCompileError:
             pass
         self.i = start
@@ -977,6 +1148,9 @@ class _P:
 
     def primary(self):
         t = self.peek()
+        if self.at("ident", "async") and self.at("kw", "function", 1):
+            self.next()
+            return self.function_decl(anonymous_ok=True, is_async=True)
         if t.kind == "num":
             self.next()
             return ("num", t.value)
@@ -1023,6 +1197,11 @@ class _P:
                 return self.function_decl(anonymous_ok=True)
             if t.value == "class":
                 return self.class_decl(expr=True)
+            if t.value == "await":
+                # `await` in expression position parses in primary so
+                # it binds tighter than binary operators' operands
+                self.next()
+                return ("await", self.unary())
             if t.value == "super":
                 self.next()
                 return ("super", t.line)
@@ -1132,6 +1311,8 @@ class JSFunction:
     interp: "Interpreter" = field(repr=False, default=None)
     is_arrow: bool = False      # arrows keep lexical `this`
     home_cls: Any = None        # defining JSClass (for super.m())
+    is_async: bool = False      # async fns wrap their result/throw
+                                # in a settled JSPromise
 
     def __call__(self, *args):
         """Python-callable bridge: host code (Sel.map etc.) can invoke
@@ -1288,6 +1469,8 @@ def js_string(v) -> str:
                         for x in v)
     if isinstance(v, (dict, JSInstance)):
         return "[object Object]"
+    if isinstance(v, JSPromise):
+        return "[object Promise]"
     if isinstance(v, JSClass):
         return f"class {v.name} {{ ... }}"
     if isinstance(v, (JSFunction, Callable)):
@@ -1651,8 +1834,8 @@ def js_json_stringify(v, indent=None) -> str | None:
                 if c is not _SKIP:
                     out[js_string(k)] = c
             return out
-        if isinstance(x, JSSet):
-            return {}
+        if isinstance(x, (JSSet, JSPromise)):
+            return {}   # no enumerable own props, like goja
         if isinstance(x, (JSFunction, JSClass)) or callable(x):
             return _SKIP
         # host objects (Sel etc.): no enumerable own props in goja's
@@ -1791,6 +1974,7 @@ class Interpreter:
             "warn": self._console("warn"),
         })
         g.declare("Set", JSSet)  # constructed via `new`
+        g.declare("Promise", PromiseCtor(self))
         g.declare("RegExp", lambda pat=UNDEFINED, flags=UNDEFINED: JSRegExp(
             pat.source if isinstance(pat, JSRegExp) else js_string(pat),
             "" if flags is UNDEFINED else js_string(flags)))
@@ -1818,7 +2002,9 @@ class Interpreter:
         # helpers declared after the default export, examples/download.js)
         for s in stmts:
             if s[0] == "function" and s[1]:
-                env.declare(s[1], JSFunction(s[1], s[2], s[3], env, self))
+                env.declare(s[1], JSFunction(
+                    s[1], s[2], s[3], env, self,
+                    is_async=len(s) > 5 and bool(s[5])))
         for s in stmts:
             self.exec_stmt(s, env)
 
@@ -1991,8 +2177,10 @@ class Interpreter:
         if kind == "arrow" or kind == "function":
             if kind == "arrow":
                 return JSFunction(None, e[1], e[2], env, self,
-                                  is_arrow=True)
-            fn = JSFunction(e[1], e[2], ("body_block", e[3]), env, self)
+                                  is_arrow=True,
+                                  is_async=len(e) > 3 and bool(e[3]))
+            fn = JSFunction(e[1], e[2], ("body_block", e[3]), env, self,
+                            is_async=len(e) > 5 and bool(e[5]))
             return fn
         if kind == "class":
             return self.build_class(e, env)
@@ -2021,6 +2209,8 @@ class Interpreter:
             args = self.eval_args(e[2], env)
             if callee is JSSet:
                 return JSSet(args[0] if args else None)
+            if isinstance(callee, PromiseCtor):
+                return callee.construct(args[0] if args else UNDEFINED)
             if isinstance(callee, JSClass):
                 return self.construct(callee, args)
             if isinstance(callee, JSFunction):
@@ -2033,6 +2223,15 @@ class Interpreter:
             if callable(callee):
                 return callee(*args)
             raise JsRuntimeError("not a constructor")
+        if kind == "await":
+            v = self.eval(e[1], env)
+            if isinstance(v, JSPromise):
+                if v.state == "fulfilled":
+                    return v.value
+                if v.state == "rejected":
+                    raise _Throw(v.value)
+                v._settled_or_raise("await")
+            return v
         if kind == "cond":
             return (self.eval(e[2], env) if js_truthy(self.eval(e[1], env))
                     else self.eval(e[3], env))
@@ -2201,6 +2400,8 @@ class Interpreter:
                 return b.matches(a)
             if b is JSSet:
                 return isinstance(a, JSSet)
+            if isinstance(b, PromiseCtor):
+                return isinstance(a, JSPromise)
             raise JsRuntimeError("right side of instanceof is not a class")
         raise JsRuntimeError(f"unsupported operator {op!r}")
 
@@ -2246,6 +2447,16 @@ class Interpreter:
                 return len(obj)
             m = _array_method(obj, name, self)
             return m if m is not None else UNDEFINED
+        if isinstance(obj, JSPromise):
+            if name == "then":
+                return lambda on_f=UNDEFINED, on_r=UNDEFINED: \
+                    obj._then(self, on_f, on_r)
+            if name == "catch":
+                return lambda on_r=UNDEFINED: \
+                    obj._then(self, UNDEFINED, on_r)
+            if name == "finally":
+                return lambda cb=UNDEFINED: obj._finally(self, cb)
+            return UNDEFINED
         if isinstance(obj, JSSet):
             if name == "size":
                 return obj.size
@@ -2363,15 +2574,19 @@ class Interpreter:
             for i, p in enumerate(fn.params):
                 self.bind(p, args[i] if i < len(args) else UNDEFINED,
                           env, declare=True)
-            body = fn.body
-            if body[0] == "body_expr":
-                return self.eval(body[1], env)
-            block = body[1] if body[0] == "body_block" else body
+            if not fn.is_async:
+                return self._run_fn_body(fn, env)
+            # async: any completion settles a promise synchronously —
+            # a return value fulfills (flattening a returned promise),
+            # a JS throw or host error rejects
             try:
-                self.exec_block(block[1], env)
-            except _Return as r:
-                return r.value
-            return UNDEFINED
+                return _promise_of(self._run_fn_body(fn, env))
+            except _Throw as t:
+                return JSPromise("rejected", t.value)
+            except (_Return, _Break, _Continue):
+                raise
+            except (JsRuntimeError, JsCompileError) as exc:
+                return JSPromise("rejected", _as_error_value(exc))
         if callable(fn):
             conv = [self._to_host(a) for a in args]
             try:
@@ -2385,6 +2600,17 @@ class Interpreter:
             return UNDEFINED if out is None and self._returns_none_ok(fn) \
                 else out
         raise JsRuntimeError(f"{js_string(fn)[:60]} is not a function")
+
+    def _run_fn_body(self, fn: JSFunction, env: _Env):
+        body = fn.body
+        if body[0] == "body_expr":
+            return self.eval(body[1], env)
+        block = body[1] if body[0] == "body_block" else body
+        try:
+            self.exec_block(block[1], env)
+        except _Return as r:
+            return r.value
+        return UNDEFINED
 
     # -- classes ---------------------------------------------------------------
 
@@ -2400,9 +2626,9 @@ class Interpreter:
         cls = JSClass(name, parent, env)
         for m in members:
             if m[0] == "method":
-                _, static, key, params, body, _ln = m
+                _, static, key, params, body, _ln, is_async = m
                 fn = JSFunction(key, params, ("body_block", body), env,
-                                self, home_cls=cls)
+                                self, home_cls=cls, is_async=is_async)
                 if key == "constructor" and not static:
                     cls.ctor = fn
                 elif static:
@@ -2570,13 +2796,14 @@ def compile_module(source: str, imports: dict | None = None,
     def hoist(stmts):
         for s in stmts:
             if s[0] == "function" and s[1]:
-                env.declare(s[1], JSFunction(s[1], s[2], ("body_block", s[3]),
-                                             env, interp))
+                env.declare(s[1], JSFunction(
+                    s[1], s[2], ("body_block", s[3]), env, interp,
+                    is_async=len(s) > 5 and bool(s[5])))
             elif s[0] == "export_named" and s[1][0] == "function" and s[1][1]:
                 fs = s[1]
-                env.declare(fs[1], JSFunction(fs[1], fs[2],
-                                              ("body_block", fs[3]),
-                                              env, interp))
+                env.declare(fs[1], JSFunction(
+                    fs[1], fs[2], ("body_block", fs[3]), env, interp,
+                    is_async=len(fs) > 5 and bool(fs[5])))
 
     hoist(body)
 
@@ -2589,7 +2816,8 @@ def compile_module(source: str, imports: dict | None = None,
             decl = s[1]
             if decl[0] == "function":
                 fn = JSFunction(decl[1], decl[2], ("body_block", decl[3]),
-                                env, interp)
+                                env, interp,
+                                is_async=len(decl) > 5 and bool(decl[5]))
                 if decl[1]:
                     env.declare(decl[1], fn)
                 exports["default"] = fn

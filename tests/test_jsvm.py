@@ -370,6 +370,98 @@ def test_regex_literal_supported():
     assert m.interp.call(m.default, []) is True
 
 
+def test_async_await_end_to_end():
+    # round-4: async/await with synchronous resolution (no event
+    # loop, mirroring the reference's synchronous per-page goja call,
+    # js.go:155-163): settled promises, combinators, rejection =
+    # throw, then/catch chains, async methods and arrows
+    m = compile_module("""
+async function double(x) {
+  if (x < 0) throw new Error("neg");
+  return x * 2;
+}
+const inc = async v => v + 1;
+class Loader {
+  constructor(base) { this.base = base; }
+  async load(p) { return this.base + "/" + p; }
+  static async make() { return new Loader("root"); }
+}
+export default async function() {
+  const a = await double(4);
+  const b = await inc(a);
+  const all = await Promise.all([1, Promise.resolve(2), inc(2)]);
+  let caught = "";
+  try { await double(-1); } catch (e) { caught = e.message; }
+  const chained = await Promise.resolve(5).then(v => v * 10);
+  const recovered = await Promise.reject(new Error("boom"))
+    .catch(e => "rec:" + e.message);
+  const executed = await new Promise((resolve, reject) => resolve(42));
+  const settled = await Promise.allSettled(
+    [Promise.resolve(1), Promise.reject("bad")]);
+  const l = await Loader.make();
+  return {a, b, all, caught, chained, recovered, executed,
+          s0: settled[0].status, s1: settled[1].reason,
+          viaMethod: await l.load("x"),
+          isPromise: double(1) instanceof Promise,
+          plain: await 7};
+}
+""")
+    out = m.interp.call(m.exports["default"], [])
+    assert out.state == "fulfilled"
+    assert out.value == {
+        "a": 8, "b": 9, "all": [1, 2, 3], "caught": "neg",
+        "chained": 50, "recovered": "rec:boom", "executed": 42,
+        "s0": "fulfilled", "s1": "bad", "viaMethod": "root/x",
+        "isPromise": True, "plain": 7,
+    }
+
+
+def test_async_rejection_and_identifier_ambiguity():
+    # an unhandled rejection propagates out of the async fn as a
+    # rejected promise; `async` stays usable as a plain identifier
+    m = compile_module("""
+function async(x) { return x + 1; }   // fn literally named async
+const obj = { async: 7 };
+export default async function() {
+  return [async(5), obj.async];
+}
+""")
+    out = m.interp.call(m.exports["default"], [])
+    assert out.state == "fulfilled" and out.value == [6, 7]
+
+    m2 = compile_module(
+        "export default async function() {"
+        " await Promise.reject(new Error('die')); return 1; }")
+    out2 = m2.interp.call(m2.exports["default"], [])
+    assert out2.state == "rejected"
+    assert out2.value.message == "die"
+
+    # a promise the executor never settles can never settle later
+    # (no event loop): awaiting it raises a clear error, not a hang
+    m3 = compile_module(
+        "export default async function() {"
+        " return await new Promise((res, rej) => {}); }")
+    out3 = m3.interp.call(m3.exports["default"], [])
+    assert out3.state == "rejected"
+    assert "pending" in out3.value.message
+
+
+def test_async_scrape_script_through_bridge():
+    # a wild async scrape function runs through the same bridge as
+    # sync ones: the settled promise is unwrapped, JSON comes out
+    src = """
+export default async function ({ doc, absoluteURL }) {
+  const title = await Promise.resolve(doc.find("h1").text());
+  return { title, link: absoluteURL("/next") };
+}
+"""
+    module = compile_script(src)
+    data, follows = run_js_script(
+        module, "<html><h1>Hello</h1></html>", "https://a.example/p")
+    assert json.loads(data) == {
+        "title": "Hello", "link": "https://a.example/next"}
+
+
 # ------------------------- part 3: reference .js files end-to-end (Spark)
 
 def _run_reference_js(spark, tmp_path, name, pages, overrides=None):
