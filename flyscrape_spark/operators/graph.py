@@ -316,3 +316,55 @@ def lpa_communities(
         return labels.select(node_col, F.col("label").alias("community"))
     finally:
         und.unpersist()
+
+
+def reciprocal_links(
+    edges: DataFrame,
+    min_out: int = 3,
+    spam_threshold: float = 0.5,
+) -> DataFrame:
+    """Host-level link reciprocity: for every host, the fraction of
+    its distinct outlink hosts that link straight back — the classic
+    link-farm / link-exchange signal (reciprocal rings trade links to
+    inflate PageRank; organic link graphs are strongly asymmetric).
+
+    Input: (src, dst) host-level edges. Output: (host, n_out,
+    n_reciprocal, reciprocity, link_farm) where link_farm flags hosts
+    with >= ``min_out`` outlink hosts and reciprocity >=
+    ``spam_threshold``.
+
+    Engine-added (the reference has no cross-site analysis); feeds
+    the same demotion pipeline as trustrank/domain_reputation.
+
+    Scale shape: one distinct on the host pair (map-side combinable),
+    then the reciprocity test is a self-join on the REVERSED pair key
+    — both sides hash-partition on the same (a,b) composite, so it is
+    one symmetric shuffle, never a cross join; the per-host rollup is
+    a combinable count. Self-loops are dropped (trivially
+    reciprocal).
+    """
+    pairs = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    rev = pairs.select(F.col("b").alias("a"), F.col("a").alias("b")).withColumn(
+        "_rev", F.lit(True)
+    )
+    marked = pairs.join(rev, ["a", "b"], "left")
+    return (
+        marked.groupBy(F.col("a").alias("host"))
+        .agg(
+            F.count("*").alias("n_out"),
+            F.count("_rev").alias("n_reciprocal"),
+        )
+        .withColumn(
+            "reciprocity",
+            F.round(F.col("n_reciprocal").cast("double") / F.col("n_out"), 6),
+        )
+        .withColumn(
+            "link_farm",
+            (F.col("n_out") >= min_out)
+            & (F.col("reciprocity") >= spam_threshold),
+        )
+    )

@@ -187,3 +187,57 @@ def schedule_crawl(rates: DataFrame, budget_per_host: int,
         .select(url_col, "host", "lambda_hat", "next_due",
                 F.col("sched_rank").cast("int").alias("sched_rank"))
     )
+
+
+def revalidate_plan(
+    crawl_log: DataFrame,
+    p_low: float = 0.2,
+    header_bytes: int = 600,
+    url_col: str = "url",
+) -> DataFrame:
+    """Conditional-GET planning: decide per URL whether the next
+    visit should SKIP (change unlikely), REVALIDATE (conditional GET
+    against the stored ETag/Last-Modified — costs ~header bytes when
+    unchanged), or REFETCH (no validator stored — full body either
+    way).
+
+    Input columns: ``url``, ``age_days`` (since last fetch),
+    ``lambda_hat`` (Poisson change rate, :func:`change_rate`),
+    ``has_validator`` (ETag or Last-Modified was stored — the
+    RevalidatingTransport in sources/transport.py records both),
+    ``page_bytes`` (last body size).
+
+    p_change = 1 - exp(-lambda_hat * age_days) (the Cho &
+    Garcia-Molina freshness model); action = 'skip' if p < p_low,
+    else 'revalidate' when a validator exists else 'refetch'.
+    est_bytes = expected bytes of the visit: skip = 0, revalidate =
+    headers + p * body (body ships only when changed, RFC 9111 304
+    semantics), refetch = headers + body.
+
+    Engine-added: the reference's cache revalidates on resume
+    (/root/reference/modules/cache/cache.go) but refetches
+    unconditionally across runs; at 10^10 URLs the 304 path IS the
+    bandwidth budget. Scale shape: pure per-row projection — zero
+    shuffles, fuses into the crawl-log scan.
+    """
+    age = F.col("age_days").cast("double")
+    lam = F.col("lambda_hat").cast("double")
+    p = 1.0 - F.exp(-lam * age)
+    body = F.col("page_bytes").cast("double")
+    action = (
+        F.when(p < float(p_low), F.lit("skip"))
+        .when(F.col("has_validator"), F.lit("revalidate"))
+        .otherwise(F.lit("refetch"))
+    )
+    est = (
+        F.when(action == "skip", F.lit(0.0))
+        .when(action == "revalidate",
+              F.lit(float(header_bytes)) + p * body)
+        .otherwise(F.lit(float(header_bytes)) + body)
+    )
+    return crawl_log.select(
+        F.col(url_col).alias("url"),
+        F.round(p, 4).alias("p_change"),
+        action.alias("action"),
+        F.round(est, 4).alias("est_bytes"),
+    )

@@ -4918,3 +4918,302 @@ SELECT left_sym, right_sym, pair_count,
                                right_sym ASC) AS BIGINT) AS merge_rank
 FROM counts
 """
+
+
+# ------------------------------------------- round-4 batch-2 operators
+
+def _soft404_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages with deliberate soft-404s: i%7==1 -> hard 404 serving the
+    host's error template; i%7==3 -> status 200 serving the SAME
+    template (template-signal soft-404); i%7==5 -> status 200 with a
+    not-found phrase prepended (phrase-signal soft-404); else a
+    healthy 200 with the doc's own text."""
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    hostnum = (i % GRAPH_HOSTS).cast("string")
+    tpl = F.concat(F.lit("Oops! h"), hostnum, F.lit(" error template"))
+    text = (
+        F.when((i % 7 == 1) | (i % 7 == 3), tpl)
+        .when(i % 7 == 5,
+              F.concat(F.lit("Sorry, this page does not exist. "),
+                       F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    status = F.when(i % 7 == 1, F.lit(404)).otherwise(F.lit(200))
+    return docs.select(
+        _doc_url(i).alias("url"),
+        F.concat(F.lit("h"), hostnum, F.lit(".example")).alias("host"),
+        status.alias("status"),
+        text.alias("text"),
+    )
+
+
+def q_soft_404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection (operators/soft404.py): per-host error
+    templates learned from hard 404s broadcast against 200-responses,
+    plus the not-found phrase regex."""
+    from flyscrape_spark.operators.soft404 import soft_404
+
+    return soft_404(_soft404_pages(spark, sf_dir))
+
+
+def sql_soft_404() -> str:
+    h = portable_hash64_sql("text")
+    return f"""
+WITH p AS (
+  SELECT {_doc_url_sql('doc_id')} AS url,
+         'h' || (doc_id % {GRAPH_HOSTS}) || '.example' AS host,
+         CASE WHEN doc_id % 7 = 1 THEN 404 ELSE 200 END AS status,
+         CASE WHEN doc_id % 7 IN (1, 3)
+              THEN 'Oops! h' || (doc_id % {GRAPH_HOSTS}) || ' error template'
+              WHEN doc_id % 7 = 5
+              THEN 'Sorry, this page does not exist. ' || text
+              ELSE text END AS text
+  FROM documents
+),
+tpl AS (SELECT DISTINCT host, {h} AS body_hash FROM p WHERE status >= 400),
+ok AS (
+  SELECT url, host, {h} AS body_hash,
+         regexp_matches(lower(text),
+           'page not found|404 not found|does not exist|no longer available')
+           AS phrase_hit
+  FROM p WHERE status = 200
+)
+SELECT ok.url, ok.host, ok.phrase_hit,
+       (tpl.body_hash IS NOT NULL) AS template_hit,
+       (ok.phrase_hit OR tpl.body_hash IS NOT NULL) AS soft404
+FROM ok LEFT JOIN tpl ON tpl.host = ok.host AND tpl.body_hash = ok.body_hash
+"""
+
+
+def _linkcheck_inputs(spark: SparkSession, sf_dir: str):
+    """(links, pages): the synthetic web's two outlinks per doc plus
+    an external never-fetched target for every 5th doc; fetch log
+    serves 404 for i%11==7, 410 for i%13==9 (404 case wins when both),
+    200 otherwise."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    i = F.col("doc_id")
+    src = _doc_url(i)
+    e1 = docs.select(src.alias("src"), _doc_url((2 * i + 1) % n).alias("dst"))
+    e2 = docs.select(src.alias("src"), _doc_url((3 * i + 2) % n).alias("dst"))
+    ext = docs.filter(i % 5 == 0).select(
+        src.alias("src"),
+        F.concat(F.lit("http://ext.example/x"),
+                 (i % 17).cast("string")).alias("dst"),
+    )
+    links = e1.unionByName(e2).unionByName(ext)
+    status = (
+        F.when(i % 11 == 7, F.lit(404))
+        .when(i % 13 == 9, F.lit(410))
+        .otherwise(F.lit(200))
+    )
+    pages = docs.select(src.alias("url"), status.alias("status"))
+    return links, pages
+
+
+def q_broken_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broken-link audit (operators/linkcheck.py): per-target inlink
+    rollup joined to the fetch log; report = dead + unfetched targets."""
+    from flyscrape_spark.operators.linkcheck import broken_links
+
+    links, pages = _linkcheck_inputs(spark, sf_dir)
+    out = broken_links(links, pages)
+    return out.select("dst", F.col("n_refs").cast("long").alias("n_refs"),
+                      "example_src", F.col("status").cast("int").alias("status"),
+                      "reason")
+
+
+def sql_broken_links() -> str:
+    u = _doc_url_sql("doc_id")
+    return f"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+links AS (
+  SELECT {u} AS src, {_doc_url_sql('((2*doc_id+1) % n.n)')} AS dst
+  FROM documents, n
+  UNION ALL
+  SELECT {u}, {_doc_url_sql('((3*doc_id+2) % n.n)')} FROM documents, n
+  UNION ALL
+  SELECT {u}, 'http://ext.example/x' || (doc_id % 17)
+  FROM documents WHERE doc_id % 5 = 0
+),
+pages AS (
+  SELECT {u} AS url,
+         CASE WHEN doc_id % 11 = 7 THEN 404
+              WHEN doc_id % 13 = 9 THEN 410
+              ELSE 200 END AS status
+  FROM documents
+),
+refs AS (
+  SELECT dst, CAST(count(*) AS BIGINT) AS n_refs, min(src) AS example_src
+  FROM links GROUP BY 1
+)
+SELECT refs.dst, refs.n_refs, refs.example_src,
+       CAST(p.status AS INT) AS status,
+       CASE WHEN p.status IS NULL THEN 'unfetched'
+            ELSE 'http_error' END AS reason
+FROM refs LEFT JOIN pages p ON p.url = refs.dst
+WHERE p.status IS NULL OR p.status >= 400
+"""
+
+
+_HREFLANG_LANGS = ("en", "fr", "de", "es")
+
+
+def _hreflang_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groups of 4 consecutive docs; group g declares L = 2 + (g%3)
+    language variants (members k=0..L-1 tagged en/fr/de/es by
+    position); members with k >= L carry no hreflang markup."""
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    base = i - (i % 4)
+    L = (F.lit(2) + F.floor(base / 4) % 3).cast("int")
+
+    def tag(k: int) -> F.Column:
+        return F.concat(
+            F.lit('<link rel="alternate" hreflang="'),
+            F.lit(_HREFLANG_LANGS[k]),
+            F.lit('" href="'), _doc_url(base + k), F.lit('"/>'),
+        )
+
+    tags = F.concat_ws(
+        "",
+        *[F.when(F.lit(k) < L, tag(k)).otherwise(F.lit("")) for k in range(4)],
+    )
+    html = F.when(
+        (i % 4) < L,
+        F.concat(F.lit("<html><head>"), tags,
+                 F.lit("</head><body><p>d</p></body></html>")),
+    ).otherwise(F.lit("<html><head></head><body><p>d</p></body></html>"))
+    return docs.select(_doc_url(i).alias("url"), html.alias("html"))
+
+
+def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang alternate-language clusters (operators/hreflang.py):
+    tag-pair extraction zipped positionally, cluster key = min href of
+    the declared set, per-cluster language rollup."""
+    from flyscrape_spark.operators.hreflang import hreflang_clusters
+
+    return hreflang_clusters(_hreflang_pages(spark, sf_dir))
+
+
+def sql_hreflang_clusters() -> str:
+    u0 = _doc_url_sql("base")
+    u1 = _doc_url_sql("(base + 1)")
+    u2 = _doc_url_sql("(base + 2)")
+    u3 = _doc_url_sql("(base + 3)")
+    return f"""
+WITH m AS (
+  SELECT doc_id, doc_id - (doc_id % 4) AS base,
+         2 + ((doc_id - (doc_id % 4)) // 4) % 3 AS L
+  FROM documents
+),
+members AS (SELECT * FROM m WHERE doc_id % 4 < L),
+keyed AS (
+  SELECT base, L,
+         CASE L WHEN 2 THEN least({u0}, {u1})
+                WHEN 3 THEN least({u0}, {u1}, {u2})
+                ELSE least({u0}, {u1}, {u2}, {u3}) END AS cluster_id,
+         CASE L WHEN 2 THEN ['en', 'fr']
+                WHEN 3 THEN ['de', 'en', 'fr']
+                ELSE ['de', 'en', 'es', 'fr'] END AS langs
+  FROM members
+)
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_pages, langs
+FROM keyed GROUP BY cluster_id, langs
+"""
+
+
+def q_revalidate_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-GET planning (operators/recrawl.py revalidate_plan):
+    Cho & Garcia-Molina change probability -> skip / revalidate /
+    refetch with expected bytes per visit."""
+    from flyscrape_spark.operators.recrawl import revalidate_plan
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    log = docs.select(
+        _doc_url(i).alias("url"),
+        ((i % 10) + 1).cast("double").alias("age_days"),
+        (((i % 7) + 1).cast("double") / F.lit(14.0)).alias("lambda_hat"),
+        (i % 3 == 0).alias("has_validator"),
+        (F.lit(1000) + (i % 50) * 100).cast("double").alias("page_bytes"),
+    )
+    return revalidate_plan(log)
+
+
+def sql_revalidate_plan(p_low: float = 0.2, header_bytes: int = 600) -> str:
+    return f"""
+WITH log AS (
+  SELECT {_doc_url_sql('doc_id')} AS url,
+         CAST((doc_id % 10) + 1 AS DOUBLE) AS age_days,
+         CAST((doc_id % 7) + 1 AS DOUBLE) / 14.0 AS lambda_hat,
+         doc_id % 3 = 0 AS has_validator,
+         CAST(1000 + (doc_id % 50) * 100 AS DOUBLE) AS page_bytes
+  FROM documents
+),
+p AS (
+  SELECT url, 1.0 - exp(-lambda_hat * age_days) AS pc,
+         has_validator, page_bytes
+  FROM log
+)
+SELECT url, round(pc, 4) AS p_change,
+       CASE WHEN pc < {p_low} THEN 'skip'
+            WHEN has_validator THEN 'revalidate'
+            ELSE 'refetch' END AS action,
+       round(CASE WHEN pc < {p_low} THEN 0.0
+                  WHEN has_validator THEN {header_bytes} + pc * page_bytes
+                  ELSE {header_bytes} + page_bytes END, 4) AS est_bytes
+FROM p
+"""
+
+
+_RECIP_HOSTS = 120
+
+
+def q_reciprocal_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-farm reciprocity (operators/graph.py reciprocal_links):
+    host-level edge i%120 -> (3i+7)%120, with the reverse edge added
+    for every 4th doc — a deterministic mix of one-way and reciprocal
+    host pairs."""
+    from flyscrape_spark.operators.graph import reciprocal_links
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = F.concat(F.lit("s"), (i % _RECIP_HOSTS).cast("string"))
+    d = F.concat(F.lit("s"), ((3 * i + 7) % _RECIP_HOSTS).cast("string"))
+    fwd = docs.select(s.alias("src"), d.alias("dst"))
+    rev = docs.filter(i % 4 == 0).select(d.alias("src"), s.alias("dst"))
+    return reciprocal_links(fwd.unionByName(rev)).select(
+        "host", F.col("n_out").cast("long").alias("n_out"),
+        F.col("n_reciprocal").cast("long").alias("n_reciprocal"),
+        "reciprocity", "link_farm",
+    )
+
+
+def sql_reciprocal_links(min_out: int = 3, threshold: float = 0.5) -> str:
+    return f"""
+WITH e AS (
+  SELECT 's' || (doc_id % {_RECIP_HOSTS}) AS a,
+         's' || ((3 * doc_id + 7) % {_RECIP_HOSTS}) AS b
+  FROM documents
+  UNION ALL
+  SELECT 's' || ((3 * doc_id + 7) % {_RECIP_HOSTS}),
+         's' || (doc_id % {_RECIP_HOSTS})
+  FROM documents WHERE doc_id % 4 = 0
+),
+pairs AS (SELECT DISTINCT a, b FROM e WHERE a <> b),
+marked AS (
+  SELECT p.a, p.b, r.a IS NOT NULL AS rec
+  FROM pairs p
+  LEFT JOIN pairs r ON r.a = p.b AND r.b = p.a
+)
+SELECT a AS host, CAST(count(*) AS BIGINT) AS n_out,
+       CAST(sum(CASE WHEN rec THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal,
+       round(sum(CASE WHEN rec THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS reciprocity,
+       (count(*) >= {min_out} AND
+        sum(CASE WHEN rec THEN 1 ELSE 0 END) * 1.0 / count(*) >= {threshold})
+         AS link_farm
+FROM marked GROUP BY 1
+"""

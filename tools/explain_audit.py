@@ -482,6 +482,53 @@ CHECKS = {
         "codegen": r"\*\(\d+\)",
         "max_exchanges": 2,
     },
+    "soft_404": {
+        # error-template table is tiny (O(hosts)) -> must BROADCAST
+        # against the 200-side scan; the only shuffle is the
+        # template distinct; phrase regex is pure codegen
+        "broadcast_templates": r"BroadcastHashJoin",
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "no_cartesian": r"!CartesianProduct",
+        "codegen": r"\*\(\d+\)",
+        "max_exchanges": 1,
+    },
+    "broken_links": {
+        # links aggregate BEFORE the status join (one row per distinct
+        # target crosses the wire, map-side combined); the join is
+        # AQE-broadcast at audit SF, sort-merge at scale (+1 budget)
+        "partial_agg": r"partial_(count|min)",
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "no_cartesian": r"!CartesianProduct",
+        "max_exchanges": 2,
+    },
+    "hreflang_clusters": {
+        # tag extraction + positional zip are pure codegen; ONE
+        # shuffle (the cluster rollup), no joins anywhere
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "no_join": r"!Join",
+        "partial_agg": r"partial_(collect_list|count)",
+        "codegen": r"\*\(\d+\)",
+        "max_exchanges": 1,
+    },
+    "revalidate_plan": {
+        # pure per-row projection: fuses into the scan — zero
+        # shuffles, zero joins, zero Python
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "no_join": r"!Join",
+        "no_exchange": r"!Exchange",
+        "codegen": r"\*\(\d+\)",
+        "max_exchanges": 0,
+    },
+    "reciprocal_links": {
+        # distinct pair agg (combinable), reversed-pair self-join on
+        # the same composite key (broadcast at audit SF, symmetric
+        # hash at scale: +1 budget), one combinable host rollup
+        "partial_agg": r"partial_count",
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "no_cartesian": r"!CartesianProduct",
+        "codegen": r"\*\(\d+\)",
+        "max_exchanges": 4,
+    },
     "change_rate": {
         # the lag window and the per-url aggregate share ONE shuffle
         # on url (the events_sessionize pattern)
