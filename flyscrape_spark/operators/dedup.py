@@ -427,3 +427,44 @@ def lsh_eval(
             4,
         ).alias("recall"),
     )
+
+
+def normalized_title(col="title"):
+    """Case-folded, whitespace-collapsed title — the cheap near-dup
+    key for template-farm detection (thousands of pages differing
+    only in their body boilerplate share one headline)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def title_clusters(pages: DataFrame, title_col: str = "title",
+                   url_col: str = "url", min_pages: int = 2) -> DataFrame:
+    """(title_key, n_pages, n_hosts, example_url) for every
+    normalized title shared by ≥ ``min_pages`` pages — the
+    duplicate-headline report (soft-404 shells, tag/search pages,
+    syndication) that feeds the same demotion pipeline as
+    url_templates (operators/traps.py).
+
+    Scale shape: one combinable aggregate keyed by the 64-bit title
+    hash; n_hosts is a two-level distinct (host set per title is
+    tiny; the inner groupBy combines map-side).
+    """
+    from flyscrape_spark.functions.urls import host_of
+
+    keyed = pages.select(
+        portable_hash64(normalized_title(title_col)).alias("title_key"),
+        F.col(url_col).alias("url"),
+        host_of(F.col(url_col)).alias("host"),
+    )
+    per_host = keyed.groupBy("title_key", "host").agg(
+        F.count("*").alias("_n"), F.min("url").alias("_u")
+    )
+    return (
+        per_host.groupBy("title_key")
+        .agg(
+            F.sum("_n").alias("n_pages"),
+            F.count("*").alias("n_hosts"),
+            F.min("_u").alias("example_url"),
+        )
+        .filter(F.col("n_pages") >= min_pages)
+    )

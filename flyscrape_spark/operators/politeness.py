@@ -269,3 +269,82 @@ def server_politeness(
             .alias("shared_hosting"),
         )
     )
+
+
+def adaptive_delay(
+    fetch_log: DataFrame,
+    base_delay_s: float = 1.0,
+    latency_factor: float = 3.0,
+    quantile: float = 0.95,
+) -> DataFrame:
+    """Latency-adaptive per-host pacing: hosts whose p95 response
+    latency is high get a LONGER crawl delay — the server is telling
+    us it is struggling, and hammering a slow origin is how crawlers
+    get blocked. adjusted = max(base, latency_factor * p95_seconds);
+    the standard adaptive-politeness rule (e.g. Heritrix's
+    delay-factor), which the reference's fixed per-host rate
+    (/root/reference/modules/ratelimit/ratelimit.go:36-75) cannot
+    express.
+
+    Input: (host, latency_ms) one row per completed fetch. Output:
+    (host, n_fetches, p95_ms, adjusted_delay_s, throttled).
+
+    Scale shape: ONE combinable aggregate per host (exact
+    interpolated percentile — Spark's percentile aggregate keeps a
+    per-host digest, merged map-side); the result table is O(hosts)
+    and feeds the token-bucket schedule as a broadcast.
+    """
+    lat = F.col("latency_ms").cast("double")
+    agg = fetch_log.groupBy("host").agg(
+        F.count("*").alias("n_fetches"),
+        F.percentile(lat, F.lit(float(quantile))).alias("_p95"),
+    )
+    adjusted = F.greatest(
+        F.lit(float(base_delay_s)),
+        F.lit(float(latency_factor)) * F.col("_p95") / F.lit(1000.0),
+    )
+    return agg.select(
+        "host",
+        "n_fetches",
+        F.round(F.col("_p95"), 4).alias("p95_ms"),
+        F.round(adjusted, 4).alias("adjusted_delay_s"),
+        (adjusted > float(base_delay_s)).alias("throttled"),
+    )
+
+
+def frontier_backlog(
+    frontier: DataFrame,
+    rates: DataFrame,
+    horizon_s: float = 600.0,
+    host_col: str = "host",
+) -> DataFrame:
+    """Per-host frontier drain report: how long until each host's
+    pending queue empties at its politeness-capped rate, and which
+    hosts are STARVED (drain time beyond the scheduling horizon —
+    their tail will never be fetched unless the budget changes).
+
+    Input: ``frontier`` (one row per pending URL, with ``host``),
+    ``rates`` (host, rate_per_s — the politeness budget,
+    O(hosts) small). Output: (host, n_pending, rate_per_s, drain_s,
+    starved).
+
+    The signal closes the planning loop: schedule_crawl decides WHAT
+    to fetch per host, this reports whether the per-host budget can
+    actually clear the queue — the capacity-planning view a frontier
+    at 10^10 URLs is operated by.
+
+    Scale shape: one map-side-combinable count per host over the big
+    frontier, then a broadcast join against the tiny rate table.
+    """
+    pending = frontier.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").alias("n_pending")
+    )
+    r = rates.select(F.col(host_col).alias("host"),
+                     F.col("rate_per_s").cast("double").alias("rate_per_s"))
+    j = pending.join(F.broadcast(r), "host", "left")
+    drain = F.col("n_pending").cast("double") / F.col("rate_per_s")
+    return j.select(
+        "host", "n_pending", "rate_per_s",
+        F.round(drain, 4).alias("drain_s"),
+        F.coalesce(drain > float(horizon_s), F.lit(True)).alias("starved"),
+    )

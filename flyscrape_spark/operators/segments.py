@@ -109,3 +109,46 @@ def dedup_segments(
             ).alias("clean_text"),
         )
     )
+
+
+def host_template_lines(
+    pages: DataFrame,
+    min_docs: int = 5,
+    host_col: str = "host",
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Per-HOST boilerplate lines: lines that repeat across ≥
+    ``min_docs`` documents of the SAME host — navigation, footers,
+    cookie banners. The per-host scope is what separates template
+    chrome from globally-common lines (:func:`boilerplate_segments`
+    is corpus-global; a host's "© example.com 2024" footer never
+    clears a global threshold but poisons every page of that host).
+
+    Output: (host, line, n_docs) — the host's template-line table,
+    the strip-list a boilerplate-removal pass broadcasts per host.
+
+    Scale shape: explode lines, then the same two-level combinable
+    aggregate as boilerplate_segments but keyed (host, line_hash,
+    doc): the inner groupBy dedups within-doc repeats map-side, the
+    outer counts distinct docs; both shuffles carry (host, line)
+    composite keys so a hot host spreads over its distinct lines.
+    """
+    lines = pages.select(
+        F.col(host_col).alias("host"),
+        F.col(doc_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.transform(F.split(F.col(text_col), r"\n"),
+                            lambda l: F.trim(l)),
+                lambda l: l != "",
+            )
+        ).alias("line"),
+    )
+    return (
+        lines.groupBy("host", "line", "doc_id")
+        .agg(F.count("*").alias("_n"))
+        .groupBy("host", "line")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -5217,3 +5217,218 @@ SELECT a AS host, CAST(count(*) AS BIGINT) AS n_out,
          AS link_farm
 FROM marked GROUP BY 1
 """
+
+
+# ------------------------------------------- round-4 batch-3 operators
+
+def q_host_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host boilerplate lines (operators/segments.py
+    host_template_lines): every doc on host hN carries that host's
+    footer + nav lines; the detector must recover exactly those
+    (natural text lines stay under the per-host df threshold)."""
+    from flyscrape_spark.operators.segments import host_template_lines
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    hostnum = (i % GRAPH_HOSTS).cast("string")
+    pages = docs.select(
+        F.concat(F.lit("h"), hostnum, F.lit(".example")).alias("host"),
+        F.col("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit("\nFooter of h"), hostnum,
+            F.lit("\nNav h"), hostnum, F.lit(" menu"),
+        ).alias("text"),
+    )
+    return host_template_lines(pages, min_docs=5).select(
+        "host", "line", F.col("n_docs").cast("long").alias("n_docs"))
+
+
+def sql_host_templates(min_docs: int = 5) -> str:
+    return f"""
+WITH p AS (
+  SELECT 'h' || (doc_id % {GRAPH_HOSTS}) || '.example' AS host, doc_id,
+         text || chr(10) || 'Footer of h' || (doc_id % {GRAPH_HOSTS})
+              || chr(10) || 'Nav h' || (doc_id % {GRAPH_HOSTS}) || ' menu'
+           AS text
+  FROM documents
+),
+lines AS (
+  SELECT host, doc_id,
+         trim(unnest(string_split(text, chr(10)))) AS line
+  FROM p
+),
+per_doc AS (
+  SELECT host, line, doc_id FROM lines WHERE line <> ''
+  GROUP BY host, line, doc_id
+)
+SELECT host, line, CAST(count(*) AS BIGINT) AS n_docs
+FROM per_doc GROUP BY host, line HAVING count(*) >= {min_docs}
+"""
+
+
+def q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC revisit records (sources/warc.py revisit_records): groups
+    of 3 consecutive docs share a payload digest; the first capture
+    (lowest ts) stays 'response', later ones become 'revisit' with a
+    refers_to pointer."""
+    from flyscrape_spark.sources.warc import revisit_records
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    base = i - (i % 3)
+    pages = docs.select(
+        _doc_url(i).alias("url"),
+        (F.lit(1000) + i).cast("long").alias("ts"),
+        portable_hash64(
+            F.concat(F.lit("payload-"), base.cast("string"))
+        ).alias("digest"),
+    )
+    return revisit_records(pages)
+
+
+def sql_warc_revisit() -> str:
+    dig = portable_hash64_sql("'payload-' || (doc_id - (doc_id % 3))")
+    return f"""
+WITH caps AS (
+  SELECT {_doc_url_sql('doc_id')} AS url,
+         CAST(1000 + doc_id AS BIGINT) AS ts, {dig} AS digest
+  FROM documents
+),
+first AS (
+  -- ts = 1000 + doc_id is unique, so arg_min is tie-free and matches
+  -- the Spark side's min-over-(ts, url) struct exactly
+  SELECT digest, min(ts) AS fts, arg_min(url, ts) AS furl
+  FROM caps GROUP BY digest
+)
+SELECT c.url, c.ts, c.digest,
+       CASE WHEN c.ts = f.fts AND c.url = f.furl
+            THEN 'response' ELSE 'revisit' END AS record_type,
+       CASE WHEN c.ts = f.fts AND c.url = f.furl
+            THEN NULL ELSE f.furl END AS refers_to
+FROM caps c JOIN first f USING (digest)
+"""
+
+
+def q_adaptive_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency-adaptive politeness (operators/politeness.py
+    adaptive_delay): per-host exact p95 fetch latency -> adjusted
+    crawl delay, slow hosts throttled up."""
+    from flyscrape_spark.operators.politeness import adaptive_delay
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    log = docs.select(
+        F.concat(F.lit("h"), (i % GRAPH_HOSTS).cast("string"),
+                 F.lit(".example")).alias("host"),
+        (F.lit(50) + (i % 200) * 7 + (i % GRAPH_HOSTS) * 11)
+            .cast("double").alias("latency_ms"),
+    )
+    return adaptive_delay(log).select(
+        "host", F.col("n_fetches").cast("long").alias("n_fetches"),
+        "p95_ms", "adjusted_delay_s", "throttled")
+
+
+def sql_adaptive_delay(base: float = 1.0, factor: float = 3.0) -> str:
+    return f"""
+WITH log AS (
+  SELECT 'h' || (doc_id % {GRAPH_HOSTS}) || '.example' AS host,
+         CAST(50 + (doc_id % 200) * 7 + (doc_id % {GRAPH_HOSTS}) * 11
+              AS DOUBLE) AS latency_ms
+  FROM documents
+),
+agg AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
+         quantile_cont(latency_ms, 0.95) AS p95
+  FROM log GROUP BY host
+)
+SELECT host, n_fetches, round(p95, 4) AS p95_ms,
+       round(greatest({base}, {factor} * p95 / 1000.0), 4)
+         AS adjusted_delay_s,
+       greatest({base}, {factor} * p95 / 1000.0) > {base} AS throttled
+FROM agg
+"""
+
+
+def q_title_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-headline clusters (operators/dedup.py
+    title_clusters): raw titles vary in case/whitespace by i%3 but
+    normalize to one key per (i%40) family spanning many hosts."""
+    from flyscrape_spark.operators.dedup import title_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    t = (i % 40).cast("string")
+    title = (
+        F.when(i % 3 == 0, F.concat(F.lit("Title "), t, F.lit(" News")))
+        .when(i % 3 == 1, F.concat(F.lit("TITLE   "), t, F.lit("   NEWS")))
+        .otherwise(F.concat(F.lit(" title "), t, F.lit(" news ")))
+    )
+    pages = docs.select(_doc_url(i).alias("url"), title.alias("title"))
+    return title_clusters(pages).select(
+        "title_key", F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("n_hosts").cast("long").alias("n_hosts"), "example_url")
+
+
+def sql_title_dedup(min_pages: int = 2) -> str:
+    norm = (
+        "trim(regexp_replace(lower(CASE"
+        " WHEN doc_id % 3 = 0 THEN 'Title ' || (doc_id % 40) || ' News'"
+        " WHEN doc_id % 3 = 1 THEN 'TITLE   ' || (doc_id % 40) || '   NEWS'"
+        " ELSE ' title ' || (doc_id % 40) || ' news ' END), '\\s+', ' ', 'g'))"
+    )
+    key = portable_hash64_sql(norm)
+    return f"""
+WITH p AS (
+  SELECT {key} AS title_key, {_doc_url_sql('doc_id')} AS url,
+         'h' || (doc_id % {GRAPH_HOSTS}) || '.example' AS host
+  FROM documents
+),
+per_host AS (
+  SELECT title_key, host, count(*) AS n, min(url) AS u
+  FROM p GROUP BY 1, 2
+)
+SELECT title_key, CAST(sum(n) AS BIGINT) AS n_pages,
+       CAST(count(*) AS BIGINT) AS n_hosts, min(u) AS example_url
+FROM per_host GROUP BY title_key HAVING sum(n) >= {min_pages}
+"""
+
+
+def q_frontier_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier drain report (operators/politeness.py
+    frontier_backlog): pending URLs per host vs the politeness-capped
+    rate; hosts h11/h12 have no rate row (unbudgeted -> starved)."""
+    from flyscrape_spark.operators.politeness import frontier_backlog
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    frontier = docs.select(
+        F.concat(F.lit("h"), (i % GRAPH_HOSTS).cast("string"),
+                 F.lit(".example")).alias("host"))
+    n = F.col("id")
+    rates = spark.range(GRAPH_HOSTS - 2).select(
+        F.concat(F.lit("h"), n.cast("string"), F.lit(".example")).alias("host"),
+        (F.lit(1.0) + (n % 5).cast("double")).alias("rate_per_s"),
+    )
+    return frontier_backlog(frontier, rates, horizon_s=20.0).select(
+        "host", F.col("n_pending").cast("long").alias("n_pending"),
+        "rate_per_s", "drain_s", "starved")
+
+
+def sql_frontier_backlog(horizon: float = 20.0) -> str:
+    return f"""
+WITH pending AS (
+  SELECT 'h' || (doc_id % {GRAPH_HOSTS}) || '.example' AS host,
+         CAST(count(*) AS BIGINT) AS n_pending
+  FROM documents GROUP BY 1
+),
+rates AS (
+  SELECT 'h' || n || '.example' AS host,
+         CAST(1.0 + (n % 5) AS DOUBLE) AS rate_per_s
+  FROM (SELECT unnest(range({GRAPH_HOSTS} - 2)) AS n)
+)
+SELECT p.host, p.n_pending, r.rate_per_s,
+       round(p.n_pending / r.rate_per_s, 4) AS drain_s,
+       coalesce(p.n_pending / r.rate_per_s > {horizon}, TRUE) AS starved
+FROM pending p LEFT JOIN rates r ON r.host = p.host
+"""

@@ -245,3 +245,52 @@ def cdx_index(pages: DataFrame, ts_col: str = "ts",
     return keyed.withColumn(
         "shard_pos", (F.row_number().over(w) - 1).cast("bigint")
     )
+
+
+def revisit_records(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Archive-level payload dedup: the WARC 'revisit' record scheme
+    (WARC/1.1 §6.7.2, Common Crawl / IA convention). The FIRST capture
+    of each payload digest stays a full ``response`` record; every
+    later capture of the same digest becomes a ``revisit`` record
+    that stores only headers plus a ``refers_to`` pointer — at
+    archive scale most recaptures are unchanged, so this is the
+    storage analogue of the conditional-GET plan
+    (operators/recrawl.py revalidate_plan).
+
+    Output: (url, ts, digest, record_type, refers_to) — refers_to is
+    NULL for originals, else the original capture's URL.
+
+    Scale shape: one combinable min-struct aggregate per digest
+    (first capture by (ts, url) — totally ordered, deterministic),
+    then one equi-join digest -> original back onto the captures.
+    Both sides hash-partition on the digest, so it is one symmetric
+    shuffle pattern, never a window sort over whole digest groups.
+    """
+    from pyspark.sql import functions as F
+
+    caps = pages.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("ts"),
+        F.col(digest_col).alias("digest"),
+    )
+    first = caps.groupBy("digest").agg(
+        F.min(F.struct("ts", "url")).alias("_first")
+    ).select(
+        "digest",
+        F.col("_first.ts").alias("_fts"),
+        F.col("_first.url").alias("_furl"),
+    )
+    joined = caps.join(first, "digest")
+    is_orig = (F.col("ts") == F.col("_fts")) & (F.col("url") == F.col("_furl"))
+    return joined.select(
+        "url", "ts", "digest",
+        F.when(is_orig, F.lit("response")).otherwise(F.lit("revisit"))
+            .alias("record_type"),
+        F.when(is_orig, F.lit(None).cast("string"))
+            .otherwise(F.col("_furl")).alias("refers_to"),
+    )

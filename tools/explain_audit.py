@@ -529,6 +529,52 @@ CHECKS = {
         "codegen": r"\*\(\d+\)",
         "max_exchanges": 4,
     },
+    "host_templates": {
+        # line explode is codegen'd; two-level agg = two exchanges,
+        # BOTH behind map-side partial combines (the first carries one
+        # row per (host,line,doc) per task — deliberately NOT a single
+        # repartition("host","line"), which would ship every raw line
+        # occurrence uncombined)
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "no_join": r"!Join",
+        "partial_agg": r"partial_count",
+        "codegen": r"\*\(\d+\)",
+        "max_exchanges": 2,
+    },
+    "warc_revisit": {
+        # first-capture = one combinable min-struct agg per digest;
+        # the back-join hits the same digest partitioning (broadcast
+        # at audit SF, symmetric hash at scale: +1 budget)
+        "partial_agg": r"partial_min",
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "no_cartesian": r"!CartesianProduct",
+        "max_exchanges": 2,
+    },
+    "adaptive_delay": {
+        # ONE combinable aggregate per host (count + exact percentile
+        # digest merged map-side); no joins anywhere
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "no_join": r"!Join",
+        "partial_agg": r"partial_(count|percentile)",
+        "max_exchanges": 1,
+    },
+    "title_dedup": {
+        # two-level distinct-host rollup, both combinable; the inner
+        # (title_key, host) exchange is the only wide edge
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "no_join": r"!Join",
+        "partial_agg": r"partial_(count|min|sum)",
+        "max_exchanges": 2,
+    },
+    "frontier_backlog": {
+        # big-side frontier count combines map-side; the rate table
+        # is O(hosts) and must BROADCAST
+        "broadcast_rates": r"BroadcastHashJoin",
+        "partial_agg": r"partial_count",
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "no_cartesian": r"!CartesianProduct",
+        "max_exchanges": 2,
+    },
     "change_rate": {
         # the lag window and the per-url aggregate share ONE shuffle
         # on url (the events_sessionize pattern)
