@@ -348,3 +348,44 @@ def frontier_backlog(
         F.round(drain, 4).alias("drain_s"),
         F.coalesce(drain > float(horizon_s), F.lit(True)).alias("starved"),
     )
+
+
+def fetch_gini(fetch_log: DataFrame, host_col: str = "host") -> DataFrame:
+    """Crawl-fairness rollup: the Gini coefficient of per-host fetch
+    shares — one number that says whether the scheduler's politeness
+    budget actually spread the crawl (0 = perfectly even, -> 1 = one
+    host ate the budget). The north rule's skew bound (<2x median
+    partition) constrains one generation; this audits the realized
+    allocation over a whole crawl.
+
+    Output: single row (n_hosts, total_fetches, gini) with
+    gini = sum_i (2i - n - 1) * x_i / (n * sum x) over ascending x.
+
+    Scale shape: one combinable count per host reduces the input to
+    O(hosts) rows; the rank window over that host table is a single
+    ordered pass — bounded by the host count, not the fetch count
+    (the same O(hosts)-is-small contract as server_politeness /
+    adaptive_delay's output tables).
+    """
+    from pyspark.sql import Window
+
+    counts = fetch_log.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").alias("x")
+    )
+    w = Window.orderBy(F.col("x").asc(), F.col("host").asc())
+    ranked = counts.withColumn("i", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("x").cast("double").alias("_sx"),
+        F.sum(F.col("i").cast("double") * F.col("x").cast("double"))
+            .alias("_six"),
+    )
+    # sum_i (2i - n - 1) x_i = 2*sum(i*x) - (n+1)*sum(x)
+    gini = (2.0 * F.col("_six") - (F.col("_n") + 1.0) * F.col("_sx")) / (
+        F.col("_n") * F.col("_sx")
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n_hosts"),
+        F.col("_sx").cast("long").alias("total_fetches"),
+        F.round(gini, 6).alias("gini"),
+    )

@@ -5432,3 +5432,153 @@ SELECT p.host, p.n_pending, r.rate_per_s,
        coalesce(p.n_pending / r.rate_per_s > {horizon}, TRUE) AS starved
 FROM pending p LEFT JOIN rates r ON r.host = p.host
 """
+
+
+# ------------------------------------------- round-4 batch-4 operators
+
+def q_hostgraph_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level webgraph (operators/graph.py hostgraph_export): the
+    synthetic web's page edges collapsed to (src_host, dst_host) with
+    link and distinct-page counts."""
+    from flyscrape_spark.operators.graph import hostgraph_export
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    i = F.col("doc_id")
+    src = _doc_url(i)
+    e1 = docs.select(src.alias("src"), _doc_url((2 * i + 1) % n).alias("dst"))
+    e2 = docs.select(src.alias("src"), _doc_url((3 * i + 2) % n).alias("dst"))
+    return hostgraph_export(e1.unionByName(e2)).select(
+        "src_host", "dst_host",
+        F.col("n_links").cast("long").alias("n_links"),
+        F.col("n_src_pages").cast("long").alias("n_src_pages"))
+
+
+def sql_hostgraph_export() -> str:
+    return f"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT 'h' || (doc_id % {GRAPH_HOSTS}) || '.example' AS src_host,
+         'h' || (((2 * doc_id + 1) % n.n) % {GRAPH_HOSTS}) || '.example'
+           AS dst_host,
+         {_doc_url_sql('doc_id')} AS src
+  FROM documents, n
+  UNION ALL
+  SELECT 'h' || (doc_id % {GRAPH_HOSTS}) || '.example',
+         'h' || (((3 * doc_id + 2) % n.n) % {GRAPH_HOSTS}) || '.example',
+         {_doc_url_sql('doc_id')}
+  FROM documents, n
+),
+per_page AS (
+  SELECT src_host, dst_host, src, count(*) AS cnt
+  FROM e GROUP BY 1, 2, 3
+)
+SELECT src_host, dst_host, CAST(sum(cnt) AS BIGINT) AS n_links,
+       CAST(count(*) AS BIGINT) AS n_src_pages
+FROM per_page GROUP BY 1, 2
+"""
+
+
+_TRI_HOSTS = 60
+
+
+def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + clustering coefficient (operators/graph.py
+    host_triangles) over a 60-host ring with chords: edges k-(k+1)
+    and k-(k+2) mod 60, so every consecutive triple closes a
+    triangle."""
+    from flyscrape_spark.operators.graph import host_triangles
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    k = i % _TRI_HOSTS
+
+    def hname(c) -> F.Column:
+        return F.concat(F.lit("t"), F.lpad(c.cast("string"), 2, "0"))
+
+    e1 = docs.select(hname(k).alias("src"),
+                     hname((k + 1) % _TRI_HOSTS).alias("dst"))
+    e2 = docs.select(hname(k).alias("src"),
+                     hname((k + 2) % _TRI_HOSTS).alias("dst"))
+    return host_triangles(e1.unionByName(e2)).select(
+        "host", F.col("degree").cast("long").alias("degree"),
+        F.col("triangles").cast("long").alias("triangles"),
+        "clustering_coeff")
+
+
+def sql_host_triangles() -> str:
+    h = f"'t' || lpad(CAST(doc_id % {_TRI_HOSTS} AS VARCHAR), 2, '0')"
+    h1 = (f"'t' || lpad(CAST((doc_id % {_TRI_HOSTS} + 1) % {_TRI_HOSTS}"
+          f" AS VARCHAR), 2, '0')")
+    h2 = (f"'t' || lpad(CAST((doc_id % {_TRI_HOSTS} + 2) % {_TRI_HOSTS}"
+          f" AS VARCHAR), 2, '0')")
+    return f"""
+WITH raw AS (
+  SELECT {h} AS src, {h1} AS dst FROM documents
+  UNION ALL
+  SELECT {h}, {h2} FROM documents
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src <> dst
+),
+tris AS (
+  SELECT w1.a, w1.b, w2.b AS c
+  FROM und w1 JOIN und w2 ON w2.a = w1.a AND w2.b > w1.b
+  JOIN und cl ON cl.a = w1.b AND cl.b = w2.b
+),
+tri_nodes AS (
+  SELECT a AS host FROM tris
+  UNION ALL SELECT b FROM tris
+  UNION ALL SELECT c FROM tris
+),
+tcount AS (SELECT host, count(*) AS triangles FROM tri_nodes GROUP BY 1),
+deg AS (
+  SELECT host, count(*) AS degree FROM (
+    SELECT a AS host FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY 1
+)
+SELECT deg.host, CAST(deg.degree AS BIGINT) AS degree,
+       CAST(coalesce(tcount.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN deg.degree >= 2
+            THEN round(2.0 * coalesce(tcount.triangles, 0)
+                       / (deg.degree * (deg.degree - 1.0)), 6)
+            ELSE 0.0 END AS clustering_coeff
+FROM deg LEFT JOIN tcount ON tcount.host = deg.host
+"""
+
+
+def q_fetch_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-fairness Gini (operators/politeness.py fetch_gini) over
+    a quadratically skewed host assignment: host k gets 2k+1 of every
+    169 fetches."""
+    from flyscrape_spark.operators.politeness import fetch_gini
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    k = F.floor(F.sqrt((i % 169).cast("double")))
+    log = docs.select(
+        F.concat(F.lit("h"), k.cast("string"), F.lit(".example")).alias("host"))
+    return fetch_gini(log)
+
+
+def sql_fetch_gini() -> str:
+    return """
+WITH log AS (
+  SELECT 'h' || CAST(floor(sqrt(CAST(doc_id % 169 AS DOUBLE))) AS BIGINT)
+           || '.example' AS host
+  FROM documents
+),
+counts AS (SELECT host, count(*) AS x FROM log GROUP BY 1),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x ASC, host ASC) AS i FROM counts
+),
+agg AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(x) AS DOUBLE) AS sx,
+         sum(CAST(i AS DOUBLE) * CAST(x AS DOUBLE)) AS six
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_hosts, CAST(sx AS BIGINT) AS total_fetches,
+       round((2.0 * six - (n + 1.0) * sx) / (n * sx), 6) AS gini
+FROM agg
+"""

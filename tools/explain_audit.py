@@ -575,6 +575,36 @@ CHECKS = {
         "no_cartesian": r"!CartesianProduct",
         "max_exchanges": 2,
     },
+    "hostgraph_export": {
+        # two-level combinable rollup ((pair, src_page) then pair):
+        # hot pairs ship one row per distinct source page per task
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "no_join": r"!Join",
+        "partial_agg": r"partial_(count|sum)",
+        "max_exchanges": 2,
+    },
+    "host_triangles": {
+        # wedge + closure are hash EQUI-joins on edge keys (no cross
+        # product); canonical a<b<c ordering bounds hub fan-out; the
+        # per-node rollups are combinable
+        # 7 = edge distinct (combines multiplicity map-side BEFORE
+        # any join) + re-keys for the wedge (on a) and closure (on
+        # b,c) joins + the two per-node rollups; the deg⋈tri join
+        # reuses the rollups' host partitioning
+        "partial_agg": r"partial_count",
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "no_cartesian": r"!CartesianProduct",
+        "max_exchanges": 7,
+    },
+    "fetch_gini": {
+        # the per-host count combines map-side and reduces the input
+        # to O(hosts); the rank window + final agg run over that tiny
+        # table (single ordered pass by design, documented)
+        "partial_agg": r"partial_count",
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "no_join": r"!Join",
+        "max_exchanges": 1,
+    },
     "change_rate": {
         # the lag window and the per-url aggregate share ONE shuffle
         # on url (the events_sessionize pattern)
