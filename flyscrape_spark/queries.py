@@ -5582,3 +5582,104 @@ SELECT CAST(n AS BIGINT) AS n_hosts, CAST(sx AS BIGINT) AS total_fetches,
        round((2.0 * six - (n + 1.0) * sx) / (n * sx), 6) AS gini
 FROM agg
 """
+
+
+# --------------------------------------- round-4 composition queries
+
+LANGMIX_ALPHA = 0.3
+LANGMIX_BUDGET = 50_000
+
+
+def q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-temperature mixing: lang_id prediction feeding the
+    exponent-smoothed sampling rule (Conneau & Lample 2019) —
+    share^alpha weights + per-language token budgets. Pure
+    composition of two verified operators (operators/text.py lang_id
+    x operators/mixing.py temperature_mix) joined on doc_id; the
+    multilingual rebalancing table a corpus mixer reads."""
+    from flyscrape_spark.operators.mixing import temperature_mix
+    from flyscrape_spark.operators.text import lang_id
+
+    docs = load(spark, sf_dir, "documents")
+    langs = lang_id(docs).select("doc_id", "lang_pred")
+    tagged = docs.join(langs, "doc_id").select(
+        F.col("lang_pred").alias("source"), "text")
+    out = temperature_mix(tagged, alpha=LANGMIX_ALPHA,
+                          token_budget=LANGMIX_BUDGET)
+    return out.select(
+        F.col("source").alias("lang"), "total_tokens", "raw_share",
+        "weight", "budget_tokens", "epochs")
+
+
+def sql_lang_mix(alpha: float = LANGMIX_ALPHA,
+                 budget: int = LANGMIX_BUDGET) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, string_split({_NORM_SQL}, ' ') AS toks,
+         {_N_TOKENS_SQL} AS ntok
+  FROM documents
+),
+per AS (
+  SELECT {_sql_lang_pred()} AS lang, CAST(sum(ntok) AS BIGINT) AS total_tokens
+  FROM base GROUP BY 1
+),
+tot AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS corpus_tokens FROM per),
+sh AS (
+  SELECT lang, total_tokens,
+         CAST(total_tokens AS DOUBLE) / corpus_tokens AS share
+  FROM per CROSS JOIN tot
+),
+p AS (SELECT *, pow(share, {alpha}) AS sp FROM sh),
+z AS (SELECT sum(sp) AS z FROM p)
+SELECT lang, total_tokens,
+  round(share, 6) AS raw_share,
+  round(sp / z, 6) AS weight,
+  CAST(floor(sp / z * {budget}.0) AS BIGINT) AS budget_tokens,
+  round(floor(sp / z * {budget}.0) / total_tokens, 6) AS epochs
+FROM p CROSS JOIN z
+"""
+
+
+def q_lang_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality pass rates: lang_id x the Gopher gate —
+    the cross-language quality-drift table every multilingual corpus
+    review reads (a gate tuned on English silently decimating another
+    language shows up as a low pass_rate row here). Composition of
+    two verified operators; one combinable rollup on the tiny lang
+    key."""
+    from flyscrape_spark.operators.rules import gopher_quality_gate
+    from flyscrape_spark.operators.text import lang_id
+
+    docs = load(spark, sf_dir, "documents")
+    gate = gopher_quality_gate(
+        docs, min_words=GOPHER_MIN_WORDS,
+        stopwords=GOPHER_QUERY_STOPWORDS, min_stop_hits=2,
+    ).select("doc_id", "keep")
+    langs = lang_id(docs).select("doc_id", "lang_pred")
+    return (
+        langs.join(gate, "doc_id")
+        .groupBy(F.col("lang_pred").alias("lang"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_pass"),
+        )
+        .withColumn(
+            "pass_rate",
+            F.round(F.col("n_pass").cast("double") / F.col("n_docs"), 6),
+        )
+    )
+
+
+def sql_lang_quality_gate() -> str:
+    gate = sql_gopher_gate()
+    return f"""
+WITH gate AS ({gate}),
+base AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+langs AS (SELECT doc_id, {_sql_lang_pred()} AS lang FROM base)
+SELECT l.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       round(sum(CASE WHEN g.keep THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS pass_rate
+FROM langs l JOIN gate g USING (doc_id)
+GROUP BY 1
+"""

@@ -605,6 +605,23 @@ CHECKS = {
         "no_join": r"!Join",
         "max_exchanges": 1,
     },
+    "lang_mix": {
+        # ONE corpus shuffle (the per-lang token sum after the doc_id
+        # join); the share/normalizer windows run over the tiny
+        # already-aggregated lang frame (temperature_mix contract)
+        "partial_agg": r"partial_sum",
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "no_cartesian": r"!CartesianProduct",
+        "max_exchanges": 3,
+    },
+    "lang_quality_gate": {
+        # gate metrics + lang pred are per-row exprs sharing one scan
+        # path; the doc_id join feeds ONE combinable lang rollup
+        "partial_agg": r"partial_(count|sum)",
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "no_cartesian": r"!CartesianProduct",
+        "max_exchanges": 3,
+    },
     "change_rate": {
         # the lag window and the per-url aggregate share ONE shuffle
         # on url (the events_sessionize pattern)
@@ -810,7 +827,7 @@ PLAN_BUILDERS = {"pagerank": _lazy_pagerank, "hits_scores": _lazy_hits,
                  "seen_cuckoo": _cuckoo_flag_plan}
 
 
-def audit(sf_dir: str) -> list[tuple[str, str, bool, str]]:
+def audit(sf_dir: str, only: set[str] | None = None) -> list[tuple[str, str, bool, str]]:
     import __spark_entry__ as entrymod
     from flyscrape_spark.session import get_spark
 
@@ -818,6 +835,8 @@ def audit(sf_dir: str) -> list[tuple[str, str, bool, str]]:
     queries = entrymod.queries()
     results = []
     for name, checks in CHECKS.items():
+        if only and name not in only:
+            continue
         # NOT .get(name, queries[name]): the default arg evaluates
         # eagerly and synthetic audit names aren't in queries()
         builder = PLAN_BUILDERS[name] if name in PLAN_BUILDERS else queries[name]
@@ -853,7 +872,16 @@ def audit(sf_dir: str) -> list[tuple[str, str, bool, str]]:
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    results = audit(sf_dir)
+    only = set(sys.argv[2:]) or None
+    results = audit(sf_dir, only)
+    if only:
+        # targeted spot run: print, don't clobber the full PLANS.md
+        failed = 0
+        for name, check, ok, detail in results:
+            failed += 0 if ok else 1
+            print(f"{'OK  ' if ok else 'FAIL'} {name}.{check}: {detail}")
+        print(f"\n{len(results) - failed}/{len(results)} pass (targeted; PLANS.md untouched)")
+        sys.exit(1 if failed else 0)
     lines = [
         "# PLANS — physical-plan audit",
         "",
