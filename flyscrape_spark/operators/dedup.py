@@ -8,10 +8,10 @@ shuffle-shaped for scale:
 
 - exact dedup: one groupBy on a 64-bit content hash (map-side partial
   aggregation, AQE-coalesced);
-- minhash: explode(shingles) -> groupBy(doc) min per hash seed — the
-  explode fans out but the agg is partial-combinable; LSH banding then
-  buckets signatures so candidate generation is a groupBy on band
-  values, NOT an O(n^2) self-join;
+- minhash: per-row array_min over transform(shingle array) — zero
+  shuffle, the whole signature fuses into the scan projection; LSH
+  banding then buckets signatures so candidate generation is a
+  groupBy on band values, NOT an O(n^2) self-join;
 - ngram-jaccard: shingle-inverted-index self-join — joins only on
   shared shingles (the standard sparse-similarity-join shape), with a
   frequency cap to drop stop-shingles that would create skew.
@@ -144,27 +144,41 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(documents: DataFrame, num_hashes: int = 16, n: int = 3,
-                       exploded: DataFrame | None = None) -> DataFrame:
+                       shingles: DataFrame | None = None) -> DataFrame:
     """MinHash signature per doc: mh_i = min over shingles of
-    (a_i * base30 + b_i) mod (2^61-1), base30 = low 30 bits of the
-    portable shingle hash. ``exploded`` lets callers share one
-    (doc_id, shingle) scan across pipeline stages."""
-    if exploded is None:
-        exploded = documents.select(
-            "doc_id", F.explode(word_shingles(n=n)).alias("shingle")
-        )
-    base = portable_hash64(F.col("shingle")).bitwiseAND(F.lit(_MINHASH_MASK))
-    hashed = exploded.select("doc_id", base.alias("x"))
-    aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(MINHASH_PRIME))).alias(f"mh_{i}")
+    (a_i * base31 + b_i) mod (2^31-1), base31 = low 31 bits of the
+    portable shingle hash.
+
+    Zero-shuffle shape: the min is ``array_min`` over higher-order
+    ``transform`` of the per-row shingle array — no explode, no
+    groupBy, signatures fuse into the parquet scan's projection. At
+    10^10 docs the old explode+groupBy form shuffled one combined row
+    per (doc, seed); this form shuffles nothing at all.
+
+    ``shingles`` lets callers share one (doc_id, s:array<string>)
+    scan across pipeline stages (lsh_near_dup reuses it for the exact
+    Jaccard verify)."""
+    if shingles is None:
+        shingles = documents.select("doc_id", word_shingles(n=n).alias("s"))
+    xs = F.transform(
+        F.col("s"), lambda s: portable_hash64(s).bitwiseAND(F.lit(_MINHASH_MASK))
+    )
+    hashed = shingles.select("doc_id", xs.alias("xs"))
+    cols = [
+        F.array_min(
+            F.transform(
+                F.col("xs"),
+                lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MINHASH_PRIME)),
+            )
+        ).alias(f"mh_{i}")
         for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    return hashed.select("doc_id", *cols)
 
 
 def minhash_lsh_candidates(
     documents: DataFrame, num_hashes: int = 16, bands: int = 4, n: int = 3,
-    materialize: bool = True, exploded: DataFrame | None = None,
+    materialize: bool = True, shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band of the minhash
     signature. Banding makes candidate generation a groupBy on the
@@ -175,7 +189,7 @@ def minhash_lsh_candidates(
     side (an Iceberg signature table on a cluster)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(documents, num_hashes, n, exploded=exploded)
+    sigs = minhash_signatures(documents, num_hashes, n, shingles=shingles)
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -213,13 +227,13 @@ def lsh_near_dup(
     scales: candidate generation is a linear shuffle on band buckets;
     the quadratic verify runs only within buckets (at web scale,
     ~1% of all pairs)."""
-    # ONE shingle scan serves the whole pipeline: signatures read the
-    # exploded view, the verify join reads the arrays
+    # ONE shingle scan serves the whole pipeline: signatures transform
+    # the per-row arrays (zero shuffle), the verify join reads the
+    # same arrays
     shingles = documents.select(
         "doc_id", word_shingles(n=n).alias("s")
     ).localCheckpoint(eager=True)
-    exploded = shingles.select("doc_id", F.explode("s").alias("shingle"))
-    cand = minhash_lsh_candidates(documents, num_hashes, bands, n, exploded=exploded)
+    cand = minhash_lsh_candidates(documents, num_hashes, bands, n, shingles=shingles)
     sa = shingles.withColumnsRenamed({"doc_id": "doc_a", "s": "s_a"})
     sb = shingles.withColumnsRenamed({"doc_id": "doc_b", "s": "s_b"})
     inter = F.size(F.array_intersect(F.col("s_a"), F.col("s_b"))).cast("double")

@@ -219,8 +219,10 @@ CHECKS = {
         "no_cartesian": r"!CartesianProduct|BroadcastNestedLoopJoin",
     },
     "minhash_signatures": {
-        "partial_agg": r"partial_min",
-        "max_exchanges": 1,
+        # per-row array_min/transform form: the signature is a pure
+        # projection over the scan — no explode, no groupBy, and
+        # therefore NO exchange at all
+        "max_exchanges": 0,
     },
     "text_quality": {
         "codegen": r"\*\(\d+\)",
