@@ -264,12 +264,23 @@ def run_bench(cpus: int, include_queries: bool = True) -> dict:
         queries["crawl_bfs"](spark, "/root/testdata/sf0.001").count()
         spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
 
+        # best-of-2 per query: the same steady-state estimator the
+        # engine kernel uses across JVMs (min is the run least
+        # contaminated by co-tenant noise — BENCH.md documents the
+        # host's measured noise band). Spark does not cache results
+        # between count() calls, so run 2 re-executes the full plan.
         qtimes = {}
+        n_runs = int(os.environ.get("BENCH_QUERY_RUNS", "2"))
         for name in HEADLINE_QUERIES:
-            t0 = time.time()
-            queries[name](spark, SF_DIR).count()
-            qtimes[name] = round(time.time() - t0, 3)
+            best = None
+            for _ in range(n_runs):
+                t0 = time.time()
+                queries[name](spark, SF_DIR).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            qtimes[name] = round(best, 3)
         out["queries"] = qtimes
+        out["query_runs"] = n_runs
 
     out["engine"] = engine_fresh_jvm_samples(cpus)
     out["frontier"] = frontier_kernel(spark, N_URLS, mode="fp128")
@@ -514,6 +525,7 @@ def main():
         "value": qsum,
         "unit": "sec",
         "queries": result.get("queries", {}),
+        "query_runs": result.get("query_runs", 1),
         "sf": SF_DIR,
         "frontier_urls_per_sec": result["frontier"]["urls_per_sec"],
         "frontier_exact_urls_per_sec": result["frontier_exact"]["urls_per_sec"],
