@@ -1571,6 +1571,110 @@ FROM g GROUP BY user_id
 """
 
 
+def q_events_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured rollup: parse the `props` JSON payload and
+    aggregate its numeric field per event type — the shape of every
+    structured-log / JSON-LD extraction a crawl pipeline runs over
+    fetched pages (the reference's scrape scripts return exactly such
+    JSON objects, js.go:161-162; at warehouse scale the payload lands
+    as a string column like this one).
+
+    Scale shape: `get_json_object` is a JVM-side Catalyst expression —
+    the parse fuses into the parquet scan projection (no Python, no
+    explode), then ONE combinable groupBy with map-side partial agg.
+    At 100 TB this is a pure scan-shaped job; for repeated multi-field
+    extraction `from_json` with an explicit schema amortizes the parse
+    across fields (single-field here, so get_json_object is optimal).
+    """
+    events = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def sql_events_json_rollup() -> str:
+    return """
+SELECT event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+    AS sum_k,
+  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+    AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_events_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed burst detection: per event type, hourly counts vs the
+    trailing 3-bucket average; a bucket whose count exceeds 1.5x the
+    trailing mean is flagged. This is the crawl-ops anomaly monitor —
+    the same shape detects per-host fetch-rate spikes (crawler traps
+    firing, a site going hot) and error-rate bursts in the fetch log.
+
+    Scale shape: ONE combinable groupBy(event_type, hour) collapses
+    the raw log to bucket granularity BEFORE the window (the window
+    runs over |types|x|hours| rows, not raw events), then one window
+    partitioned by event_type — thousands of partitions at web scale
+    (per-host variant), each tiny. Bucket emitted as epoch seconds so
+    the oracle compare is integer-exact.
+    """
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    buckets = (
+        events.groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+            .alias("bucket_ts"),
+        ).agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(-3, -1)
+    )
+    return (
+        buckets.withColumn("trailing_avg", F.round(F.avg("n").over(w), 4))
+        .filter(F.col("trailing_avg").isNotNull())
+        .withColumn(
+            "is_burst",
+            (F.col("n") > 1.5 * F.col("trailing_avg")).cast("int"),
+        )
+        .select("event_type", "bucket_ts", "n", "trailing_avg", "is_burst")
+    )
+
+
+def sql_events_burst() -> str:
+    return """
+WITH b AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_ts,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, bucket_ts, n,
+    round(avg(n) OVER (PARTITION BY event_type ORDER BY bucket_ts
+                       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 4)
+      AS trailing_avg
+  FROM b
+)
+SELECT event_type, bucket_ts, CAST(n AS BIGINT) AS n, trailing_avg,
+       CAST(CASE WHEN n > 1.5 * trailing_avg THEN 1 ELSE 0 END AS INT)
+         AS is_burst
+FROM t WHERE trailing_avg IS NOT NULL
+"""
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped aggregation over lineitem."""
     li = load(spark, sf_dir, "lineitem")

@@ -1,0 +1,65 @@
+"""Round-4 events operators: JSON props rollup and windowed burst
+detection."""
+
+from __future__ import annotations
+
+import json
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_events_json_rollup_matches_python(spark):
+    """Aggregates must reconcile with a driver-side parse of the same
+    JSON payloads."""
+    from flyscrape_spark.queries import q_events_json_rollup
+
+    rows = {r["event_type"]: r
+            for r in q_events_json_rollup(spark, SF).collect()}
+    raw = spark.read.parquet(f"{SF}/events.parquet").collect()
+    expect: dict[str, list[int]] = {}
+    for e in raw:
+        expect.setdefault(e["event_type"], []).append(
+            int(json.loads(e["props"])["k"]))
+    assert set(rows) == set(expect)
+    for et, ks in expect.items():
+        r = rows[et]
+        assert r["n_events"] == len(ks)
+        assert r["sum_k"] == sum(ks)
+        assert r["max_k"] == max(ks)
+        assert r["avg_k"] == round(sum(ks) / len(ks), 4)
+
+
+def test_events_burst_trailing_window(spark):
+    """trailing_avg must equal the mean of the previous <=3 hourly
+    counts per event_type, and the first bucket (empty frame) must be
+    excluded."""
+    from flyscrape_spark.queries import q_events_burst
+
+    out = q_events_burst(spark, SF).collect()
+    assert out, "fixture events must span multiple hours"
+    # rebuild hourly counts driver-side
+    raw = spark.read.parquet(f"{SF}/events.parquet").collect()
+    counts: dict[str, dict[int, int]] = {}
+    for e in raw:
+        ts = e["ts"]
+        bucket = int(ts.replace(minute=0, second=0, microsecond=0)
+                     .timestamp())
+        counts.setdefault(e["event_type"], {})
+        counts[e["event_type"]][bucket] = (
+            counts[e["event_type"]].get(bucket, 0) + 1)
+    firsts = {et: min(b) for et, b in counts.items()}
+    seen_keys = set()
+    for r in out:
+        et, b = r["event_type"], r["bucket_ts"]
+        seen_keys.add((et, b))
+        assert b != firsts[et], "first bucket has an empty frame"
+        ordered = sorted(counts[et])
+        i = ordered.index(b)
+        prev = [counts[et][x] for x in ordered[max(0, i - 3):i]]
+        assert r["trailing_avg"] == round(sum(prev) / len(prev), 4)
+        assert r["n"] == counts[et][b]
+        assert r["is_burst"] == int(r["n"] > 1.5 * r["trailing_avg"])
+    # every non-first bucket appears
+    expect_keys = {(et, b) for et, bs in counts.items()
+                   for b in bs if b != firsts[et]}
+    assert seen_keys == expect_keys

@@ -146,6 +146,20 @@ CHECKS = {
         # shuffle total
         "max_exchanges": 1,
     },
+    "events_json_rollup": {
+        # get_json_object fuses into the scan projection; ONE
+        # combinable groupBy
+        "partial_agg": r"partial_",
+        "max_exchanges": 1,
+        "codegen": r"\*\(\d+\)",
+    },
+    "events_burst": {
+        # groupBy(event_type, bucket) then window on event_type: the
+        # keys differ, so two exchanges — but the window runs over
+        # bucket-granularity rows, not the raw log
+        "partial_agg": r"partial_",
+        "max_exchanges": 2,
+    },
     "host_counts": {
         "partial_agg": r"partial_count",
         "max_exchanges": 1,
