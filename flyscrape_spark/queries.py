@@ -1675,6 +1675,122 @@ FROM t WHERE trailing_avg IS NOT NULL
 """
 
 
+def q_source_dup_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication factor: documents vs distinct content
+    fingerprints — the corpus-QA table that ranks sources by internal
+    redundancy (a CommonCrawl-style pipeline uses it to decide which
+    sources need aggressive dedup before tokenization; a dup_factor
+    near 1.0 means the source is already clean).
+
+    Scale shape: two-level combinable aggregation — groupBy(source,
+    fingerprint) collapses duplicates map-side FIRST (the same
+    two-phase shape as segment dedup), then groupBy(source) rolls up;
+    both stages partial-agg. The fingerprint is the shared 64-bit
+    normalized-content hash, so this composes with `dedup_exact` and
+    `fingerprint` on identical keys.
+    """
+    docs = load(spark, sf_dir, "documents")
+    per_fp = (
+        text_ops.fingerprint(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "fingerprint")
+        .agg(F.count("*").alias("n"))
+    )
+    return per_fp.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count("*").alias("n_distinct"),
+        F.round(F.sum("n") / F.count("*"), 4).alias("dup_factor"),
+    )
+
+
+def sql_source_dup_factor() -> str:
+    return f"""
+WITH fp AS (
+  SELECT source, {portable_hash64_sql(_NORM_SQL)} AS fingerprint, count(*) AS n
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+       count(*) AS n_distinct,
+       round(CAST(sum(n) AS DOUBLE) / count(*), 4) AS dup_factor
+FROM fp GROUP BY source
+"""
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length histogram per source — the
+    power-law sanity check a corpus QA pass runs before mixing (a
+    source whose histogram collapses into one bucket is template spam;
+    a missing tail means truncation upstream).
+
+    Scale shape: the bucket is a pure projection (floor(log2(n)));
+    ONE combinable groupBy. At 100 TB this is scan-bound with a
+    kilobyte-sized result (sources x ~20 buckets).
+    """
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.floor(F.log2(F.greatest(F.col("n_chars"), F.lit(1)))).cast("int")
+    return (
+        docs.groupBy("source", bucket.alias("log2_bucket"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def sql_length_histogram() -> str:
+    return """
+SELECT source,
+       CAST(floor(log2(greatest(n_chars, 1))) AS INT) AS log2_bucket,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm audit per label: L2-norm stats that catch
+    degenerate vectors BEFORE they poison ANN / near-dup (unnormalized
+    batches skew cosine denominators; zero vectors NaN them). Run as
+    the admission gate in front of `embedding_near_dup`.
+
+    Scale shape: the norm is a sequential JVM-side fold over the
+    array column (F.aggregate — no explode, no Python), then ONE
+    combinable groupBy(label). Result is |labels| rows.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"), F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.round(F.min("norm"), 4).alias("min_norm"),
+            F.round(F.max("norm"), 4).alias("max_norm"),
+        )
+    )
+
+
+def sql_embedding_norms() -> str:
+    return """
+WITH z AS (
+  SELECT vec_id, label, unnest(embedding) AS ev FROM embeddings
+),
+norms AS (
+  SELECT vec_id, label,
+         sqrt(sum(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE))) AS norm
+  FROM z GROUP BY vec_id, label
+)
+SELECT label, count(*) AS n_vecs,
+       round(avg(norm), 4) AS avg_norm,
+       round(min(norm), 4) AS min_norm,
+       round(max(norm), 4) AS max_norm
+FROM norms GROUP BY label
+"""
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped aggregation over lineitem."""
     li = load(spark, sf_dir, "lineitem")

@@ -63,3 +63,64 @@ def test_events_burst_trailing_window(spark):
     expect_keys = {(et, b) for et, bs in counts.items()
                    for b in bs if b != firsts[et]}
     assert seen_keys == expect_keys
+
+
+def test_source_dup_factor_reconciles(spark):
+    """sum(n_docs) must equal the corpus size; a source's dup_factor
+    must equal docs/distinct-fingerprints computed driver-side."""
+    from flyscrape_spark.queries import q_fingerprint, q_source_dup_factor
+
+    rows = {r["source"]: r for r in q_source_dup_factor(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    fps = {r["doc_id"]: r["fingerprint"]
+           for r in q_fingerprint(spark, SF).collect()}
+    expect: dict[str, list[int]] = {}
+    for d in docs:
+        expect.setdefault(d["source"], []).append(fps[d["doc_id"]])
+    assert set(rows) == set(expect)
+    for src, hashes in expect.items():
+        r = rows[src]
+        assert r["n_docs"] == len(hashes)
+        assert r["n_distinct"] == len(set(hashes))
+        assert r["dup_factor"] == round(len(hashes) / len(set(hashes)), 4)
+
+
+def test_length_histogram_buckets(spark):
+    """Bucket of every doc must be floor(log2(n_chars)) and counts
+    must total the corpus."""
+    import math
+
+    from flyscrape_spark.queries import q_length_histogram
+
+    out = q_length_histogram(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    expect: dict[tuple, int] = {}
+    for d in docs:
+        b = int(math.floor(math.log2(max(d["n_chars"], 1))))
+        expect[(d["source"], b)] = expect.get((d["source"], b), 0) + 1
+    got = {(r["source"], r["log2_bucket"]): r["n_docs"] for r in out}
+    assert got == expect
+
+
+def test_embedding_norms_stats(spark):
+    """Per-label norm stats must reconcile with a numpy recompute
+    (same double-precision sequential accumulation)."""
+    import math
+
+    from flyscrape_spark.queries import q_embedding_norms
+
+    rows = {r["label"]: r for r in q_embedding_norms(spark, SF).collect()}
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    norms: dict[int, list[float]] = {}
+    for e in emb:
+        acc = 0.0
+        for v in e["embedding"]:
+            acc += float(v) * float(v)
+        norms.setdefault(e["label"], []).append(math.sqrt(acc))
+    assert set(rows) == set(norms)
+    for label, ns in norms.items():
+        r = rows[label]
+        assert r["n_vecs"] == len(ns)
+        assert r["min_norm"] == round(min(ns), 4)
+        assert r["max_norm"] == round(max(ns), 4)
+        assert abs(r["avg_norm"] - round(sum(ns) / len(ns), 4)) <= 1e-4

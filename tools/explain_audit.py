@@ -160,6 +160,28 @@ CHECKS = {
         "partial_agg": r"partial_",
         "max_exchanges": 2,
     },
+    "source_dup_factor": {
+        # two-level combinable agg: (source, fp) then source; the
+        # fingerprint join is a projection-side compute, and the
+        # second groupBy reuses the first's hash partitioning on the
+        # source prefix only when keys align — budget 3 covers the
+        # doc_id join + both rollups
+        "partial_agg": r"partial_",
+        "max_exchanges": 3,
+        "no_cartesian": r"!CartesianProduct|BroadcastNestedLoopJoin",
+    },
+    "length_histogram": {
+        # bucket is a pure projection; ONE combinable groupBy
+        "partial_agg": r"partial_",
+        "max_exchanges": 1,
+        "codegen": r"\*\(\d+\)",
+    },
+    "embedding_norms": {
+        # JVM-side array fold (no explode, no Python), ONE groupBy
+        "partial_agg": r"partial_",
+        "max_exchanges": 1,
+        "no_python": r"!BatchEvalPython|ArrowEvalPython",
+    },
     "host_counts": {
         "partial_agg": r"partial_count",
         "max_exchanges": 1,
