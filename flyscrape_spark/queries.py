@@ -1791,6 +1791,75 @@ FROM norms GROUP BY label
 """
 
 
+def q_streaming_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming admission END-TO-END, driver-gated: the
+    documents table re-cast as an externally-arriving URL feed (NDJSON
+    chunks → file-source micro-batches, the Kafka stand-in), admitted
+    through `streaming.ingest.FrontierIngest` — per micro-batch:
+    canonicalize → xxhash64 key → in-batch dedup → anti-join against
+    all PRIOR batches' admitted partitions → idempotent
+    batch_id-partition overwrite — then the accumulated admitted table
+    rolled up per host. The feed deliberately overlaps (every third
+    doc's URL plus a sheared copy of every fifth's), so the oracle
+    equality proves the cross-batch dedup, not just the plumbing.
+
+    The oracle is the BATCH truth: distinct canonical URLs of the same
+    feed, counted per host — exactly-once admission means the
+    streaming path must reproduce it bit-for-bit regardless of how the
+    file source slices micro-batches.
+
+    Scale shape: each micro-batch is one bounded anti-join (same plan
+    as the engine's generation step); checkpoint × idempotent
+    partition overwrite = exactly-once across crash/replay. On a
+    cluster the file source swaps for Kafka and the admitted dir for
+    an Iceberg table; nothing downstream changes.
+    """
+    import tempfile
+
+    from flyscrape_spark.streaming.ingest import FrontierIngest, stream_urls
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    i = F.col("doc_id")
+    feed = (
+        docs.filter(i % 3 == 0).select(_doc_url(i).alias("url"))
+        .unionAll(
+            docs.filter(i % 5 == 0)
+            .select(_doc_url((2 * i + 1) % n).alias("url"))
+        )
+        .withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    )
+    base = tempfile.mkdtemp(prefix="fs_stream_admission_")
+    feed_dir, admitted_dir, ckpt = (
+        f"{base}/feed", f"{base}/admitted", f"{base}/ckpt")
+    # >16 files at maxFilesPerTrigger=16 => at least two micro-batches,
+    # so the prior-batch anti-join path genuinely executes
+    feed.repartition(24).write.mode("overwrite").json(feed_dir)
+    ingest = FrontierIngest(admitted_dir)
+    ingest.start(stream_urls(spark, feed_dir), ckpt).awaitTermination()
+    return (
+        spark.read.parquet(admitted_dir)
+        .groupBy("host")
+        .agg(F.count("*").alias("n_urls"))
+    )
+
+
+def sql_streaming_admission() -> str:
+    return f"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+feed AS (
+  SELECT {_doc_url_sql('doc_id')} AS url FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT {_doc_url_sql('(2*doc_id+1) % n.n')} AS url
+  FROM documents, n WHERE doc_id % 5 = 0
+),
+dedup AS (SELECT DISTINCT {canonicalize_sql('url')} AS url FROM feed)
+SELECT split_part(split_part(url, '//', 2), '/', 1) AS host,
+       count(*) AS n_urls
+FROM dedup GROUP BY host
+"""
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped aggregation over lineitem."""
     li = load(spark, sf_dir, "lineitem")

@@ -124,3 +124,31 @@ def test_embedding_norms_stats(spark):
         assert r["min_norm"] == round(min(ns), 4)
         assert r["max_norm"] == round(max(ns), 4)
         assert abs(r["avg_norm"] - round(sum(ns) / len(ns), 4)) <= 1e-4
+
+
+def test_streaming_admission_equals_batch_truth(spark):
+    """The streaming admission rollup must equal the batch distinct
+    per-host counts of the same overlapping feed — exactly-once
+    admission independent of micro-batch slicing."""
+    from pyspark.sql import functions as F
+
+    from flyscrape_spark.functions.urls import canonicalize, host_of
+    from flyscrape_spark.queries import _doc_url, q_streaming_admission
+
+    got = {r["host"]: r["n_urls"]
+           for r in q_streaming_admission(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = docs.count()
+    i = F.col("doc_id")
+    feed = (
+        docs.filter(i % 3 == 0).select(_doc_url(i).alias("url"))
+        .unionAll(docs.filter(i % 5 == 0)
+                  .select(_doc_url((2 * i + 1) % n).alias("url")))
+    )
+    expect = {
+        r["host"]: r["n"]
+        for r in feed.select(canonicalize("url").alias("url")).distinct()
+        .select(host_of("url").alias("host"))
+        .groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == expect

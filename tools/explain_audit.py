@@ -182,6 +182,14 @@ CHECKS = {
         "max_exchanges": 1,
         "no_python": r"!BatchEvalPython|ArrowEvalPython",
     },
+    "streaming_admission": {
+        # the audited plan is the post-stream rollup: parquet scan of
+        # the admitted table + ONE combinable groupBy (the streaming
+        # admission itself ran per-micro-batch, plan-shaped like the
+        # engine's generation anti-join)
+        "partial_agg": r"partial_",
+        "max_exchanges": 1,
+    },
     "host_counts": {
         "partial_agg": r"partial_count",
         "max_exchanges": 1,
