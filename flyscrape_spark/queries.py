@@ -1791,6 +1791,84 @@ FROM norms GROUP BY label
 """
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: chars/token and tokens/word
+    over the BPE-ish pre-tokenization — THE comparative statistic for
+    tokenizer choice in a multilingual corpus (a language whose
+    fertility is 2x the corpus mean pays 2x the context budget per
+    character; XLM-R-style mixes reweight on exactly this table).
+
+    Scale shape: per-doc token counts are pure JVM projections
+    (regexp_extract_all + size, no Python), then ONE combinable
+    groupBy(lang); ratios computed from the summed numerators so the
+    result is exact regardless of partitioning.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = text_ops.token_counts(docs).join(
+        docs.select("doc_id", "lang", "n_chars"), "doc_id")
+    return toks.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("n_bpeish_tokens").alias("sum_tokens"),
+        F.round(F.sum("n_chars") / F.sum("n_bpeish_tokens"), 4)
+        .alias("chars_per_token"),
+        F.round(F.sum("n_bpeish_tokens") / F.sum("n_words"), 4)
+        .alias("tokens_per_word"),
+    )
+
+
+def sql_tokenizer_fertility() -> str:
+    return f"""
+WITH per AS (
+  SELECT lang, n_chars,
+    CAST(CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+      AS n_words,
+    CAST(len(regexp_extract_all(text, '{text_ops.BPEISH_PATTERN}')) AS BIGINT)
+      AS n_tok
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+  round(CAST(sum(n_chars) AS DOUBLE) / sum(n_tok), 4) AS chars_per_token,
+  round(CAST(sum(n_tok) AS DOUBLE) / sum(n_words), 4) AS tokens_per_word
+FROM per GROUP BY lang
+"""
+
+
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-SIZE distribution: how many clusters exist at
+    each size — the dedup-QA histogram (a heavy tail of giant clusters
+    means template spam survived shingling; all-singletons means the
+    banding is too strict). Composes directly over `dedup_clusters`.
+
+    Scale shape: the component labels come from the O(log^2 n)
+    large-star/small-star rounds; the histogram itself is two
+    combinable groupBys over (cluster_id) then (size) — output is
+    ~tens of rows at any corpus size.
+    """
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_dup(docs, bits=16, bands=4, max_distance=3)
+    labeled = cluster.dedup_clusters(docs, pairs)
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"))
+
+
+def sql_dup_cluster_sizes() -> str:
+    return f"""
+WITH labeled AS ({sql_dedup_clusters()}),
+sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY cluster_id
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       count(*) AS n_clusters
+FROM sizes GROUP BY cluster_size
+"""
+
+
 def q_streaming_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming admission END-TO-END, driver-gated: the
     documents table re-cast as an externally-arriving URL feed (NDJSON

@@ -152,3 +152,46 @@ def test_streaming_admission_equals_batch_truth(spark):
         .groupBy("host").agg(F.count("*").alias("n")).collect()
     }
     assert got == expect
+
+
+def test_tokenizer_fertility_reconciles(spark):
+    """Per-language sums must reconcile with per-doc token counts."""
+    from flyscrape_spark.queries import q_token_counts, q_tokenizer_fertility
+
+    rows = {r["lang"]: r for r in q_tokenizer_fertility(spark, SF).collect()}
+    toks = {r["doc_id"]: r for r in q_token_counts(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    agg: dict[str, list] = {}
+    for d in docs:
+        t = toks[d["doc_id"]]
+        agg.setdefault(d["lang"], []).append(
+            (d["n_chars"], t["n_bpeish_tokens"], t["n_words"]))
+    assert set(rows) == set(agg)
+    for lang, triples in agg.items():
+        r = rows[lang]
+        chars = sum(c for c, _, _ in triples)
+        ntok = sum(t for _, t, _ in triples)
+        words = sum(w for _, _, w in triples)
+        assert r["n_docs"] == len(triples)
+        assert r["sum_chars"] == chars
+        assert r["sum_tokens"] == ntok
+        assert r["chars_per_token"] == round(chars / ntok, 4)
+        assert r["tokens_per_word"] == round(ntok / words, 4)
+
+
+def test_dup_cluster_sizes_histogram(spark):
+    """Histogram must reconcile with the dedup_clusters labels and
+    cover every document exactly once."""
+    from flyscrape_spark.queries import q_dedup_clusters, q_dup_cluster_sizes
+
+    hist = {r["cluster_size"]: r["n_clusters"]
+            for r in q_dup_cluster_sizes(spark, SF).collect()}
+    labels = q_dedup_clusters(spark, SF).collect()
+    by_cluster: dict[int, int] = {}
+    for r in labels:
+        by_cluster[r["cluster_id"]] = by_cluster.get(r["cluster_id"], 0) + 1
+    expect: dict[int, int] = {}
+    for size in by_cluster.values():
+        expect[size] = expect.get(size, 0) + 1
+    assert hist == expect
+    assert sum(s * n for s, n in hist.items()) == len(labels)

@@ -190,6 +190,19 @@ CHECKS = {
         "partial_agg": r"partial_",
         "max_exchanges": 1,
     },
+    "tokenizer_fertility": {
+        # per-doc counts are pure projections; ONE groupBy after the
+        # doc_id join (broadcast/shuffle per AQE)
+        "partial_agg": r"partial_",
+        "no_python": r"!BatchEvalPython|ArrowEvalPython",
+        "no_cartesian": r"!CartesianProduct|BroadcastNestedLoopJoin",
+    },
+    "dup_cluster_sizes": {
+        # two combinable groupBys over the component labels; candidate
+        # pairing stays banded (no all-pairs)
+        "partial_agg": r"partial_",
+        "no_cartesian": r"!CartesianProduct|BroadcastNestedLoopJoin",
+    },
     "host_counts": {
         "partial_agg": r"partial_count",
         "max_exchanges": 1,
