@@ -1791,6 +1791,64 @@ FROM norms GROUP BY label
 """
 
 
+def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming WINDOWED aggregation end-to-end, driver-gated: the
+    events table re-cast as a live feed (NDJSON chunks → ≥2 file-source
+    micro-batches), aggregated with Structured Streaming's native
+    `F.window` tumbling 1-hour windows per event type — the other
+    streaming shape next to `streaming_admission`'s foreachBatch
+    anti-join: state-store incremental aggregation, the live
+    fetch-rate / error-rate monitor (`windowed_host_counts` in
+    streaming/ingest.py is this exact plan over the crawl feed).
+
+    Gate mechanics: complete output mode into a memory sink because
+    the oracle wants the FULL bounded-input truth (tumbling windows
+    aligned to the hour == `date_trunc('hour', ts)` in batch SQL, so
+    the twin is exact). The memory sink is the bounded-gate harness
+    only — in production this runs append mode + watermark (state
+    evicted as event time passes; see `windowed_host_counts`) into
+    Kafka/foreachBatch, and the result is identical per finalized
+    window.
+    """
+    import tempfile
+    import uuid
+
+    events = load(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="fs_stream_win_")
+    feed_dir, ckpt = f"{base}/feed", f"{base}/ckpt"
+    events.select("event_type", "ts").repartition(24).write.mode(
+        "overwrite").json(feed_dir)
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 16)
+        .json(feed_dir)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = "win_" + uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName(name).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_timestamp(F.col("w.start")).alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+def sql_streaming_window_counts() -> str:
+    return """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       event_type, count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility per language: chars/token and tokens/word
     over the BPE-ish pre-tokenization — THE comparative statistic for

@@ -195,3 +195,23 @@ def test_dup_cluster_sizes_histogram(spark):
         expect[size] = expect.get(size, 0) + 1
     assert hist == expect
     assert sum(s * n for s, n in hist.items()) == len(labels)
+
+
+def test_streaming_window_counts_equal_batch(spark):
+    """Tumbling-window streaming counts must equal the batch
+    date_trunc('hour') groupBy regardless of micro-batch slicing."""
+    from pyspark.sql import functions as F
+
+    from flyscrape_spark.queries import q_streaming_window_counts
+
+    got = {(r["window_start"], r["event_type"]): r["n_events"]
+           for r in q_streaming_window_counts(spark, SF).collect()}
+    batch = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+            .alias("ws"), "event_type")
+        .agg(F.count("*").alias("n")).collect()
+    )
+    expect = {(r["ws"], r["event_type"]): r["n"] for r in batch}
+    assert got == expect

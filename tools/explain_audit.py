@@ -190,6 +190,11 @@ CHECKS = {
         "partial_agg": r"partial_",
         "max_exchanges": 1,
     },
+    "streaming_window_counts": {
+        # the audited plan is the memory-sink scan + projection; the
+        # streaming agg itself ran incrementally in the state store
+        "max_exchanges": 0,
+    },
     "tokenizer_fertility": {
         # per-doc counts are pure projections; ONE groupBy after the
         # doc_id join (broadcast/shuffle per AQE)
