@@ -6108,3 +6108,320 @@ SELECT l.lang, CAST(count(*) AS BIGINT) AS n_docs,
 FROM langs l JOIN gate g USING (doc_id)
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Web feeds (RSS 2.0 / Atom): discovery, seed planning, cadence
+# ---------------------------------------------------------------------------
+
+FD_HOSTS = 6
+FD_PATHS = 80
+FD_CAP = 20
+
+_MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+           "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+
+
+def _synthetic_rss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic RSS 2.0 XML per host from doc_id: link repeats
+    every lcm(6,80)=240 ids (exercising per-(host,link) dedup
+    downstream), whitespace inside <link> (exercising trim), guid on
+    ids % 4 == 0 only, pubDate in RFC-822 with an advisory weekday on
+    even ids and a GMT zone name (vs numeric +0000) on ids % 3 == 0
+    (exercising both normalization rewrites)."""
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    host = F.concat(F.lit("f"), (i % FD_HOSTS).cast("string"),
+                    F.lit(".example"))
+    link = F.concat(F.lit("https://"), host, F.lit("/post/"),
+                    (i % FD_PATHS).cast("string"))
+    guid = F.when(
+        i % 4 == 0,
+        F.concat(F.lit("<guid>tag:f"), (i % FD_HOSTS).cast("string"),
+                 F.lit(":"), i.cast("string"), F.lit("</guid>")),
+    ).otherwise(F.lit(""))
+    pub = F.concat(
+        F.when(i % 2 == 0, F.lit("Mon, ")).otherwise(F.lit("")),
+        F.lpad((i % 28 + 1).cast("string"), 2, "0"), F.lit(" "),
+        F.element_at(F.array(*[F.lit(m) for m in _MONTHS]),
+                     (i % 12 + 1).cast("int")),
+        F.lit(" 2025 "),
+        F.lpad((i % 24).cast("string"), 2, "0"), F.lit(":"),
+        F.lpad((i % 60).cast("string"), 2, "0"), F.lit(":"),
+        F.lpad((i % 30).cast("string"), 2, "0"),
+        F.when(i % 3 == 0, F.lit(" GMT")).otherwise(F.lit(" +0000")),
+    )
+    entry = F.concat(
+        F.lit("<item><title>Post "), i.cast("string"),
+        F.lit("</title><link> "), link, F.lit(" </link>"), guid,
+        F.lit("<pubDate>"), pub, F.lit("</pubDate></item>\n"),
+    )
+    return (
+        docs.select(host.alias("host"),
+                    F.struct(i.alias("doc_id"), entry.alias("entry")).alias("e"))
+        .groupBy("host")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list("e")), lambda s: s["entry"]),
+            "").alias("body"))
+        .select(
+            F.concat(F.lit("https://"), F.col("host"),
+                     F.lit("/feed.xml")).alias("feed_url"),
+            F.concat(F.lit('<?xml version="1.0"?><rss version="2.0"><channel>'
+                           "<title>Feed</title>\n"),
+                     F.col("body"), F.lit("</channel></rss>")).alias("xml"),
+        )
+    )
+
+
+_RSS_TS_SQL = ("make_timestamp(2025, doc_id % 12 + 1, doc_id % 28 + 1, "
+               "doc_id % 24, doc_id % 60, doc_id % 30)")
+
+
+def q_rss_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS ingestion (sources/feeds.py parse_rss): build each host's
+    RSS 2.0 XML, parse it back JVM-side with from_xml into
+    (feed_url, position, link, guid, title, pub_ts) rows, RFC-822
+    pubDates (weekday/zone-name variants included) normalized by pure
+    regexp rewrites. The oracle computes the expected rows
+    arithmetically — the parse must invert the build exactly."""
+    from flyscrape_spark.sources.feeds import parse_rss
+
+    return parse_rss(_synthetic_rss(spark, sf_dir))
+
+
+def sql_rss_extract() -> str:
+    return f"""
+SELECT 'https://f' || (doc_id % {FD_HOSTS}) || '.example/feed.xml' AS feed_url,
+       CAST(doc_id // {FD_HOSTS} AS INT) AS position,
+       'https://f' || (doc_id % {FD_HOSTS}) || '.example/post/'
+         || (doc_id % {FD_PATHS}) AS link,
+       CASE WHEN doc_id % 4 = 0
+            THEN 'tag:f' || (doc_id % {FD_HOSTS}) || ':' || doc_id END AS guid,
+       'Post ' || doc_id AS title,
+       {_RSS_TS_SQL} AS pub_ts
+FROM documents
+"""
+
+
+def _synthetic_atom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Atom XML per host: three <link> layouts cycle by
+    id (self+alternate / bare href with no rel / enclosure-then-
+    alternate) so the RFC 4287 link-selection coalesce is what's
+    under test; <published> exists on even ids only, <updated> always
+    (one hour later), so the published-over-updated preference is
+    exercised on odd ids."""
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    k = (i % FD_HOSTS).cast("string")
+    host = F.concat(F.lit("a"), k, F.lit(".example"))
+    alt = F.concat(F.lit("https://"), host, F.lit("/e/"),
+                   (i % FD_PATHS).cast("string"))
+    iso = lambda hour: F.concat(
+        F.lit("2025-"), F.lpad((i % 12 + 1).cast("string"), 2, "0"),
+        F.lit("-"), F.lpad((i % 28 + 1).cast("string"), 2, "0"),
+        F.lit("T"), F.lpad(hour.cast("string"), 2, "0"), F.lit(":"),
+        F.lpad((i % 60).cast("string"), 2, "0"), F.lit(":"),
+        F.lpad((i % 30).cast("string"), 2, "0"), F.lit("Z"),
+    )
+    published = F.when(
+        i % 2 == 0,
+        F.concat(F.lit("<published>"), iso(i % 24), F.lit("</published>")),
+    ).otherwise(F.lit(""))
+    links = F.when(i % 3 == 0, F.concat(
+        F.lit('<link rel="self" href="https://'), host,
+        F.lit('/atom.xml"/><link rel="alternate" href="'), alt, F.lit('"/>'),
+    )).when(i % 3 == 1, F.concat(
+        F.lit('<link href="'), alt, F.lit('"/>'),
+    )).otherwise(F.concat(
+        F.lit('<link rel="enclosure" href="https://cdn.example/x'),
+        i.cast("string"), F.lit('"/><link rel="alternate" href="'),
+        alt, F.lit('"/>'),
+    ))
+    entry = F.concat(
+        F.lit("<entry><title>Entry "), i.cast("string"),
+        F.lit("</title><id>urn:a"), k, F.lit(":"), i.cast("string"),
+        F.lit("</id>"), published,
+        F.lit("<updated>"), iso((i + 1) % 24), F.lit("</updated>"),
+        links, F.lit("</entry>\n"),
+    )
+    return (
+        docs.select(host.alias("host"),
+                    F.struct(i.alias("doc_id"), entry.alias("entry")).alias("e"))
+        .groupBy("host")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list("e")), lambda s: s["entry"]),
+            "").alias("body"))
+        .select(
+            F.concat(F.lit("https://"), F.col("host"),
+                     F.lit("/atom.xml")).alias("feed_url"),
+            F.concat(F.lit('<?xml version="1.0"?>'
+                           '<feed xmlns="http://www.w3.org/2005/Atom">'
+                           "<title>Feed</title>\n"),
+                     F.col("body"), F.lit("</feed>")).alias("xml"),
+        )
+    )
+
+
+_ATOM_TS_SQL = ("CASE WHEN doc_id % 2 = 0 THEN make_timestamp(2025, "
+                "doc_id % 12 + 1, doc_id % 28 + 1, doc_id % 24, doc_id % 60, "
+                "doc_id % 30) ELSE make_timestamp(2025, doc_id % 12 + 1, "
+                "doc_id % 28 + 1, (doc_id + 1) % 24, doc_id % 60, "
+                "doc_id % 30) END")
+
+
+def q_atom_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atom ingestion (sources/feeds.py parse_atom): attribute-based
+    <link> elements (rel=alternate preferred, bare href default,
+    enclosures skipped) and published-over-updated timestamp
+    preference, all via one JVM from_xml. Oracle closed-form."""
+    from flyscrape_spark.sources.feeds import parse_atom
+
+    return parse_atom(_synthetic_atom(spark, sf_dir))
+
+
+def sql_atom_extract() -> str:
+    return f"""
+SELECT 'https://a' || (doc_id % {FD_HOSTS}) || '.example/atom.xml' AS feed_url,
+       CAST(doc_id // {FD_HOSTS} AS INT) AS position,
+       'https://a' || (doc_id % {FD_HOSTS}) || '.example/e/'
+         || (doc_id % {FD_PATHS}) AS link,
+       'urn:a' || (doc_id % {FD_HOSTS}) || ':' || doc_id AS guid,
+       'Entry ' || doc_id AS title,
+       {_ATOM_TS_SQL} AS pub_ts
+FROM documents
+"""
+
+
+def q_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed autodiscovery (operators/feeds.py): find
+    <link type="application/rss+xml|atom+xml"> tags in page HTML,
+    both attribute orders, stylesheet-link noise ignored. Pure JVM
+    regexp + explode; oracle closed-form."""
+    from flyscrape_spark.operators.feeds import feed_discovery
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.concat(F.lit("https://p"), (i % 9).cast("string"),
+                   F.lit(".example/page/"), i.cast("string"))
+    rss = F.when(i % 2 == 0, F.concat(
+        F.lit('<link rel="alternate" type="application/rss+xml" '
+              'href="/feed'), (i % 3).cast("string"), F.lit('.xml">'),
+    )).otherwise(F.lit(""))
+    atom = F.when(i % 3 == 0, F.concat(
+        F.lit('<link href="https://p'), (i % 9).cast("string"),
+        F.lit('.example/atom.xml" rel="alternate" '
+              'type="application/atom+xml">'),
+    )).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><head><link rel="stylesheet" href="/main.css">'),
+        rss, atom, F.lit("</head><body>x</body></html>"),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return feed_discovery(pages)
+
+
+def sql_feed_discovery() -> str:
+    url = "'https://p' || (doc_id % 9) || '.example/page/' || doc_id"
+    return f"""
+SELECT {url} AS url, '/feed' || (doc_id % 3) || '.xml' AS feed_url,
+       'rss' AS feed_type
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT {url} AS url,
+       'https://p' || (doc_id % 9) || '.example/atom.xml' AS feed_url,
+       'atom' AS feed_type
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+def q_feed_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed seed planning (operators/feeds.py feed_seeds): RSS and
+    Atom entries union into one schema, links canonicalized,
+    per-(host,link) dedup (newest pub_ts wins — links repeat every
+    240 ids), per-host recency ranking capped at the politeness
+    budget. The whole XML round-trip + union + rank is under test."""
+    from flyscrape_spark.operators.feeds import feed_seeds
+    from flyscrape_spark.sources.feeds import parse_atom, parse_rss
+
+    entries = parse_rss(_synthetic_rss(spark, sf_dir)).unionByName(
+        parse_atom(_synthetic_atom(spark, sf_dir))
+    )
+    return feed_seeds(entries, per_host_cap=FD_CAP)
+
+
+def sql_feed_seeds() -> str:
+    return f"""
+WITH ent AS (
+  SELECT 'f' || (doc_id % {FD_HOSTS}) || '.example' AS host,
+         'https://f' || (doc_id % {FD_HOSTS}) || '.example/post/'
+           || (doc_id % {FD_PATHS}) AS link,
+         {_RSS_TS_SQL} AS pub_ts
+  FROM documents
+  UNION ALL
+  SELECT 'a' || (doc_id % {FD_HOSTS}) || '.example' AS host,
+         'https://a' || (doc_id % {FD_HOSTS}) || '.example/e/'
+           || (doc_id % {FD_PATHS}) AS link,
+         {_ATOM_TS_SQL} AS pub_ts
+  FROM documents
+),
+per_url AS (
+  SELECT host, link, max(pub_ts) AS pub_ts FROM ent GROUP BY 1, 2
+),
+ranked AS (
+  SELECT host, link, pub_ts,
+         CAST(row_number() OVER (
+           PARTITION BY host ORDER BY pub_ts DESC NULLS LAST, link ASC
+         ) AS BIGINT) AS seed_rank
+  FROM per_url
+)
+SELECT host, link, pub_ts, seed_rank FROM ranked
+WHERE seed_rank <= {FD_CAP}
+"""
+
+
+FD_MIN_INTERVAL = 900
+FD_MAX_INTERVAL = 86400
+
+
+def q_feed_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed publishing cadence (operators/feeds.py feed_cadence):
+    per-feed entry count, first/last publish, interpolated median
+    inter-entry gap, and the politeness-clamped recrawl interval
+    (half the median gap). One lag window + one groupBy on the same
+    key — the corpus shuffles once."""
+    from flyscrape_spark.operators.feeds import feed_cadence
+    from flyscrape_spark.sources.feeds import parse_rss
+
+    return feed_cadence(
+        parse_rss(_synthetic_rss(spark, sf_dir)),
+        min_interval_s=FD_MIN_INTERVAL,
+        max_interval_s=FD_MAX_INTERVAL,
+    )
+
+
+def sql_feed_cadence() -> str:
+    return f"""
+WITH ent AS (
+  SELECT 'https://f' || (doc_id % {FD_HOSTS})
+           || '.example/feed.xml' AS feed_url,
+         {_RSS_TS_SQL} AS pub_ts
+  FROM documents
+),
+g AS (
+  SELECT feed_url, pub_ts,
+         epoch(pub_ts) - epoch(lag(pub_ts) OVER w) AS gap_s
+  FROM ent WINDOW w AS (PARTITION BY feed_url ORDER BY pub_ts)
+),
+s AS (
+  SELECT feed_url, count(*) AS n_entries, min(pub_ts) AS first_ts,
+         max(pub_ts) AS last_ts, round(median(gap_s), 3) AS median_gap_s
+  FROM g GROUP BY 1
+)
+SELECT feed_url, n_entries, first_ts, last_ts, median_gap_s,
+       CASE WHEN median_gap_s IS NULL THEN CAST({FD_MAX_INTERVAL} AS BIGINT)
+            ELSE greatest({FD_MIN_INTERVAL},
+                          least({FD_MAX_INTERVAL},
+                                CAST(round(median_gap_s / 2) AS BIGINT)))
+       END AS fetch_interval_s
+FROM s
+"""

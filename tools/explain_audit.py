@@ -535,6 +535,47 @@ CHECKS = {
         "per_host_window": r"Window.*partitionBy|Window \[.*host",
         "max_exchanges": 3,
     },
+    "rss_extract": {
+        # from_xml + posexplode + RFC-822 regexp rewrites are pure
+        # JVM; the one exchange builds the per-host fixture XML
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "generate_explode": r"Generate posexplode",
+        "max_exchanges": 1,
+    },
+    "atom_extract": {
+        # attribute-based <link> selection is array filter/get inside
+        # codegen — no Python, fixture exchange only
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "generate_explode": r"Generate posexplode",
+        "max_exchanges": 1,
+    },
+    "feed_discovery": {
+        # autodiscovery tags are context-free: two JVM regexes, the
+        # (feed_url, type) dedup is array_distinct BEFORE the explode
+        # -> the whole operator fuses into the page scan, no shuffle
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "generate_explode": r"Generate explode",
+        "max_exchanges": 0,
+    },
+    "feed_seeds": {
+        # two fixture XML builds + the per-(host,link) dedup agg
+        # (map-side combinable max) + the per-host rank window —
+        # partitions by host, never globally
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "partial_agg": r"partial_max",
+        "no_cartesian": r"!CartesianProduct",
+        "per_host_window": r"Window.*partitionBy|Window \[.*host",
+        "max_exchanges": 4,
+    },
+    "feed_cadence": {
+        # one fixture exchange + ONE corpus shuffle: the per-feed lag
+        # window and the groupBy share the feed_url hash partitioning
+        # (partial_percentile proves the agg still map-side-combines)
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "partial_agg": r"partial_percentile",
+        "no_cartesian": r"!CartesianProduct",
+        "max_exchanges": 2,
+    },
     "bpe_pairs": {
         # the corpus is touched ONCE by the combinable word count;
         # the char fan-out + pair agg run over the bounded vocabulary;
