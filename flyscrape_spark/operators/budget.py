@@ -1,0 +1,138 @@
+"""Global fetch-budget allocation across hosts — exact max-min
+water-filling, distributed.
+
+A crawl cycle has one global budget B (fetches the cluster can issue
+this cycle) and, per host, a demand (frontier backlog) and a
+politeness cap (the most the host's crawl-delay budget allows). The
+fair allocation is the classic water-filling solution: every host
+gets min(effective_cap, t) where effective_cap = min(demand, cap)
+and the water level t solves sum_i min(c_i, t) = B — small hosts are
+fully funded, big hosts are leveled equally. The reference has no
+notion of a budget at all (it fetches until the frontier drains,
+/root/reference/scrape.go:150-220); at 10^10 URLs the cycle budget
+IS the scheduler.
+
+Scale shape (no global sort window, no single-partition exchange):
+
+1. ``repartitionByRange(c, host)`` + partition-local sort — the same
+   skew-free two-phase prefix-sum layout as
+   operators/mixing.py token_budget_sample.
+2. Per-partition (count, sum) collected driver-side — O(partitions)
+   metadata, never rows.
+3. One Arrow ``mapInPandas`` pass computes each row's global rank k
+   and exclusive prefix sum S from the broadcast offsets, emitting
+   the candidate level t_k = (B - S_k) / (n - k + 1) and its
+   feasibility (t_k <= c_k). The water level is the FIRST feasible
+   candidate — one scalar min aggregate.
+4. Final projection alloc = min(c, t) over the hosts table.
+
+The level is exact (not iterative): f(t) = sum min(c_i, t) is
+piecewise linear with breakpoints at the sorted c_k, and t_k is the
+unique solution on the segment where it is feasible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+
+def waterfill(
+    hosts: DataFrame,
+    budget: int,
+    host_col: str = "host",
+    demand_col: str = "demand",
+    cap_col: str = "cap",
+    parts: int | None = None,
+) -> DataFrame:
+    """(host, demand, cap, alloc, capped) for every host: the exact
+    water-filling split of ``budget`` over effective caps
+    min(demand, cap). ``capped`` hosts are fully funded; the rest sit
+    at the common water level. When total effective demand fits the
+    budget, everyone is capped and the level is infinite.
+
+    Deterministic: ties in c break on host name in the ranking, and
+    the level depends only on the multiset of caps.
+    """
+    spark = hosts.sparkSession
+    if parts is None:
+        parts = spark.sparkContext.defaultParallelism
+    base = hosts.select(
+        F.col(host_col).alias("host"),
+        F.col(demand_col).cast("long").alias("demand"),
+        F.col(cap_col).cast("long").alias("cap"),
+    ).withColumn("c", F.least("demand", "cap"))
+
+    ranged = (
+        base.repartitionByRange(parts, F.col("c"), F.col("host"))
+        .sortWithinPartitions("c", "host")
+        .localCheckpoint(eager=True)  # pin: offsets + cumsum see one layout
+    )
+    part_stats = (
+        ranged.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.count("*").alias("n"), F.sum("c").alias("s"))
+        .collect()
+    )
+    n_total = sum(r["n"] for r in part_stats)
+    s_total = sum(r["s"] for r in part_stats)
+    if n_total == 0:
+        return base.select(
+            "host", "demand", "cap",
+            F.col("c").cast("double").alias("alloc"),
+            F.lit(True).alias("capped"),
+        )
+    if s_total <= budget:
+        # every host fully funded; the water is above the tallest cap
+        return base.select(
+            "host", "demand", "cap",
+            F.round(F.col("c").cast("double"), 6).alias("alloc"),
+            F.lit(True).alias("capped"),
+        )
+
+    # exclusive (rank, prefix-sum) offsets per partition, driver-side
+    offsets: dict[int, tuple[int, int]] = {}
+    k_acc = 0
+    s_acc = 0
+    for row in sorted(part_stats, key=lambda r: r["pid"]):
+        offsets[row["pid"]] = (k_acc, s_acc)
+        k_acc += row["n"]
+        s_acc += row["s"]
+
+    schema = StructType(
+        [StructField("t", DoubleType()), StructField("k", LongType())]
+    )
+
+    def candidates(iterator):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        k0, s0 = offsets.get(pid, (0, 0))
+        seen = 0
+        emitted = 0
+        for pdf in iterator:
+            c = pdf["c"]
+            k = k0 + seen + pd.RangeIndex(1, len(pdf) + 1)
+            s_excl = s0 + emitted + c.cumsum() - c
+            t = (budget - s_excl) / (n_total - k + 1)
+            ok = t <= c
+            seen += len(pdf)
+            emitted += int(c.sum())
+            out = pd.DataFrame({"t": t[ok], "k": pd.Series(k)[ok.values]})
+            if len(out):
+                yield out
+
+    first = (
+        ranged.mapInPandas(candidates, schema=schema)
+        .agg(F.min_by("t", "k").alias("t"))
+        .collect()[0]
+    )
+    level = float(first["t"])
+    return base.select(
+        "host", "demand", "cap",
+        F.round(F.least(F.col("c").cast("double"), F.lit(level)), 6).alias(
+            "alloc"
+        ),
+        (F.col("c").cast("double") <= F.lit(level)).alias("capped"),
+    )

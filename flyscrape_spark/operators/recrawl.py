@@ -241,3 +241,115 @@ def revalidate_plan(
         action.alias("action"),
         F.round(est, 4).alias("est_bytes"),
     )
+
+
+def etag_stability(
+    fetch_log: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    etag_col: str = "etag",
+) -> DataFrame:
+    """Per-host ETag usability audit: conditional GETs
+    (:func:`revalidate_plan`) only save bandwidth when a URL's
+    validator is *stable* across fetches — a measurable share of real
+    servers rotate the ETag on every response (mtime-embedding,
+    load-balanced replicas with divergent inode hashes), which turns
+    every If-None-Match into a full 200. This rollup classifies each
+    URL from its fetch history (stable: one distinct non-null ETag;
+    rotating: several; missing: none) and tells the scheduler, per
+    host, whether the revalidate path is worth the header bytes.
+
+    Input: one row per fetch event (url, host, etag nullable).
+    Output: (host, n_urls, n_stable, n_rotating, n_missing,
+    rotate_rate, use_conditional_get) — use_conditional_get is the
+    host-level switch (more stable than rotating URLs).
+
+    Engine-added (the reference caches by URL and never revisits,
+    /root/reference/modules/cache/cache.go:46-81). Scale shape: two
+    combinable groupBys (url then host), both map-side partial —
+    no windows, no Python.
+    """
+    per_url = fetch_log.groupBy(
+        F.col(host_col).alias("host"), F.col(url_col).alias("url")
+    ).agg(
+        F.count("*").alias("n_fetches"),
+        F.count_distinct(F.col(etag_col)).alias("n_etags"),
+    )
+    cls = (
+        F.when(F.col("n_etags") == 0, F.lit("missing"))
+        .when(F.col("n_etags") == 1, F.lit("stable"))
+        .otherwise(F.lit("rotating"))
+    )
+    per_host = per_url.withColumn("cls", cls).groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.sum((F.col("cls") == "stable").cast("long")).alias("n_stable"),
+        F.sum((F.col("cls") == "rotating").cast("long")).alias("n_rotating"),
+        F.sum((F.col("cls") == "missing").cast("long")).alias("n_missing"),
+    )
+    return per_host.select(
+        "host", "n_urls", "n_stable", "n_rotating", "n_missing",
+        F.round(F.col("n_rotating") / F.col("n_urls"), 6).alias(
+            "rotate_rate"
+        ),
+        (F.col("n_stable") > F.col("n_rotating")).alias(
+            "use_conditional_get"
+        ),
+    )
+
+
+def crawl_diff(
+    old: DataFrame,
+    new: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Per-host churn between two crawl snapshots: how many URLs are
+    new / gone / changed (same URL, different content hash) /
+    unchanged — the cycle-over-cycle report that calibrates the
+    host-level change-rate priors :func:`change_rate` needs a history
+    for, and the first thing an operator reads after a crawl cycle.
+
+    Inputs: one row per URL per snapshot (host, url, content_hash).
+    Output: (host, n_urls, n_new, n_gone, n_changed, n_unchanged,
+    churn_rate) where n_urls counts the union of both snapshots'
+    URLs and churn_rate = 1 - unchanged/n_urls.
+
+    Engine-added (the reference keeps no cross-run state beyond its
+    URL cache, /root/reference/modules/cache/cache.go). Scale shape:
+    one url equi-join (both sides shuffle on url — at 10^10 rows
+    bucket both snapshot tables by url, sources/seen_store.py style,
+    and the exchanges vanish) + one combinable host rollup.
+    """
+    o = old.select(
+        F.col(host_col).alias("host"),
+        F.col(url_col).alias("url"),
+        F.col(hash_col).alias("h_old"),
+    )
+    n = new.select(
+        F.col(host_col).alias("host"),
+        F.col(url_col).alias("url"),
+        F.col(hash_col).alias("h_new"),
+    )
+    j = o.join(n, ["host", "url"], "full_outer")
+    status = (
+        F.when(F.col("h_old").isNull(), F.lit("new"))
+        .when(F.col("h_new").isNull(), F.lit("gone"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    per_host = j.withColumn("status", status).groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.sum((F.col("status") == "new").cast("long")).alias("n_new"),
+        F.sum((F.col("status") == "gone").cast("long")).alias("n_gone"),
+        F.sum((F.col("status") == "changed").cast("long")).alias(
+            "n_changed"
+        ),
+        F.sum((F.col("status") == "unchanged").cast("long")).alias(
+            "n_unchanged"
+        ),
+    )
+    return per_host.withColumn(
+        "churn_rate",
+        F.round(1.0 - F.col("n_unchanged") / F.col("n_urls"), 6),
+    )

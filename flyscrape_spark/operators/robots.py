@@ -262,3 +262,71 @@ def sitemap_directives(
         .filter(F.col("sitemap_url").isNotNull())
         .select("host", "sitemap_url", "position")
     )
+
+
+def robots_churn(
+    old: DataFrame,
+    new: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """Robots-policy churn between two crawl snapshots: which hosts
+    changed their Disallow rule set, how many paths were added vs
+    removed, and the net direction. A host that *tightened* its
+    policy needs its already-fetched URLs re-checked (we may now hold
+    pages the site disallows); one that *loosened* frees frontier
+    URLs the last crawl skipped — both feed the recrawl planner.
+
+    Inputs: one row per host per snapshot (host, robots body).
+    Output: (host, n_old, n_new, added, removed, direction) with
+    direction in {'same','tightened','loosened','mixed'}; hosts
+    present in only one snapshot diff against the empty rule set
+    (full outer join).
+
+    The diff is policy-level — the sorted distinct Disallow path set
+    across ALL agent groups — not a per-agent evaluation (that's
+    ``allowed_filter``); empty ``Disallow:`` lines (allow-all per RFC
+    9309 §2.2.2) carry no path and are excluded by construction.
+
+    Scale shape: rule extraction is one multiline JVM regexp + array
+    ops fused into each snapshot's scan; one equi-join on host (AQE
+    broadcasts the smaller snapshot when sizes diverge). No Python.
+    """
+    pat = r"(?m)^[Dd][Ii][Ss][Aa][Ll][Ll][Oo][Ww]\s*:\s*(\S+)"
+
+    def rules(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            F.col(host_col).alias("host"),
+            F.array_sort(
+                F.array_distinct(
+                    F.regexp_extract_all(F.col(body_col), F.lit(pat), 1)
+                )
+            ).alias(out),
+        )
+
+    empty = F.array().cast("array<string>")
+    j = (
+        rules(old, "r_old")
+        .join(rules(new, "r_new"), "host", "full_outer")
+        .select(
+            "host",
+            F.coalesce("r_old", empty).alias("r_old"),
+            F.coalesce("r_new", empty).alias("r_new"),
+        )
+    )
+    added = F.size(F.array_except("r_new", "r_old"))
+    removed = F.size(F.array_except("r_old", "r_new"))
+    direction = (
+        F.when((added == 0) & (removed == 0), F.lit("same"))
+        .when(added > removed, F.lit("tightened"))
+        .when(removed > added, F.lit("loosened"))
+        .otherwise(F.lit("mixed"))
+    )
+    return j.select(
+        "host",
+        F.size("r_old").alias("n_old"),
+        F.size("r_new").alias("n_new"),
+        added.alias("added"),
+        removed.alias("removed"),
+        direction.alias("direction"),
+    )

@@ -6425,3 +6425,363 @@ SELECT feed_url, n_entries, first_ts, last_ts, median_gap_s,
        END AS fetch_interval_s
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Crawl-ops batch: ETag stability, robots churn, budget water-filling
+# ---------------------------------------------------------------------------
+
+ET_URLS = 120
+ET_HOSTS = 8
+
+
+def q_etag_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ETag usability audit (operators/recrawl.py etag_stability):
+    each doc_id is one fetch event of url doc_id%120 — urls cycle
+    rotating (every fetch a new ETag) / stable / missing by url%5 —
+    rolled up to the per-host conditional-GET switch. Two combinable
+    groupBys; oracle closed-form."""
+    from flyscrape_spark.operators.recrawl import etag_stability
+
+    docs = load(spark, sf_dir, "documents")
+    m = F.col("doc_id") % ET_URLS
+    etag = (
+        F.when(m % 5 == 0, F.concat(F.lit('W/"'),
+                                    F.col("doc_id").cast("string"),
+                                    F.lit('"')))
+        .when(m % 5 <= 2, F.concat(F.lit('"e'), m.cast("string"),
+                                   F.lit('"')))
+    )
+    log = docs.select(
+        F.concat(F.lit("https://h"), (m % ET_HOSTS).cast("string"),
+                 F.lit(".example/u/"), m.cast("string")).alias("url"),
+        F.concat(F.lit("h"), (m % ET_HOSTS).cast("string"),
+                 F.lit(".example")).alias("host"),
+        etag.alias("etag"),
+    )
+    return etag_stability(log)
+
+
+def sql_etag_stability() -> str:
+    return f"""
+WITH ev AS (
+  SELECT doc_id % {ET_URLS} AS m,
+         CASE WHEN (doc_id % {ET_URLS}) % 5 = 0
+              THEN 'W/"' || doc_id || '"'
+              WHEN (doc_id % {ET_URLS}) % 5 <= 2
+              THEN '"e' || (doc_id % {ET_URLS}) || '"' END AS etag
+  FROM documents
+),
+per_url AS (
+  SELECT 'h' || (m % {ET_HOSTS}) || '.example' AS host, m,
+         count(DISTINCT etag) AS n_etags
+  FROM ev GROUP BY 1, 2
+),
+cls AS (
+  SELECT host,
+         CASE WHEN n_etags = 0 THEN 'missing'
+              WHEN n_etags = 1 THEN 'stable' ELSE 'rotating' END AS c
+  FROM per_url
+)
+SELECT host, count(*) AS n_urls,
+       CAST(sum(CASE WHEN c = 'stable' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stable,
+       CAST(sum(CASE WHEN c = 'rotating' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rotating,
+       CAST(sum(CASE WHEN c = 'missing' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing,
+       round(sum(CASE WHEN c = 'rotating' THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS rotate_rate,
+       sum(CASE WHEN c = 'stable' THEN 1 ELSE 0 END)
+         > sum(CASE WHEN c = 'rotating' THEN 1 ELSE 0 END)
+         AS use_conditional_get
+FROM cls GROUP BY host
+"""
+
+
+RC_HOSTS = 30
+
+
+def q_robots_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-policy churn (operators/robots.py robots_churn):
+    deterministic old/new robots.txt per host — new drops /p0 on
+    k%5==0 and adds /q0 on k%3==0, with Allow/Crawl-delay noise lines
+    the Disallow diff must ignore. The oracle computes the expected
+    diff closed-form from k, so the multiline regexp extraction +
+    array diff is what's under test."""
+    from flyscrape_spark.operators.robots import robots_churn
+
+    docs = load(spark, sf_dir, "documents")
+    hosts = docs.select(
+        (F.col("doc_id") % RC_HOSTS).alias("k")
+    ).distinct()
+    k = F.col("k")
+    host = F.concat(F.lit("r"), k.cast("string"), F.lit(".example"))
+    # NB: F.sequence(a, b) is DESCENDING when a > b, never empty —
+    # generate 0..k%4 and filter, so lo > hi yields no lines
+    dis = lambda lo: F.concat_ws(
+        "\n",
+        F.transform(
+            F.filter(F.sequence(F.lit(0), k % 4), lambda j: j >= lo),
+            lambda j: F.concat(F.lit("Disallow: /p"), j.cast("string")),
+        ),
+    )
+    old_body = F.concat(
+        F.lit("User-agent: *\nAllow: /pub\n"), dis(F.lit(0)),
+        F.lit("\nCrawl-delay: 2\n"),
+    )
+    new_extra = F.when(
+        k % 3 == 0, F.lit("\nDisallow: /q0")
+    ).otherwise(F.lit(""))
+    new_body = F.concat(
+        F.lit("User-agent: *\nAllow: /pub\n"),
+        dis(F.when(k % 5 == 0, F.lit(1)).otherwise(F.lit(0))),
+        new_extra, F.lit("\n"),
+    )
+    old = hosts.select(host.alias("host"), old_body.alias("body"))
+    new = hosts.select(host.alias("host"), new_body.alias("body"))
+    return robots_churn(old, new)
+
+
+def sql_robots_churn() -> str:
+    return f"""
+WITH ks AS (SELECT DISTINCT doc_id % {RC_HOSTS} AS k FROM documents),
+d AS (
+  SELECT k, 'r' || k || '.example' AS host,
+         CAST(k % 4 + 1 AS INT) AS n_old,
+         CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END AS rem_p0,
+         CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END AS add_q
+  FROM ks
+)
+SELECT host, n_old,
+       CAST(n_old - rem_p0 + add_q AS INT) AS n_new,
+       CAST(add_q AS INT) AS added, CAST(rem_p0 AS INT) AS removed,
+       CASE WHEN add_q = 0 AND rem_p0 = 0 THEN 'same'
+            WHEN add_q > rem_p0 THEN 'tightened'
+            WHEN rem_p0 > add_q THEN 'loosened'
+            ELSE 'mixed' END AS direction
+FROM d
+"""
+
+
+WF_HOSTS = 40
+WF_BUDGET = 600
+
+
+def q_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact max-min water-filling of a global fetch budget
+    (operators/budget.py waterfill): the distributed two-phase
+    prefix-sum pivot search against an independent window-function
+    oracle that re-derives the water level with a global sort."""
+    from flyscrape_spark.operators.budget import waterfill
+
+    docs = load(spark, sf_dir, "documents")
+    hosts = docs.select((F.col("doc_id") % WF_HOSTS).alias("k")).distinct()
+    k = F.col("k")
+    return waterfill(
+        hosts.select(
+            F.concat(F.lit("b"), k.cast("string"), F.lit(".example")).alias(
+                "host"
+            ),
+            ((k * 37) % 101 + 5).alias("demand"),
+            ((k % 7 + 1) * 10).alias("cap"),
+        ),
+        budget=WF_BUDGET,
+    )
+
+
+def sql_budget_waterfill() -> str:
+    return f"""
+WITH ks AS (SELECT DISTINCT doc_id % {WF_HOSTS} AS k FROM documents),
+hosts AS (
+  SELECT 'b' || k || '.example' AS host,
+         CAST((k * 37) % 101 + 5 AS BIGINT) AS demand,
+         CAST((k % 7 + 1) * 10 AS BIGINT) AS cap
+  FROM ks
+),
+c AS (SELECT host, demand, cap, least(demand, cap) AS c FROM hosts),
+o AS (
+  SELECT *, row_number() OVER (ORDER BY c, host) AS k,
+         coalesce(sum(c) OVER (ORDER BY c, host
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_excl
+  FROM c
+),
+tot AS (SELECT count(*) AS n, sum(c) AS s FROM c),
+cand AS (
+  SELECT ({WF_BUDGET} - s_excl) * 1.0 / (n - k + 1) AS t, k
+  FROM o CROSS JOIN tot
+  WHERE ({WF_BUDGET} - s_excl) * 1.0 / (n - k + 1) <= c
+),
+lvl AS (
+  SELECT CASE WHEN (SELECT s FROM tot) <= {WF_BUDGET} THEN NULL
+              ELSE (SELECT t FROM cand ORDER BY k LIMIT 1) END AS t
+)
+SELECT host, demand, cap,
+       round(CASE WHEN t IS NULL THEN c * 1.0
+                  ELSE least(c * 1.0, t) END, 6) AS alloc,
+       (t IS NULL OR c * 1.0 <= t) AS capped
+FROM c CROSS JOIN lvl
+"""
+
+
+def q_sitemap_index_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-index ingestion (sources/sitemaps.py
+    parse_sitemap_index): build each host's <sitemapindex> XML listing
+    its child sitemaps, parse it back JVM-side into
+    (host, sitemap_url, lastmod) rows ready for the transport ->
+    parse_sitemaps recursion. Oracle closed-form."""
+    from flyscrape_spark.sources.sitemaps import parse_sitemap_index
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    host = F.concat(F.lit("i"), (i % SM_HOSTS).cast("string"),
+                    F.lit(".example"))
+    entry = F.concat(
+        F.lit("<sitemap><loc>https://"), host, F.lit("/sm/"),
+        i.cast("string"), F.lit(".xml</loc><lastmod>2026-02-"),
+        F.lpad((i % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod></sitemap>\n"),
+    )
+    indexes = (
+        docs.select(host.alias("host"), entry.alias("entry"))
+        .groupBy("host")
+        .agg(F.array_join(F.collect_list("entry"), "").alias("body"))
+        .select(
+            "host",
+            F.concat(F.lit('<?xml version="1.0"?>\n<sitemapindex>\n'),
+                     F.col("body"), F.lit("</sitemapindex>")).alias("xml"),
+        )
+    )
+    return parse_sitemap_index(indexes)
+
+
+def sql_sitemap_index_extract() -> str:
+    return f"""
+SELECT 'i' || (doc_id % {SM_HOSTS}) || '.example' AS host,
+       'https://i' || (doc_id % {SM_HOSTS}) || '.example/sm/' || doc_id
+         || '.xml' AS sitemap_url,
+       '2026-02-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         AS lastmod
+FROM documents
+"""
+
+
+CD_HOSTS = 12
+
+
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot churn report (operators/recrawl.py crawl_diff):
+    old snapshot omits doc_id%10==9 (new URLs), new snapshot omits
+    doc_id%10==4 (gone URLs), content hash rotates on doc_id%7==0
+    (changed). Full-outer url join + one combinable host rollup;
+    oracle computes the per-URL status closed-form."""
+    from flyscrape_spark.operators.recrawl import crawl_diff
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    host = F.concat(F.lit("c"), (i % CD_HOSTS).cast("string"),
+                    F.lit(".example"))
+    url = F.concat(F.lit("https://"), host, F.lit("/d/"), i.cast("string"))
+    old = docs.filter(i % 10 != 9).select(
+        host.alias("host"), url.alias("url"),
+        F.concat(F.lit("h"), (i % 97).cast("string")).alias("content_hash"),
+    )
+    new = docs.filter(i % 10 != 4).select(
+        host.alias("host"), url.alias("url"),
+        F.concat(
+            F.lit("h"),
+            F.when(i % 7 == 0, (i % 97) + 1).otherwise(i % 97).cast("string"),
+        ).alias("content_hash"),
+    )
+    return crawl_diff(old, new)
+
+
+def sql_crawl_diff() -> str:
+    return f"""
+WITH st AS (
+  SELECT 'c' || (doc_id % {CD_HOSTS}) || '.example' AS host,
+         CASE WHEN doc_id % 10 = 9 THEN 'new'
+              WHEN doc_id % 10 = 4 THEN 'gone'
+              WHEN doc_id % 7 = 0 THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM documents
+)
+SELECT host, count(*) AS n_urls,
+       CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(sum(CASE WHEN status = 'gone' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gone,
+       CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed,
+       CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unchanged,
+       round(1.0 - sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS churn_rate
+FROM st GROUP BY host
+"""
+
+
+EA_HOSTS = 10
+
+
+def q_charset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset declaration audit (operators/encoding.py): header
+    charset (incl. quoted/case variants) vs document meta charset
+    (HTML5 form + legacy http-equiv), per-host mismatch and
+    undeclared rates. Three JVM regexes + one combinable groupBy;
+    oracle closed-form."""
+    from flyscrape_spark.operators.encoding import charset_audit
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    host = F.concat(F.lit("e"), (i % EA_HOSTS).cast("string"),
+                    F.lit(".example"))
+    ctype = (
+        F.when(i % 4 == 0, F.lit("text/html; charset=UTF-8"))
+        .when(i % 4 == 1, F.lit('text/html; CHARSET="iso-8859-1"'))
+        .when(i % 4 == 2, F.lit("text/html"))
+        .otherwise(F.lit("text/html; charset=utf-8"))
+    )
+    meta = (
+        F.when(i % 5 == 0, F.lit('<meta charset="utf-8">'))
+        .when(i % 5 == 1, F.lit('<meta http-equiv="Content-Type" '
+                                'content="text/html; '
+                                'charset=windows-1252">'))
+        .when(i % 5 == 2, F.lit("<meta charset=ISO-8859-1>"))
+        .otherwise(F.lit(""))
+    )
+    pages = docs.select(
+        host.alias("host"), ctype.alias("content_type"),
+        F.concat(F.lit("<html><head>"), meta,
+                 F.lit("</head><body>x</body></html>")).alias("html"),
+    )
+    return charset_audit(pages)
+
+
+def sql_charset_audit() -> str:
+    return f"""
+WITH sig AS (
+  SELECT 'e' || (doc_id % {EA_HOSTS}) || '.example' AS host,
+         CASE WHEN doc_id % 4 = 0 THEN 'utf-8'
+              WHEN doc_id % 4 = 1 THEN 'iso-8859-1'
+              WHEN doc_id % 4 = 3 THEN 'utf-8' END AS hdr,
+         CASE WHEN doc_id % 5 = 0 THEN 'utf-8'
+              WHEN doc_id % 5 = 1 THEN 'windows-1252'
+              WHEN doc_id % 5 = 2 THEN 'iso-8859-1' END AS meta
+  FROM documents
+)
+SELECT host, count(*) AS n_pages,
+       CAST(sum(CASE WHEN hdr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_header,
+       CAST(sum(CASE WHEN meta IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_meta,
+       CAST(sum(CASE WHEN hdr IS NOT NULL AND meta IS NOT NULL
+                      AND hdr <> meta THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mismatch,
+       CAST(sum(CASE WHEN hdr IS NULL AND meta IS NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_undeclared,
+       round(sum(CASE WHEN hdr IS NOT NULL AND meta IS NOT NULL
+                       AND hdr <> meta THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS mismatch_rate
+FROM sig GROUP BY host
+"""

@@ -535,6 +535,32 @@ CHECKS = {
         "per_host_window": r"Window.*partitionBy|Window \[.*host",
         "max_exchanges": 3,
     },
+    "etag_stability": {
+        # two combinable groupBys (url, then host) + the extra
+        # exchange count_distinct's three-stage agg inserts — all
+        # map-side partial, no windows, no Python
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "partial_agg": r"partial_(count|sum)",
+        "no_join": r"!Join",
+        "max_exchanges": 3,
+    },
+    "robots_churn": {
+        # rule extraction fuses into each snapshot's scan (multiline
+        # regexp + array ops, no Python); exchanges: fixture distinct
+        # + the host equi-join's two sides + reuse — never cartesian
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "no_cartesian": r"!CartesianProduct",
+        "max_exchanges": 4,
+    },
+    "budget_waterfill": {
+        # the RETURNED plan is scan + projection against the
+        # broadcast water level (one fixture-distinct exchange); the
+        # pivot search ran as two-phase prefix-sum side jobs — no
+        # global sort window, no single-partition exchange here
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "no_global_window": r"!Exchange SinglePartition",
+        "max_exchanges": 1,
+    },
     "rss_extract": {
         # from_xml + posexplode + RFC-822 regexp rewrites are pure
         # JVM; the one exchange builds the per-host fixture XML
