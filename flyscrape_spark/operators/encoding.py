@@ -1,0 +1,96 @@
+"""Charset declaration audit: Content-Type header vs in-document
+meta declaration, per host.
+
+Round 3 fixed the transport to honor charset (HTTP header first,
+HTML5 meta sniff fallback — sources/transport.py decode_body, the
+rule the reference gets free from Go net/http + goquery,
+/root/reference/scrape.go:178-196). This operator is the corpus-side
+audit of that same signal: hosts whose headers and documents
+disagree are exactly where mojibake risk lives, and a host that
+declares nothing forces the sniffer on every page. The rollup feeds
+the crawl QA dashboard and flags hosts worth a decode spot-check.
+
+Scale shape: three JVM regexes per page (header charset param, HTML5
+``<meta charset>``, legacy ``http-equiv`` form), one combinable
+groupBy(host) — no Python, no windows, fuses into the page scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: charset parameter of a Content-Type value (RFC 9110 §8.3:
+#: parameter name case-insensitive, value may be quoted)
+_HEADER_CHARSET = r'(?i)charset\s*=\s*"?\s*([^";\s]+)'
+
+#: HTML5 <meta charset="..."> (attribute order free by construction)
+_META_CHARSET = r'(?i)<meta[^>]*\scharset\s*=\s*["\']?\s*([^"\'>\s/]+)'
+
+#: legacy <meta http-equiv="Content-Type" content="...;charset=...">
+_META_HTTP_EQUIV = (
+    r'(?i)<meta[^>]*http-equiv\s*=\s*["\']content-type["\'][^>]*'
+    r'content\s*=\s*["\'][^"\']*charset\s*=\s*([^"\'>;\s]+)'
+)
+
+
+def _norm(c: Column) -> Column:
+    return F.nullif(F.lower(F.trim(c)), F.lit(""))
+
+
+def header_charset(content_type_col: str | Column = "content_type") -> Column:
+    """Lowercased charset parameter of a Content-Type header value,
+    NULL when absent."""
+    c = (
+        F.col(content_type_col)
+        if isinstance(content_type_col, str)
+        else content_type_col
+    )
+    return _norm(F.regexp_extract(c, _HEADER_CHARSET, 1))
+
+
+def meta_charset(html_col: str | Column = "html") -> Column:
+    """Lowercased document-declared charset: HTML5 ``<meta charset>``
+    first, legacy http-equiv form as fallback (the HTML5 sniffing
+    order), NULL when neither appears."""
+    h = F.col(html_col) if isinstance(html_col, str) else html_col
+    return F.coalesce(
+        _norm(F.regexp_extract(h, _META_CHARSET, 1)),
+        _norm(F.regexp_extract(h, _META_HTTP_EQUIV, 1)),
+    )
+
+
+def charset_audit(
+    pages: DataFrame,
+    host_col: str = "host",
+    content_type_col: str = "content_type",
+    html_col: str = "html",
+) -> DataFrame:
+    """(host, n_pages, n_header, n_meta, n_mismatch, n_undeclared,
+    mismatch_rate): per-host agreement between the transport-level
+    and document-level charset declarations. A mismatch counts only
+    when BOTH are declared and differ; undeclared pages (neither
+    signal) rely wholly on content sniffing."""
+    hdr = header_charset(content_type_col)
+    meta = meta_charset(html_col)
+    base = pages.select(
+        F.col(host_col).alias("host"),
+        hdr.alias("hdr"),
+        meta.alias("meta"),
+    )
+    mismatch = (
+        F.col("hdr").isNotNull()
+        & F.col("meta").isNotNull()
+        & (F.col("hdr") != F.col("meta"))
+    )
+    undeclared = F.col("hdr").isNull() & F.col("meta").isNull()
+    per_host = base.groupBy("host").agg(
+        F.count("*").alias("n_pages"),
+        F.sum(F.col("hdr").isNotNull().cast("long")).alias("n_header"),
+        F.sum(F.col("meta").isNotNull().cast("long")).alias("n_meta"),
+        F.sum(mismatch.cast("long")).alias("n_mismatch"),
+        F.sum(undeclared.cast("long")).alias("n_undeclared"),
+    )
+    return per_host.withColumn(
+        "mismatch_rate",
+        F.round(F.col("n_mismatch") / F.col("n_pages"), 6),
+    )

@@ -535,6 +535,30 @@ CHECKS = {
         "per_host_window": r"Window.*partitionBy|Window \[.*host",
         "max_exchanges": 3,
     },
+    "sitemap_index_extract": {
+        # index parse is the same JVM from_xml + explode shape as
+        # sitemap_extract; the one exchange builds the fixture XML
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "generate_explode": r"Generate explode",
+        "max_exchanges": 1,
+    },
+    "crawl_diff": {
+        # full-outer url join (both snapshots shuffle on the key —
+        # bucket both by url at 10^10 and these vanish) + ONE
+        # combinable host rollup; never cartesian
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "partial_agg": r"partial_(count|sum)",
+        "no_cartesian": r"!CartesianProduct",
+        "max_exchanges": 3,
+    },
+    "charset_audit": {
+        # three JVM regexes fuse into the page scan; one combinable
+        # host rollup is the only shuffle
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "partial_agg": r"partial_(count|sum)",
+        "no_join": r"!Join",
+        "max_exchanges": 1,
+    },
     "etag_stability": {
         # two combinable groupBys (url, then host) + the extra
         # exchange count_distinct's three-stage agg inserts — all
