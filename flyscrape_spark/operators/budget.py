@@ -136,3 +136,94 @@ def waterfill(
         ),
         (F.col("c").cast("double") <= F.lit(level)).alias("capped"),
     )
+
+
+def cycle_plan(
+    frontier: DataFrame,
+    delays: DataFrame,
+    budget: int,
+    cycle_s: float = 60.0,
+    host_col: str = "host",
+    delay_col: str = "adjusted_delay_s",
+) -> DataFrame:
+    """The next crawl cycle's per-host fetch plan — the composition
+    that closes the scheduling loop: demand comes from the pending
+    frontier (one combinable count per host), the per-host ceiling
+    from the politeness pacing (floor(cycle_s / delay) fetches fit in
+    a cycle at that delay — ``delays`` is the O(hosts) output of
+    operators/politeness.py adaptive_delay or the robots crawl-delay
+    table), and the global ``budget`` is split by exact water-filling
+    (:func:`waterfill`). Output adds ``coverage`` = alloc/demand —
+    the fraction of each host's backlog this cycle actually serves.
+
+    Scale shape: one combinable groupBy over the big frontier, one
+    broadcast join against the tiny delay table, then the waterfill
+    pivot search (two-phase prefix sums, no global sort).
+    """
+    demand = frontier.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").alias("demand")
+    )
+    caps = delays.select(
+        F.col(host_col).alias("host"),
+        F.floor(F.lit(float(cycle_s)) / F.col(delay_col).cast("double"))
+        .cast("long")
+        .alias("cap"),
+    )
+    hosts = demand.join(F.broadcast(caps), "host", "left").select(
+        "host",
+        "demand",
+        F.coalesce("cap", F.lit(0).cast("long")).alias("cap"),
+    )
+    plan = waterfill(hosts, budget=budget)
+    return plan.withColumn(
+        "coverage",
+        F.round(F.col("alloc") / F.col("demand").cast("double"), 6),
+    )
+
+
+def shard_assignment(
+    hosts: DataFrame,
+    n_shards: int,
+    host_col: str = "host",
+    weight_col: str = "n_urls",
+    hash_fn=None,
+) -> DataFrame:
+    """Host → crawler-shard assignment by stateless hash partitioning
+    (every node computes the same mapping with no coordination — the
+    standard sharding of a distributed frontier, Cho & Garcia-Molina
+    2002's site-hash partitioning), with the per-shard load report
+    that tells the operator whether the hash is balanced enough or a
+    hot host needs its own shard.
+
+    Input: one row per host with a load weight (e.g. pending URL
+    count). Output: (shard, n_hosts, n_urls, load_factor) where
+    load_factor = shard weight / ideal (total/n_shards) — a balanced
+    assignment sits near 1.0 on every shard.
+
+    ``hash_fn`` defaults to the hot-path xxhash64
+    (functions/hashing.py url_hash64); pass
+    ``portable_hash64`` where a cross-engine oracle must reproduce
+    the mapping. Scale shape: a projection + ONE combinable groupBy
+    on the shard id; the output is O(n_shards).
+    """
+    if hash_fn is None:
+        from flyscrape_spark.functions.hashing import url_hash64 as hash_fn
+    shard = F.pmod(hash_fn(F.col(host_col)), F.lit(n_shards)).cast("int")
+    per_shard = (
+        hosts.select(
+            shard.alias("shard"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_hosts"), F.sum("w").alias("n_urls"))
+    )
+    total = per_shard.agg(F.sum("n_urls").alias("total"))
+    return per_shard.crossJoin(F.broadcast(total)).select(
+        "shard",
+        "n_hosts",
+        "n_urls",
+        F.round(
+            F.col("n_urls") * n_shards / F.col("total"),
+            6,
+        ).alias("load_factor"),
+    )

@@ -6785,3 +6785,206 @@ SELECT host, count(*) AS n_pages,
              / count(*), 6) AS mismatch_rate
 FROM sig GROUP BY host
 """
+
+
+# ---------------------------------------------------------------------------
+# Cycle planning batch: composed fetch plan, shard balance, discovery mix
+# ---------------------------------------------------------------------------
+
+CP_HOSTS = 25
+CP_BUDGET = 300
+CP_CYCLE_S = 60.0
+
+
+def _sql_waterfill_plan(hosts_sql: str, budget: int,
+                        coverage: bool = False) -> str:
+    """DuckDB water-filling oracle over a ``hosts(host, demand, cap)``
+    CTE body — re-derives the level independently with a global-sort
+    window (the Spark side uses the two-phase prefix-sum search)."""
+    cov = (
+        ",\n       round(round(CASE WHEN t IS NULL THEN c * 1.0"
+        " ELSE least(c * 1.0, t) END, 6) / demand, 6) AS coverage"
+        if coverage else ""
+    )
+    return f"""
+WITH hosts AS ({hosts_sql}),
+c AS (SELECT host, demand, cap, least(demand, cap) AS c FROM hosts),
+o AS (
+  SELECT *, row_number() OVER (ORDER BY c, host) AS k,
+         coalesce(sum(c) OVER (ORDER BY c, host
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_excl
+  FROM c
+),
+tot AS (SELECT count(*) AS n, sum(c) AS s FROM c),
+cand AS (
+  SELECT ({budget} - s_excl) * 1.0 / (n - k + 1) AS t, k
+  FROM o CROSS JOIN tot
+  WHERE ({budget} - s_excl) * 1.0 / (n - k + 1) <= c
+),
+lvl AS (
+  SELECT CASE WHEN (SELECT s FROM tot) <= {budget} THEN NULL
+              ELSE (SELECT t FROM cand ORDER BY k LIMIT 1) END AS t
+)
+SELECT host, demand, cap,
+       round(CASE WHEN t IS NULL THEN c * 1.0
+                  ELSE least(c * 1.0, t) END, 6) AS alloc,
+       (t IS NULL OR c * 1.0 <= t) AS capped{cov}
+FROM c CROSS JOIN lvl
+"""
+
+
+def q_cycle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed next-cycle fetch plan (operators/budget.py
+    cycle_plan): frontier backlog -> per-host demand, adaptive
+    politeness delays -> per-host ceiling (floor(cycle/delay)),
+    global budget split by exact water-filling, coverage = served
+    backlog fraction. The full scheduling loop in one query."""
+    from flyscrape_spark.operators.budget import cycle_plan
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    host = F.concat(F.lit("w"), (i % CP_HOSTS).cast("string"),
+                    F.lit(".example"))
+    frontier = docs.select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, F.lit("/q/"),
+                 i.cast("string")).alias("url"),
+    )
+    ks = docs.select((i % CP_HOSTS).alias("k")).distinct()
+    delays = ks.select(
+        F.concat(F.lit("w"), F.col("k").cast("string"),
+                 F.lit(".example")).alias("host"),
+        ((F.col("k") % 5 + 1) * 1.5).alias("adjusted_delay_s"),
+    )
+    return cycle_plan(
+        frontier, delays, budget=CP_BUDGET, cycle_s=CP_CYCLE_S
+    )
+
+
+def sql_cycle_plan() -> str:
+    hosts = f"""
+  SELECT 'w' || (doc_id % {CP_HOSTS}) || '.example' AS host,
+         count(*) AS demand,
+         CAST(floor({CP_CYCLE_S} /
+              (((doc_id % {CP_HOSTS}) % 5 + 1) * 1.5)) AS BIGINT) AS cap
+  FROM documents GROUP BY 1, 3
+"""
+    return _sql_waterfill_plan(hosts, CP_BUDGET, coverage=True)
+
+
+SH_HOSTS = 60
+SH_SHARDS = 8
+
+
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier sharding report (operators/budget.py
+    shard_assignment): hosts hash-partitioned across crawler shards
+    (portable hash so the oracle reproduces the mapping; production
+    uses xxhash64), per-shard host/URL load and balance factor."""
+    from flyscrape_spark.functions.hashing import portable_hash64
+    from flyscrape_spark.operators.budget import shard_assignment
+
+    docs = load(spark, sf_dir, "documents")
+    ks = docs.select((F.col("doc_id") % SH_HOSTS).alias("k")).distinct()
+    hosts = ks.select(
+        F.concat(F.lit("s"), F.col("k").cast("string"),
+                 F.lit(".example")).alias("host"),
+        ((F.col("k") * 31) % 83 + 1).alias("n_urls"),
+    )
+    return shard_assignment(hosts, n_shards=SH_SHARDS,
+                            hash_fn=portable_hash64)
+
+
+def sql_shard_assignment() -> str:
+    from flyscrape_spark.functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql("host")
+    return f"""
+WITH ks AS (SELECT DISTINCT doc_id % {SH_HOSTS} AS k FROM documents),
+hosts AS (
+  SELECT 's' || k || '.example' AS host,
+         CAST((k * 31) % 83 + 1 AS BIGINT) AS n_urls
+  FROM ks
+),
+per AS (
+  SELECT CAST({h} % {SH_SHARDS} AS INT) AS shard,
+         count(*) AS n_hosts, CAST(sum(n_urls) AS BIGINT) AS n_urls
+  FROM hosts GROUP BY 1
+),
+tot AS (SELECT sum(n_urls) AS total FROM per)
+SELECT shard, n_hosts, n_urls,
+       round(n_urls * {SH_SHARDS} / total, 6) AS load_factor
+FROM per CROSS JOIN tot
+"""
+
+
+DM_HOSTS = 14
+
+
+def q_discovery_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discovery-channel attribution (operators/discovery.py):
+    each URL credited to its FIRST discovery (earliest generation,
+    channel priority seed < sitemap < feed < link on ties) — the
+    fixture emits later-generation duplicate events (must not steal
+    credit) and same-generation ties (priority must win). Oracle
+    computes the winning channel closed-form."""
+    from flyscrape_spark.operators.discovery import discovery_mix
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    m = i % 10
+    host = F.concat(F.lit("d"), (i % DM_HOSTS).cast("string"),
+                    F.lit(".example"))
+    url = F.concat(F.lit("https://"), host, F.lit("/x/"), i.cast("string"))
+    ch1 = (
+        F.when(m == 0, F.lit("seed"))
+        .when(m <= 2, F.lit("sitemap"))
+        .when(m <= 4, F.lit("feed"))
+        .otherwise(F.lit("link"))
+    )
+    g1 = (
+        F.when(m == 0, F.lit(0))
+        .when(m <= 2, F.lit(0))
+        .when(m <= 4, F.lit(1))
+        .otherwise(1 + i % 3)
+    ).cast("long")
+    e1 = docs.select(url.alias("url"), host.alias("host"),
+                     ch1.alias("channel"), g1.alias("gen"))
+    # later-generation duplicate: never wins
+    e2 = docs.filter(i % 6 == 0).select(
+        url.alias("url"), host.alias("host"),
+        F.lit("link").alias("channel"), F.lit(10).cast("long").alias("gen"),
+    )
+    # same-generation tie for doc_id % 30 == 15 (link@1 vs sitemap@1)
+    e3 = docs.filter(i % 15 == 0).select(
+        url.alias("url"), host.alias("host"),
+        F.lit("sitemap").alias("channel"),
+        F.lit(1).cast("long").alias("gen"),
+    )
+    return discovery_mix(e1.unionByName(e2).unionByName(e3))
+
+
+def sql_discovery_mix() -> str:
+    return f"""
+WITH first AS (
+  SELECT 'd' || (doc_id % {DM_HOSTS}) || '.example' AS host,
+         CASE WHEN doc_id % 10 = 0 THEN 'seed'
+              WHEN doc_id % 10 <= 2 THEN 'sitemap'
+              WHEN doc_id % 10 <= 4 THEN 'feed'
+              WHEN doc_id % 30 = 15 THEN 'sitemap'
+              ELSE 'link' END AS channel
+  FROM documents
+)
+SELECT host, count(*) AS n_urls,
+       CAST(sum(CASE WHEN channel = 'seed' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_seed,
+       CAST(sum(CASE WHEN channel = 'sitemap' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sitemap,
+       CAST(sum(CASE WHEN channel = 'feed' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_feed,
+       CAST(sum(CASE WHEN channel = 'link' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_link,
+       round(sum(CASE WHEN channel = 'link' THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS link_share
+FROM first GROUP BY host
+"""

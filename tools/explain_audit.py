@@ -535,6 +535,34 @@ CHECKS = {
         "per_host_window": r"Window.*partitionBy|Window \[.*host",
         "max_exchanges": 3,
     },
+    "cycle_plan": {
+        # demand agg over the big frontier is combinable; the tiny
+        # delay table broadcast-joins; the waterfill pivot ran as
+        # side jobs so the returned plan has no global sort
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "partial_agg": r"partial_count",
+        "broadcast": r"BroadcastHashJoin",
+        "no_global_window": r"!Exchange SinglePartition",
+        "max_exchanges": 2,
+    },
+    "shard_assignment": {
+        # shard rollup is one combinable groupBy; the single-
+        # partition exchange is the scalar total over the O(n_shards)
+        # result (bounded by construction), joined back as a
+        # broadcast scalar — never a row-level cartesian
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "partial_agg": r"partial_(count|sum)",
+        "no_cartesian": r"!CartesianProduct",
+        "max_exchanges": 4,
+    },
+    "discovery_mix": {
+        # two combinable groupBys (url min-struct, then host) — no
+        # windows, no joins, no Python
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "partial_agg": r"partial_min",
+        "no_join": r"!Join",
+        "max_exchanges": 2,
+    },
     "sitemap_index_extract": {
         # index parse is the same JVM from_xml + explode shape as
         # sitemap_extract; the one exchange builds the fixture XML
