@@ -94,3 +94,55 @@ def charset_audit(
         "mismatch_rate",
         F.round(F.col("n_mismatch") / F.col("n_pages"), 6),
     )
+
+
+def declared_lang_audit(
+    pages: DataFrame,
+    host_col: str = "host",
+    html_col: str = "html",
+    text_col: str = "text",
+) -> DataFrame:
+    """Declared-vs-detected language audit: the ``<html lang>``
+    attribute against the marker-heuristic language id
+    (operators/text.py lang_pred_expr), per host. Hosts that
+    mislabel their language (a real, common defect — template
+    copied from an English theme) poison language-targeted corpus
+    selection (lang_mix, per-language quality gates), so the crawl
+    QA pass flags them before curation trusts the attribute.
+
+    Output: (host, n_pages, n_declared, n_mismatch, mismatch_rate)
+    — a mismatch counts only when the attribute exists and its
+    primary subtag (BCP 47: 'en-US' → 'en') differs from the
+    detected language.
+
+    Scale shape: one JVM regexp for the attribute + the marker-count
+    expression, one combinable groupBy(host). No Python, no joins.
+    """
+    from flyscrape_spark.operators.dedup import normalized_text
+    from flyscrape_spark.operators.text import lang_pred_expr
+
+    h = F.col(html_col)
+    declared_raw = _norm(
+        F.regexp_extract(h, r'(?i)<html[^>]*\slang\s*=\s*["\']?([A-Za-z-]+)', 1)
+    )
+    declared = F.substring_index(declared_raw, "-", 1)
+    detected = lang_pred_expr(F.split(normalized_text(text_col), " "))
+    base = pages.select(
+        F.col(host_col).alias("host"),
+        declared.alias("declared"),
+        detected.alias("detected"),
+    )
+    mismatch = F.col("declared").isNotNull() & (
+        F.col("declared") != F.col("detected")
+    )
+    per_host = base.groupBy("host").agg(
+        F.count("*").alias("n_pages"),
+        F.sum(F.col("declared").isNotNull().cast("long")).alias(
+            "n_declared"
+        ),
+        F.sum(mismatch.cast("long")).alias("n_mismatch"),
+    )
+    return per_host.withColumn(
+        "mismatch_rate",
+        F.round(F.col("n_mismatch") / F.col("n_pages"), 6),
+    )

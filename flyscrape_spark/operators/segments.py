@@ -152,3 +152,61 @@ def host_template_lines(
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def strip_host_boilerplate(
+    pages: DataFrame,
+    min_docs: int = 5,
+    host_col: str = "host",
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Apply :func:`host_template_lines` back to the corpus: remove
+    each host's template lines (nav, footers, cookie banners) from
+    its documents — the per-host boilerplate-removal pass
+    (trafilatura-style chrome stripping, but corpus-statistical
+    instead of per-page heuristic: a line IS chrome because the
+    host repeats it, CCNet's insight applied at host scope).
+
+    Output: (doc_id, host, n_lines, n_removed, clean_text) with
+    clean_text the surviving lines re-joined in original order
+    (may be empty when the whole page is template).
+
+    Scale shape: one (host, line) equi-join of the exploded corpus
+    against the template table (itself two combinable groupBys; both
+    shuffle keys carry the line, so a hot host spreads over its
+    distinct lines), then one combinable per-doc regroup.
+    """
+    templ = host_template_lines(
+        pages, min_docs=min_docs, host_col=host_col,
+        text_col=text_col, doc_col=doc_col,
+    ).select("host", "line", F.lit(1).alias("_is_templ"))
+    lines = pages.select(
+        F.col(host_col).alias("host"),
+        F.col(doc_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(
+                F.transform(F.split(F.col(text_col), r"\n"),
+                            lambda l: F.trim(l)),
+                lambda l: l != "",
+            )
+        ).alias("line_idx", "line"),
+    )
+    flagged = lines.join(templ, ["host", "line"], "left")
+    return flagged.groupBy("doc_id").agg(
+        F.first("host").alias("host"),
+        F.count("*").alias("n_lines"),
+        F.count("_is_templ").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_is_templ").isNull(),
+                               F.struct("line_idx", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    ).select("doc_id", "host", "n_lines", "n_removed", "clean_text")

@@ -6988,3 +6988,95 @@ SELECT host, count(*) AS n_urls,
              / count(*), 6) AS link_share
 FROM first GROUP BY host
 """
+
+
+BP_HOSTS = 6
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-scoped boilerplate removal (operators/segments.py
+    strip_host_boilerplate): every host's nav/footer template lines
+    (and, for even hosts, a third banner line present on every page)
+    are stripped, the unique body line survives. Oracle closed-form
+    from the parity structure (doc parity == host parity since
+    6 | (doc_id - host))."""
+    from flyscrape_spark.operators.segments import strip_host_boilerplate
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    k = i % BP_HOSTS
+    host = F.concat(F.lit("g"), k.cast("string"), F.lit(".example"))
+    sale = F.when(i % 2 == 0, F.lit("seasonal sale\n")).otherwise(F.lit(""))
+    text = F.concat(
+        F.lit("menu home about\nbody "), i.cast("string"), F.lit("\n"),
+        sale,
+        F.lit("footer g"), k.cast("string"),
+    )
+    pages = docs.select(i.alias("doc_id"), host.alias("host"),
+                        text.alias("text"))
+    return strip_host_boilerplate(pages, min_docs=5)
+
+
+def sql_boilerplate_strip() -> str:
+    return f"""
+SELECT doc_id, 'g' || (doc_id % {BP_HOSTS}) || '.example' AS host,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS BIGINT)
+         AS n_lines,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END AS BIGINT)
+         AS n_removed,
+       'body ' || doc_id AS clean_text
+FROM documents
+"""
+
+
+LD_HOSTS = 9
+
+
+def q_lang_declared_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language audit (operators/encoding.py
+    declared_lang_audit): <html lang> (with BCP 47 region subtags and
+    a deliberately-wrong 'zz' on ids % 7 == 0, absent on ids % 11 ==
+    0) against the marker-heuristic detector, per host. The oracle
+    re-derives the detector's prediction with the shared SQL twin."""
+    from flyscrape_spark.operators.encoding import declared_lang_audit
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    host = F.concat(F.lit("l"), (i % LD_HOSTS).cast("string"),
+                    F.lit(".example"))
+    attr = (
+        F.when(i % 7 == 0, F.lit("zz"))
+        .otherwise(F.col("lang"))
+    )
+    attr = F.when(i % 3 == 0, F.concat(attr, F.lit("-US"))).otherwise(attr)
+    html = F.when(i % 11 == 0, F.lit("<html><head></head>")).otherwise(
+        F.concat(F.lit('<html lang="'), attr, F.lit('"><head></head>'))
+    )
+    pages = docs.select(host.alias("host"), html.alias("html"), "text")
+    return declared_lang_audit(pages)
+
+
+def sql_lang_declared_audit() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS toks,
+         'l' || (doc_id % {LD_HOSTS}) || '.example' AS host
+  FROM documents
+),
+sig AS (
+  SELECT host,
+         CASE WHEN doc_id % 11 = 0 THEN NULL
+              WHEN doc_id % 7 = 0 THEN 'zz'
+              ELSE lower(lang) END AS declared,
+         {_sql_lang_pred()} AS detected
+  FROM base
+)
+SELECT host, count(*) AS n_pages,
+       CAST(sum(CASE WHEN declared IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_declared,
+       CAST(sum(CASE WHEN declared IS NOT NULL AND declared <> detected
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+       round(sum(CASE WHEN declared IS NOT NULL AND declared <> detected
+                 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS mismatch_rate
+FROM sig GROUP BY host
+"""

@@ -535,6 +535,24 @@ CHECKS = {
         "per_host_window": r"Window.*partitionBy|Window \[.*host",
         "max_exchanges": 3,
     },
+    "boilerplate_strip": {
+        # template table built by two combinable groupBys, joined
+        # back broadcast (it's O(hosts x template-lines) small), one
+        # combinable per-doc regroup — three exchanges total
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "partial_agg": r"partial_(count|collect_list)",
+        "broadcast": r"BroadcastHashJoin",
+        "no_cartesian": r"!CartesianProduct",
+        "max_exchanges": 3,
+    },
+    "lang_declared_audit": {
+        # attribute regexp + marker counts fuse into the scan; ONE
+        # combinable host rollup is the only shuffle
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "partial_agg": r"partial_(count|sum)",
+        "no_join": r"!Join",
+        "max_exchanges": 1,
+    },
     "cycle_plan": {
         # demand agg over the big frontier is combinable; the tiny
         # delay table broadcast-joins; the waterfill pivot ran as
