@@ -129,3 +129,42 @@ def dedup_clusters(
     return labeled.join(sizes, "cluster_id").select(
         "doc_id", "cluster_id", "cluster_size"
     )
+
+
+def canonical_pick(
+    labeled: DataFrame,
+    quality_col: str = "n_chars",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Which duplicate to KEEP: for every near-dup cluster
+    (:func:`dedup_clusters` labels), elect the canonical document —
+    highest ``quality_col`` (longest-copy-wins is the standard rule:
+    truncated/paywalled copies lose to the full text), doc id as the
+    deterministic tie-break — and report what the dedup pass
+    discards.
+
+    Output: (cluster_id, keeper_doc_id, cluster_size, n_discarded,
+    keeper_quality). The keeper list anti-joins the corpus to
+    materialize the deduped view; the discard count is the dedup-QA
+    headline number.
+
+    Scale shape: ONE combinable groupBy(cluster_id) — min-struct of
+    (-quality, doc) elects the keeper map-side; no windows, no
+    self-join.
+    """
+    pick = F.min(
+        F.struct(
+            (-F.col(quality_col).cast("long")).alias("_negq"),
+            F.col(doc_col).alias("_doc"),
+        )
+    )
+    return labeled.groupBy("cluster_id").agg(
+        pick.alias("_p"),
+        F.count("*").alias("cluster_size"),
+    ).select(
+        "cluster_id",
+        F.col("_p._doc").alias("keeper_doc_id"),
+        "cluster_size",
+        (F.col("cluster_size") - 1).alias("n_discarded"),
+        (-F.col("_p._negq")).alias("keeper_quality"),
+    )

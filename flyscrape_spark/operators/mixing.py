@@ -353,3 +353,101 @@ def temperature_mix(
             budget.cast("double") / F.col("total_tokens").cast("double"), 6
         ).alias("epochs"),
     )
+
+
+def pack_weighted(
+    rows: DataFrame,
+    budget: int,
+    weight_col: str,
+    order: str = "doc_id",
+    parts: int | None = None,
+) -> DataFrame:
+    """Generalized packing: concatenate ``rows`` in ``order`` and
+    split into fixed ``budget``-unit bins of ``weight_col`` —
+    :func:`pack_sequences` is the token-count special case; the byte
+    special case packs size-balanced export shards (WARC/megaWARC
+    layout), the interleaved-token case packs multimodal training
+    sequences (operators/multimodal.py interleave_pack).
+
+    Returns the input columns plus (cum_before, bin_start, bin_end,
+    offset). Same skew-free two-phase prefix-sum shape as
+    pack_sequences: range-repartition by ``order``, O(parts) driver
+    offsets, one Arrow cumsum pass — no single-partition window.
+    """
+    spark = rows.sparkSession
+    if parts is None:
+        parts = spark.sparkContext.defaultParallelism
+    base = rows.select(
+        F.col(order), F.col(weight_col).cast("long").alias("_w")
+    )
+    ranged = (
+        base.repartitionByRange(parts, F.col(order))
+        .sortWithinPartitions(order)
+        .localCheckpoint(eager=True)
+    )
+    part_sums = (
+        ranged.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.sum("_w").alias("w"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(part_sums, key=lambda r: r["pid"]):
+        offsets[row["pid"]] = acc
+        acc += row["w"]
+    schema = StructType(
+        list(ranged.schema.fields) + [StructField("cum_before", LongType())]
+    )
+
+    def cumsum(iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        emitted = 0
+        for pdf in iterator:
+            within = pdf["_w"].cumsum() - pdf["_w"]
+            pdf["cum_before"] = within + offsets.get(pid, 0) + emitted
+            emitted += int(pdf["_w"].sum())
+            yield pdf
+
+    packed = ranged.mapInPandas(cumsum, schema=schema)
+    return packed.select(
+        order,
+        F.col("_w").alias(weight_col),
+        "cum_before",
+        F.expr(f"cum_before DIV {budget}").alias("bin_start"),
+        F.expr(f"(cum_before + _w - 1) DIV {budget}").alias("bin_end"),
+        (F.col("cum_before") % budget).alias("offset"),
+    )
+
+
+def byte_packed_shards(
+    documents: DataFrame,
+    shard_bytes: int,
+    order: str = "doc_id",
+    size_col: str = "n_chars",
+    parts: int | None = None,
+) -> DataFrame:
+    """Size-balanced contiguous export shards: documents concatenated
+    in ``order`` and cut every ``shard_bytes`` — each doc assigned to
+    the shard where it STARTS (whole-doc placement; a doc straddling
+    a boundary closes its shard slightly over budget, the WARC
+    convention, rather than splitting records). The contiguous
+    complement of :func:`shard_export`'s hash layout: hash shards are
+    unbiased samples, byte shards preserve crawl locality and equal
+    file sizes.
+
+    Output: (doc_id, n_bytes, shard_id, offset) — offset is the byte
+    position inside the shard.
+    """
+    packed = pack_weighted(
+        documents, budget=shard_bytes, weight_col=size_col,
+        order=order, parts=parts,
+    )
+    return packed.select(
+        order,
+        F.col(size_col).alias("n_bytes"),
+        F.col("bin_start").alias("shard_id"),
+        "offset",
+    )

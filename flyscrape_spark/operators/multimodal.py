@@ -333,3 +333,56 @@ def interleave_render(
         n_media.alias("n_media"),
         sample.alias("sample"),
     )
+
+
+def interleave_pack(
+    spans: DataFrame,
+    seq_len: int,
+    tokens_per_media: int = 576,
+    order: str = "doc_id",
+    parts: int | None = None,
+) -> DataFrame:
+    """Multimodal sequence packing over INTERLEAVED text/media span
+    rows (the engine's payload shape — parse/udfs.py emits one row
+    per span with kind ∈ {text, media}): each document costs its
+    whitespace text tokens plus ``tokens_per_media`` per media span
+    (the fixed patch-token budget an image occupies in an
+    interleaved training sequence — 576 = (336/14)² for a ViT-L/14
+    at 336px, the public LLaVA configuration), then documents are
+    concatenated in ``order`` and split into ``seq_len``-token
+    windows (operators/mixing.py pack_weighted — MMC4/Flamingo-style
+    dataloader layout, computed corpus-side).
+
+    Output: (doc_id, n_text_tokens, n_media, n_tokens, cum_before,
+    seq_start, seq_end, offset).
+
+    Scale shape: one combinable per-doc rollup of the span table,
+    then the two-phase prefix-sum pack — no single-partition window.
+    """
+    from flyscrape_spark.operators.mixing import pack_weighted
+    from flyscrape_spark.operators.text import token_count
+
+    per_doc = spans.groupBy(F.col(order)).agg(
+        F.sum(
+            F.when(F.col("kind") == "text", token_count())
+            .otherwise(F.lit(0))
+        ).alias("n_text_tokens"),
+        F.sum((F.col("kind") == "media").cast("long")).alias("n_media"),
+    )
+    costed = per_doc.withColumn(
+        "n_tokens",
+        F.col("n_text_tokens")
+        + F.col("n_media") * F.lit(int(tokens_per_media)),
+    )
+    packed = pack_weighted(
+        costed, budget=seq_len, weight_col="n_tokens",
+        order=order, parts=parts,
+    )
+    return packed.join(
+        costed.select(order, "n_text_tokens", "n_media"), order
+    ).select(
+        order, "n_text_tokens", "n_media", "n_tokens", "cum_before",
+        F.col("bin_start").alias("seq_start"),
+        F.col("bin_end").alias("seq_end"),
+        "offset",
+    )

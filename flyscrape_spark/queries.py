@@ -7080,3 +7080,147 @@ SELECT host, count(*) AS n_pages,
                  THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS mismatch_rate
 FROM sig GROUP BY host
 """
+
+
+# ---------------------------------------------------------------------------
+# Export/packing batch: byte shards, canonical pick, interleaved packing
+# ---------------------------------------------------------------------------
+
+SHARD_BYTES = 20000
+
+
+def q_byte_packed_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced contiguous export shards (operators/mixing.py
+    byte_packed_shards): docs concatenated in doc_id order, cut every
+    SHARD_BYTES, whole-doc placement at the start shard. Two-phase
+    prefix sums vs the oracle's global-window cumsum."""
+    from flyscrape_spark.operators.mixing import byte_packed_shards
+
+    return byte_packed_shards(
+        load(spark, sf_dir, "documents"), shard_bytes=SHARD_BYTES
+    )
+
+
+def sql_byte_packed_shards() -> str:
+    return f"""
+WITH c AS (
+  SELECT doc_id, n_chars,
+         CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum
+  FROM documents
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_bytes,
+       cum // {SHARD_BYTES} AS shard_id,
+       cum % {SHARD_BYTES} AS offset
+FROM c
+"""
+
+
+def q_dup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document election per near-dup cluster
+    (operators/cluster.py canonical_pick): longest-copy-wins with
+    doc-id tie-break over the SimHash component labels — the "which
+    duplicate do we keep" step of the dedup pass, one combinable
+    min-struct groupBy."""
+    from flyscrape_spark.operators.cluster import canonical_pick
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_dup(docs, bits=16, bands=4, max_distance=3)
+    labeled = cluster.dedup_clusters(docs, pairs).select(
+        "doc_id", "cluster_id"
+    )
+    return canonical_pick(
+        labeled.join(docs.select("doc_id", "n_chars"), "doc_id")
+    )
+
+
+def sql_dup_canonical_pick() -> str:
+    return f"""
+WITH labeled AS ({sql_dedup_clusters()}),
+q AS (
+  SELECT l.cluster_id, l.doc_id, d.n_chars
+  FROM labeled l JOIN documents d USING (doc_id)
+),
+r AS (
+  SELECT cluster_id, doc_id, n_chars,
+         row_number() OVER (PARTITION BY cluster_id
+           ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM q
+)
+SELECT cluster_id, doc_id AS keeper_doc_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(cluster_size - 1 AS BIGINT) AS n_discarded,
+       CAST(n_chars AS BIGINT) AS keeper_quality
+FROM r WHERE rn = 1
+"""
+
+
+IP_SEQ_LEN = 8192
+IP_MEDIA_TOKENS = 576
+
+
+def q_interleave_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved multimodal sequence packing
+    (operators/multimodal.py interleave_pack): span rows (one text
+    span per doc + doc_id%3 media spans) costed at text tokens +
+    576/image (LLaVA ViT-L/14-336 patch budget) and packed into
+    8192-token windows — the MMC4-style dataloader layout for the
+    graft's interleaved payload."""
+    from flyscrape_spark.operators.multimodal import interleave_pack
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    text_spans = docs.select(
+        "doc_id", F.lit("text").alias("kind"), F.col("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+    )
+    media_spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                # fixed 1..2 then filter: sequence(1, i%3) would be
+                # DESCENDING (never empty) when i%3 == 0
+                F.filter(F.sequence(F.lit(1), F.lit(2)),
+                         lambda j: j <= i % 3),
+                lambda j: F.concat(F.lit("img://"), i.cast("string"),
+                                   F.lit("/"), j.cast("string")),
+            )
+        ).alias("media_ref"),
+    ).select(
+        "doc_id", F.lit("media").alias("kind"),
+        F.lit("").alias("text"), "media_ref",
+    )
+    spans = text_spans.unionByName(media_spans)
+    return interleave_pack(
+        spans, seq_len=IP_SEQ_LEN, tokens_per_media=IP_MEDIA_TOKENS
+    )
+
+
+def sql_interleave_pack() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+           AS n_text_tokens,
+         CAST(doc_id % 3 AS BIGINT) AS n_media
+  FROM documents
+),
+w AS (
+  SELECT *, n_text_tokens + n_media * {IP_MEDIA_TOKENS} AS n_tokens FROM t
+),
+c AS (
+  SELECT *,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM w
+)
+SELECT doc_id, n_text_tokens, n_media, n_tokens, cum_before,
+       cum_before // {IP_SEQ_LEN} AS seq_start,
+       (cum_before + n_tokens - 1) // {IP_SEQ_LEN} AS seq_end,
+       cum_before % {IP_SEQ_LEN} AS offset
+FROM c
+"""

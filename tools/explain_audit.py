@@ -535,6 +535,35 @@ CHECKS = {
         "per_host_window": r"Window.*partitionBy|Window \[.*host",
         "max_exchanges": 3,
     },
+    "byte_packed_shards": {
+        # two-phase prefix sums: the returned plan is range-
+        # repartition (pinned by localCheckpoint, outside the
+        # hash-exchange count) + ONE Arrow cumsum pass — no hash
+        # shuffle, no single-partition window, no row-at-a-time UDF
+        "no_python_rowwise": r"!ArrowEvalPython|BatchEvalPython",
+        "arrow_pass": r"MapInPandas",
+        "no_global_window": r"!Exchange SinglePartition",
+        "max_exchanges": 0,
+    },
+    "dup_canonical_pick": {
+        # component labels from the large-star/small-star rounds;
+        # the election itself is ONE combinable min-struct groupBy
+        # (partial_min); quality joined broadcast
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "partial_agg": r"partial_min",
+        "broadcast": r"BroadcastHashJoin",
+        "no_cartesian": r"!CartesianProduct",
+        "max_exchanges": 5,
+    },
+    "interleave_pack": {
+        # one combinable per-doc span rollup (partial_sum), then the
+        # two-phase prefix-sum pack; costs joined back broadcast
+        "no_python_rowwise": r"!ArrowEvalPython|BatchEvalPython",
+        "arrow_pass": r"MapInPandas",
+        "partial_agg": r"partial_sum",
+        "no_global_window": r"!Exchange SinglePartition",
+        "max_exchanges": 1,
+    },
     "boilerplate_strip": {
         # template table built by two combinable groupBys, joined
         # back broadcast (it's O(hosts x template-lines) small), one
