@@ -61,7 +61,17 @@ def waterfill(
         F.col(host_col).alias("host"),
         F.col(demand_col).cast("long").alias("demand"),
         F.col(cap_col).cast("long").alias("cap"),
-    ).withColumn("c", F.least("demand", "cap"))
+        # least() skips nulls (one known signal still caps the host);
+        # a host with BOTH unknown gets effective cap 0. The coalesce
+        # is load-bearing: a null c would be counted by n but not by
+        # sum(c) in the partition stats AND would poison the pandas
+        # cumsum with NaN, desynchronizing the rank/prefix pair the
+        # pivot search depends on.
+        F.coalesce(
+            F.least(F.col(demand_col), F.col(cap_col)).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("c"),
+    )
 
     ranged = (
         base.repartitionByRange(parts, F.col("c"), F.col("host"))

@@ -23,8 +23,16 @@ from pyspark.sql import Column, DataFrame, functions as F
 #: parameter name case-insensitive, value may be quoted)
 _HEADER_CHARSET = r'(?i)charset\s*=\s*"?\s*([^";\s]+)'
 
-#: HTML5 <meta charset="..."> (attribute order free by construction)
-_META_CHARSET = r'(?i)<meta[^>]*\scharset\s*=\s*["\']?\s*([^"\'>\s/]+)'
+#: HTML5 <meta charset="..."> — two placements, both requiring
+#: charset in ATTRIBUTE position: first attribute, or following a
+#: closing quote of a previous attribute. A bare `\scharset=` would
+#: also match inside another attribute's VALUE (e.g. <meta
+#: name="description" content="how to set charset=utf-8">),
+#: inventing phantom declarations; the quote-anchored form cannot.
+_META_CHARSET_FIRST = r'(?i)<meta\s+charset\s*=\s*["\']?\s*([^"\'>\s/]+)'
+_META_CHARSET_LATER = (
+    r'(?i)<meta[^>]*["\']\s+charset\s*=\s*["\']?\s*([^"\'>\s/]+)'
+)
 
 #: legacy <meta http-equiv="Content-Type" content="...;charset=...">
 _META_HTTP_EQUIV = (
@@ -54,7 +62,8 @@ def meta_charset(html_col: str | Column = "html") -> Column:
     order), NULL when neither appears."""
     h = F.col(html_col) if isinstance(html_col, str) else html_col
     return F.coalesce(
-        _norm(F.regexp_extract(h, _META_CHARSET, 1)),
+        _norm(F.regexp_extract(h, _META_CHARSET_FIRST, 1)),
+        _norm(F.regexp_extract(h, _META_CHARSET_LATER, 1)),
         _norm(F.regexp_extract(h, _META_HTTP_EQUIV, 1)),
     )
 

@@ -207,66 +207,31 @@ def pack_sequences(
     pretraining dataloader layout, computed corpus-side so shards can
     be written pre-packed.
 
-    Deterministic and partitioning-independent: the global running
-    token count uses the same skew-free two-phase prefix-sum shape as
-    :func:`token_budget_sample` (range-repartition by ``order``, pin
-    the layout, per-partition sums to the driver — ``parts`` numbers,
-    not rows — then one Arrow cumsum pass). No window over a single
-    global partition anywhere: at 10^10 docs a naive
+    The token-count special case of :func:`pack_weighted` (one
+    implementation of the two-phase prefix-sum machinery to maintain):
+    deterministic and partitioning-independent, no window over a
+    single global partition anywhere — at 10^10 docs a naive
     ``Window.orderBy(order)`` cumsum is one task; this is ``parts``
     parallel tasks plus a ``parts``-sized driver reduction.
 
-    Empty docs (0 tokens) occupy no window: seq_end = seq_start - 1
-    by the closed-interval formula; filter on ``n_tokens > 0``
-    downstream if needed.
+    Empty docs (0 tokens) occupy no window: seq_end = seq_start - 1;
+    filter on ``n_tokens > 0`` downstream if needed.
     """
-    spark = documents.sparkSession
-    if parts is None:
-        parts = spark.sparkContext.defaultParallelism
-    base = documents.select(F.col(order), token_count().alias("n_tokens"))
-    ranged = (
-        base.repartitionByRange(parts, F.col(order))
-        .sortWithinPartitions(order)
-        .localCheckpoint(eager=True)
+    packed = pack_weighted(
+        documents.select(F.col(order), token_count().alias("n_tokens")),
+        budget=seq_len,
+        weight_col="n_tokens",
+        order=order,
+        parts=parts,
     )
-    part_sums = (
-        ranged.withColumn("pid", F.spark_partition_id())
-        .groupBy("pid")
-        .agg(F.sum("n_tokens").alias("toks"))
-        .collect()
-    )
-    offsets: dict[int, int] = {}
-    acc = 0
-    for row in sorted(part_sums, key=lambda r: r["pid"]):
-        offsets[row["pid"]] = acc
-        acc += row["toks"]
-    schema = StructType(
-        list(ranged.schema.fields) + [StructField("cum_before", LongType())]
-    )
-
-    def cumsum(iterator):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        emitted = 0
-        for pdf in iterator:
-            within = pdf["n_tokens"].cumsum() - pdf["n_tokens"]
-            pdf["cum_before"] = within + offsets.get(pid, 0) + emitted
-            emitted += int(pdf["n_tokens"].sum())
-            yield pdf
-
-    packed = ranged.mapInPandas(cumsum, schema=schema)
-    # DIV, not /: float division loses exactness past 2^53 total
-    # tokens — well inside the 100 TB design envelope
     return packed.select(
         order,
         "n_tokens",
         "cum_before",
-        F.expr(f"cum_before DIV {seq_len}").alias("seq_start"),
-        F.expr(f"(cum_before + n_tokens - 1) DIV {seq_len}").alias("seq_end"),
-        (F.col("cum_before") % seq_len).alias("offset"),
+        F.col("bin_start").alias("seq_start"),
+        F.col("bin_end").alias("seq_end"),
+        "offset",
     )
-
 
 def shard_export(
     documents: DataFrame, n_shards: int, key: str = "doc_id"
@@ -412,12 +377,22 @@ def pack_weighted(
             yield pdf
 
     packed = ranged.mapInPandas(cumsum, schema=schema)
+    # zero-weight rows occupy no bin: bin_end = bin_start - 1. The
+    # explicit branch matters at cum_before = 0, where the closed-
+    # interval numerator is -1 and Spark's DIV truncates toward zero
+    # (-1 DIV b = 0) while the DuckDB oracles' // floors (-1 // b =
+    # -1) — everywhere else the numerator is non-negative and the
+    # two agree.
+    bin_start = F.expr(f"cum_before DIV {budget}")
+    bin_end = F.when(F.col("_w") == 0, bin_start - 1).otherwise(
+        F.expr(f"(cum_before + _w - 1) DIV {budget}")
+    )
     return packed.select(
         order,
         F.col("_w").alias(weight_col),
         "cum_before",
-        F.expr(f"cum_before DIV {budget}").alias("bin_start"),
-        F.expr(f"(cum_before + _w - 1) DIV {budget}").alias("bin_end"),
+        bin_start.alias("bin_start"),
+        bin_end.alias("bin_end"),
         (F.col("cum_before") % budget).alias("offset"),
     )
 

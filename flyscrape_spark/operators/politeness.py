@@ -389,3 +389,55 @@ def fetch_gini(fetch_log: DataFrame, host_col: str = "host") -> DataFrame:
         F.col("_sx").cast("long").alias("total_fetches"),
         F.round(gini, 6).alias("gini"),
     )
+
+
+def effective_delay(
+    robots_delays: DataFrame,
+    adaptive: DataFrame,
+    default_delay_s: float = 1.0,
+) -> DataFrame:
+    """Per-host politeness RESOLUTION: the delay the scheduler must
+    actually honor is the strictest of the three signals — the
+    site's explicit robots.txt Crawl-delay ask
+    (operators/robots.py robots_table), the latency-adaptive delay
+    (:func:`adaptive_delay` — the server struggling NOW), and the
+    engine default. The reference has only a fixed global rate
+    (/root/reference/modules/ratelimit/ratelimit.go:36-75); this is
+    the max-combine every polite crawler runs per host per cycle.
+
+    Inputs: ``robots_delays`` (host, crawl_delay — nullable seconds),
+    ``adaptive`` (host, adjusted_delay_s). Full-outer on host;
+    missing signals contribute nothing. Output: (host,
+    robots_delay_s, adaptive_delay_s, effective_delay_s, source)
+    where source names the winning signal (ties resolve
+    robots > adaptive > default — prefer honoring the explicit ask).
+
+    Scale shape: both inputs are O(hosts) rollups; one equi-join +
+    a projection. No Python, no windows.
+    """
+    r = robots_delays.select(
+        F.col("host"),
+        F.col("crawl_delay").cast("double").alias("robots_delay_s"),
+    )
+    a = adaptive.select(
+        F.col("host"),
+        F.col("adjusted_delay_s").cast("double").alias(
+            "adaptive_delay_s"
+        ),
+    )
+    j = r.join(a, "host", "full_outer")
+    rd = F.coalesce("robots_delay_s", F.lit(0.0))
+    ad = F.coalesce("adaptive_delay_s", F.lit(0.0))
+    eff = F.greatest(rd, ad, F.lit(float(default_delay_s)))
+    source = (
+        F.when(rd >= eff, F.lit("robots"))
+        .when(ad >= eff, F.lit("adaptive"))
+        .otherwise(F.lit("default"))
+    )
+    return j.select(
+        "host",
+        "robots_delay_s",
+        "adaptive_delay_s",
+        F.round(eff, 4).alias("effective_delay_s"),
+        source.alias("source"),
+    )

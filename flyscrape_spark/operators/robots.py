@@ -292,7 +292,11 @@ def robots_churn(
     ops fused into each snapshot's scan; one equi-join on host (AQE
     broadcasts the smaller snapshot when sizes diverge). No Python.
     """
-    pat = r"(?m)^[Dd][Ii][Ss][Aa][Ll][Ll][Oo][Ww]\s*:\s*(\S+)"
+    # [ \t]* (NOT \s*) around the colon: \s crosses newlines, so an
+    # empty "Disallow:" line (allow-all, RFC 9309 §2.2.2) would
+    # capture the NEXT line's first token as a phantom rule path and
+    # swallow the following real rule
+    pat = r"(?m)^[Dd][Ii][Ss][Aa][Ll][Ll][Oo][Ww][ \t]*:[ \t]*(\S+)"
 
     def rules(df: DataFrame, out: str) -> DataFrame:
         return df.select(

@@ -181,10 +181,15 @@ def strip_host_boilerplate(
         pages, min_docs=min_docs, host_col=host_col,
         text_col=text_col, doc_col=doc_col,
     ).select("host", "line", F.lit(1).alias("_is_templ"))
+    # posexplode_OUTER: a doc whose text is empty/whitespace-only has
+    # no lines but must still appear in the output (n_lines = 0,
+    # clean_text = '') — a plain explode would silently drop it from
+    # the corpus, which a downstream join-on-doc_id text replacement
+    # would never notice
     lines = pages.select(
         F.col(host_col).alias("host"),
         F.col(doc_col).alias("doc_id"),
-        F.posexplode(
+        F.posexplode_outer(
             F.filter(
                 F.transform(F.split(F.col(text_col), r"\n"),
                             lambda l: F.trim(l)),
@@ -195,13 +200,14 @@ def strip_host_boilerplate(
     flagged = lines.join(templ, ["host", "line"], "left")
     return flagged.groupBy("doc_id").agg(
         F.first("host").alias("host"),
-        F.count("*").alias("n_lines"),
+        F.count("line").alias("n_lines"),
         F.count("_is_templ").alias("n_removed"),
         F.array_join(
             F.transform(
                 F.array_sort(
                     F.collect_list(
-                        F.when(F.col("_is_templ").isNull(),
+                        F.when(F.col("line").isNotNull()
+                               & F.col("_is_templ").isNull(),
                                F.struct("line_idx", "line"))
                     )
                 ),

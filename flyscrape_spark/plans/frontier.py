@@ -732,3 +732,23 @@ class CrawlEngine:
             fields.append(StructField("data", StringType()))
         fields.append(StructField("spans", SPAN_TYPE))
         return StructType(fields)
+
+
+def take_front(frontier, n: int):
+    """The next ``n`` URLs of the frontier in canonical crawl
+    priority — ascending ``(depth, discovery_order)``, the
+    sequential-BFS serialization this module defines as the engine's
+    ordering contract (the partitioned priority queue's dequeue).
+
+    Scale shape: ``orderBy().limit(n)`` compiles to
+    TakeOrderedAndProject — every partition keeps an n-row heap and
+    the driver merges n rows per partition; there is NO global sort
+    and no range-partitioning exchange (plan-audited). At 10^10
+    pending URLs the dequeue cost is O(rows scanned + n log n), not
+    a shuffle of the backlog.
+    """
+    from pyspark.sql import functions as F
+
+    return frontier.orderBy(
+        F.asc("depth"), F.asc("discovery_order")
+    ).limit(n)

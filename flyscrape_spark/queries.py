@@ -7224,3 +7224,94 @@ SELECT doc_id, n_text_tokens, n_media, n_tokens, cum_before,
        cum_before % {IP_SEQ_LEN} AS offset
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# Final round-4 pair: priority dequeue, politeness resolution
+# ---------------------------------------------------------------------------
+
+FT_N = 120
+
+
+def q_frontier_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-queue dequeue (plans/frontier.py take_front): the
+    next N pending URLs in the canonical (depth, discovery_order)
+    crawl order — compiles to TakeOrderedAndProject (per-partition
+    n-row heaps, NO global sort; plan-audited). Oracle is the literal
+    ORDER BY ... LIMIT."""
+    from flyscrape_spark.plans.frontier import take_front
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    frontier = docs.select(
+        _doc_url(i).alias("url"),
+        (i % 5).cast("int").alias("depth"),
+        i.alias("discovery_order"),
+    )
+    return take_front(frontier, FT_N)
+
+
+def sql_frontier_take() -> str:
+    return f"""
+SELECT {_doc_url_sql('doc_id')} AS url,
+       CAST(doc_id % 5 AS INT) AS depth,
+       doc_id AS discovery_order
+FROM documents
+ORDER BY depth, discovery_order
+LIMIT {FT_N}
+"""
+
+
+ED_HOSTS = 20
+ED_DEFAULT = 1.0
+
+
+def q_effective_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness resolution (operators/politeness.py
+    effective_delay): strictest-of robots Crawl-delay / adaptive
+    delay / default per host, with the winning signal named (ties
+    prefer the explicit robots ask). Hosts k%4==0 publish no
+    Crawl-delay; k%6==0 appear only in the robots table (full-outer
+    edge). Oracle closed-form."""
+    from flyscrape_spark.operators.politeness import effective_delay
+
+    docs = load(spark, sf_dir, "documents")
+    ks = docs.select((F.col("doc_id") % ED_HOSTS).alias("k")).distinct()
+    k = F.col("k")
+    host = F.concat(F.lit("p"), k.cast("string"), F.lit(".example"))
+    robots = ks.select(
+        host.alias("host"),
+        F.when(k % 4 == 0, F.lit(None).cast("double"))
+        .otherwise((k % 5).cast("double")).alias("crawl_delay"),
+    )
+    adaptive = ks.filter(k % 6 != 0).select(
+        host.alias("host"),
+        (0.5 + (k % 3).cast("double") * 1.25).alias("adjusted_delay_s"),
+    )
+    return effective_delay(robots, adaptive, default_delay_s=ED_DEFAULT)
+
+
+def sql_effective_delay() -> str:
+    return f"""
+WITH ks AS (SELECT DISTINCT doc_id % {ED_HOSTS} AS k FROM documents),
+sig AS (
+  SELECT 'p' || k || '.example' AS host,
+         CASE WHEN k % 4 = 0 THEN NULL
+              ELSE CAST(k % 5 AS DOUBLE) END AS robots_delay_s,
+         CASE WHEN k % 6 = 0 THEN NULL
+              ELSE 0.5 + (k % 3) * 1.25 END AS adaptive_delay_s
+  FROM ks
+),
+r AS (
+  SELECT *, greatest(coalesce(robots_delay_s, 0),
+                     coalesce(adaptive_delay_s, 0),
+                     {ED_DEFAULT}) AS eff
+  FROM sig
+)
+SELECT host, robots_delay_s, adaptive_delay_s,
+       round(eff, 4) AS effective_delay_s,
+       CASE WHEN coalesce(robots_delay_s, 0) >= eff THEN 'robots'
+            WHEN coalesce(adaptive_delay_s, 0) >= eff THEN 'adaptive'
+            ELSE 'default' END AS source
+FROM r
+"""

@@ -67,7 +67,14 @@ def rfc822_timestamp(col: Column) -> Column:
     norm = F.regexp_replace(F.trim(col), r"^[A-Za-z]{3},\s*", "")
     for zone, offset in _RFC822_ZONES.items():
         norm = F.regexp_replace(norm, rf"\s{zone}$", f" {offset}")
-    return F.try_to_timestamp(norm, F.lit("dd MMM yyyy HH:mm:ss Z"))
+    # RFC 822 §5.1 makes the day 1-or-2-digit and the seconds
+    # optional; try the variants from most to least common
+    return F.coalesce(
+        F.try_to_timestamp(norm, F.lit("dd MMM yyyy HH:mm:ss Z")),
+        F.try_to_timestamp(norm, F.lit("d MMM yyyy HH:mm:ss Z")),
+        F.try_to_timestamp(norm, F.lit("dd MMM yyyy HH:mm Z")),
+        F.try_to_timestamp(norm, F.lit("d MMM yyyy HH:mm Z")),
+    )
 
 
 def parse_rss(

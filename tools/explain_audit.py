@@ -535,6 +535,24 @@ CHECKS = {
         "per_host_window": r"Window.*partitionBy|Window \[.*host",
         "max_exchanges": 3,
     },
+    "frontier_take": {
+        # the priority dequeue MUST be per-partition heaps + driver
+        # merge: TakeOrderedAndProject present, NO Sort node, NO
+        # exchange of any kind — dequeuing n of 10^10 pending URLs
+        # never shuffles the backlog
+        "take_ordered": r"TakeOrderedAndProject",
+        "no_sort": r"!Sort \[",
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "max_exchanges": 0,
+    },
+    "effective_delay": {
+        # both inputs are O(hosts) rollups; one full-outer host
+        # equi-join (full-outer cannot broadcast a side) + the two
+        # fixture distincts; never cartesian, no Python
+        "no_python": r"!ArrowEvalPython|BatchEvalPython",
+        "no_cartesian": r"!CartesianProduct",
+        "max_exchanges": 4,
+    },
     "byte_packed_shards": {
         # two-phase prefix sums: the returned plan is range-
         # repartition (pinned by localCheckpoint, outside the
