@@ -126,3 +126,42 @@ def test_strip_boilerplate_keeps_empty_docs(spark):
     for empty_id in (99, 100):
         assert (out[empty_id]["n_lines"], out[empty_id]["n_removed"],
                 out[empty_id]["clean_text"]) == (0, 0, "")
+
+
+def test_corpus_pipeline_example(spark):
+    """examples/corpus_pipeline.py end-to-end: every stage yields the
+    documented shape on the demo corpus."""
+    import importlib.util
+    import pathlib
+
+    path = pathlib.Path(__file__).parent.parent / "examples" / "corpus_pipeline.py"
+    spec = importlib.util.spec_from_file_location("corpus_pipeline", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    pages, feeds_xml = mod._demo_inputs(spark)
+    out = mod.run(spark, pages, feeds_xml)
+    # every page advertises exactly one feed
+    assert out["discovered"].count() == 24
+    # all 24 links seeded, ranked within 3 hosts
+    seeds = out["seeds"].collect()
+    assert len(seeds) == 24
+    assert max(r["seed_rank"] for r in seeds) == 8
+    # plan allocates the full budget (demand 8/host, cap 30 > demand)
+    plan = out["plan"].collect()
+    assert sum(r["alloc"] for r in plan) == 24.0  # min(budget, total c)
+    # template lines stripped: every doc keeps exactly its body line
+    stripped = out["stripped"].collect()
+    assert all(r["n_removed"] == 2 and r["n_lines"] == 3 for r in stripped)
+    # the demo bodies differ only by one number -> SimHash collapses
+    # all 24 into ONE near-dup cluster; the canonical pick keeps the
+    # longest copy (two-digit ids are a char longer; doc 10 wins the
+    # tie-break) and reports 23 discards
+    keepers = out["keepers"].collect()
+    assert len(keepers) == 1
+    assert (keepers[0]["keeper_doc_id"], keepers[0]["n_discarded"]) == (
+        10, 23,
+    )
+    # the lone survivor packs into shard 0
+    shards = out["shards"].collect()
+    assert len(shards) == 1 and shards[0]["shard_id"] == 0
