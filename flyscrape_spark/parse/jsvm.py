@@ -69,9 +69,16 @@ beyond the shipped set, per the round-3 verdict):
   promise the executor leaves unsettled can never settle later —
   awaiting it raises a clear error instead of hanging).
 
+* getters/setters (round-4 session 2): object-literal ``get x() {}``
+  / ``set x(v) {}`` and class accessors (incl. static, incl.
+  inherited through ``extends``); reads call the this-bound getter,
+  writes the setter (setterless write is a sloppy-mode no-op), and
+  JSON.stringify invokes own enumerable object-literal getters while
+  class (prototype) getters stay un-serialized, like goja.
+
 Out of scope (raises JsCompileError/JsRuntimeError with a message):
-generators, labels, getters/setters, computed method names,
-prototype mutation. None appear in any shipped reference script.
+generators, labels, computed method names, prototype mutation. None
+appear in any shipped reference script.
 """
 
 from __future__ import annotations
@@ -909,6 +916,20 @@ class _P:
                     and not self.at("punct", "=", ahead=1)):
                 self.next()
                 is_async = True
+            if (self.at("ident", "get") or self.at("ident", "set")) \
+                    and not self.at("punct", "(", ahead=1) \
+                    and not self.at("punct", "=", ahead=1):
+                # class accessor: get name() {...} / set name(v) {...}
+                kind_t = self.next()
+                kt = self.next()
+                if kt.kind not in ("ident", "kw", "str"):
+                    raise JsCompileError("bad accessor name",
+                                         kt.line, kt.col)
+                params = self.param_list()
+                body = self.block()
+                members.append(("accessor", static, kind_t.value,
+                                str(kt.value), params, body, kt.line))
+                continue
             kt = self.next()
             if kt.kind not in ("ident", "kw", "str"):
                 raise JsCompileError("bad class member name",
@@ -926,7 +947,7 @@ class _P:
             else:
                 raise JsCompileError(
                     f"unsupported class member {key!r} "
-                    "(getters/setters are out of scope)",
+                    "(computed names / generators are out of scope)",
                     kt.line, kt.col)
         self.expect("punct", "}")
         return ("class", name, parent, members, t.line)
@@ -1238,6 +1259,22 @@ class _P:
                     self.expect("punct", "]")
                     self.expect("punct", ":")
                     props.append(("computed", key, self.assignment()))
+                elif (self.at("ident", "get") or self.at("ident", "set")) \
+                        and not self.at("punct", ":", ahead=1) \
+                        and not self.at("punct", "(", ahead=1) \
+                        and not self.at("punct", ",", ahead=1) \
+                        and not self.at("punct", "}", ahead=1):
+                    # accessor: {get name() {...}} / {set name(v) {...}}
+                    # ({get: x} / {get() {}} / {get} are plain props)
+                    kind_t = self.next()
+                    kt = self.next()
+                    if kt.kind not in ("ident", "kw", "str"):
+                        raise JsCompileError("bad accessor name",
+                                             kt.line, kt.col)
+                    params = self.param_list()
+                    body = self.block()
+                    props.append(("accessor", kind_t.value, str(kt.value),
+                                  params, body, kt.line))
                 else:
                     kt = self.next()
                     if kt.kind in ("ident", "kw"):
@@ -1331,6 +1368,7 @@ class JSClass:
         self.ctor: JSFunction | None = None
         self.methods: dict[str, JSFunction] = {}
         self.statics: dict[str, Any] = {}
+        self.accessors: dict[str, "JSAccessor"] = {}
         self.fields: list[tuple[str, Any]] = []   # (name, init_ast)
 
     def find_method(self, name: str):
@@ -1338,6 +1376,14 @@ class JSClass:
         while c is not None:
             if name in c.methods:
                 return c.methods[name]
+            c = c.parent
+        return None
+
+    def find_accessor(self, name: str):
+        c = self
+        while c is not None:
+            if name in c.accessors:
+                return c.accessors[name]
             c = c.parent
         return None
 
@@ -1356,6 +1402,19 @@ class JSClass:
                 return True
             c = c.parent
         return False
+
+
+class JSAccessor:
+    """A get/set property pair (object-literal or class accessor).
+    Stored as the property's VALUE; get_prop/assign_to route reads
+    through ``getter`` (this-bound to the owner) and writes through
+    ``setter`` (silently ignored when absent, non-strict JS)."""
+
+    __slots__ = ("getter", "setter")
+
+    def __init__(self, getter=None, setter=None):
+        self.getter = getter
+        self.setter = setter
 
 
 class JSInstance:
@@ -1823,6 +1882,12 @@ def js_json_stringify(v, indent=None) -> str | None:
         if isinstance(x, dict):
             out = {}
             for k, val in x.items():
+                if isinstance(val, JSAccessor):
+                    # JSON.stringify invokes own enumerable getters
+                    if val.getter is None:
+                        continue
+                    val = val.getter.interp.call(val.getter, [],
+                                                 this_val=x)
                 c = conv(val)
                 if c is not _SKIP:
                     out[js_string(k)] = c
@@ -2170,6 +2235,18 @@ class Interpreter:
                 elif prop[0] == "computed":
                     out[js_string(self.eval(prop[1], env))] = \
                         self.eval(prop[2], env)
+                elif prop[0] == "accessor":
+                    _, akind, key, params, body, ln = prop
+                    fn = JSFunction(key, params, ("body_block", body),
+                                    env, self)
+                    acc = out.get(key)
+                    if not isinstance(acc, JSAccessor):
+                        acc = JSAccessor()
+                        out[key] = acc
+                    if akind == "get":
+                        acc.getter = fn
+                    else:
+                        acc.setter = fn
                 else:
                     _, key, ve = prop
                     out[js_string(key)] = self.eval(ve, env)
@@ -2303,8 +2380,18 @@ class Interpreter:
         elif kind == "member":
             obj = self.eval(target[1], env)
             if isinstance(obj, dict):
+                cur = obj.get(target[2])
+                if isinstance(cur, JSAccessor):
+                    if cur.setter is not None:
+                        self.call(cur.setter, [value], this_val=obj)
+                    return  # setterless accessor: silent no-op (sloppy JS)
                 obj[target[2]] = value
             elif isinstance(obj, JSInstance):
+                acc = obj.cls.find_accessor(target[2])
+                if acc is not None:
+                    if acc.setter is not None:
+                        self.call(acc.setter, [value], this_val=obj)
+                    return
                 obj.props[target[2]] = value
             elif isinstance(obj, JSClass):
                 obj.statics[target[2]] = value
@@ -2416,6 +2503,11 @@ class Interpreter:
         if isinstance(obj, JSInstance):
             if name in obj.props:
                 return obj.props[name]
+            acc = obj.cls.find_accessor(name)
+            if acc is not None:
+                if acc.getter is None:
+                    return UNDEFINED
+                return self.call(acc.getter, [], this_val=obj)
             m = obj.cls.find_method(name)
             if m is not None:
                 return JSBoundMethod(m, obj)
@@ -2426,6 +2518,10 @@ class Interpreter:
             if name == "name":
                 return obj.name
             v = obj.find_static(name)
+            if isinstance(v, JSAccessor):
+                if v.getter is None:
+                    return UNDEFINED
+                return self.call(v.getter, [], this_val=obj)
             if isinstance(v, JSFunction):
                 return JSBoundMethod(v, obj)
             return UNDEFINED if v is None else v
@@ -2436,7 +2532,12 @@ class Interpreter:
                 return obj.to_string
             return UNDEFINED
         if isinstance(obj, dict):
-            return obj.get(name, UNDEFINED)
+            v = obj.get(name, UNDEFINED)
+            if isinstance(v, JSAccessor):
+                if v.getter is None:
+                    return UNDEFINED
+                return self.call(v.getter, [], this_val=obj)
+            return v
         if isinstance(obj, str):
             if name == "length":
                 return len(obj)
@@ -2635,6 +2736,19 @@ class Interpreter:
                     cls.statics[key] = fn
                 else:
                     cls.methods[key] = fn
+            elif m[0] == "accessor":
+                _, static, akind, key, params, body, _ln = m
+                fn = JSFunction(key, params, ("body_block", body), env,
+                                self, home_cls=cls)
+                table = cls.statics if static else cls.accessors
+                acc = table.get(key)
+                if not isinstance(acc, JSAccessor):
+                    acc = JSAccessor()
+                    table[key] = acc
+                if akind == "get":
+                    acc.getter = fn
+                else:
+                    acc.setter = fn
             else:  # field
                 _, static, key, init, _ln = m
                 if static:
