@@ -76,6 +76,11 @@ beyond the shipped set, per the round-3 verdict):
   JSON.stringify invokes own enumerable object-literal getters while
   class (prototype) getters stay un-serialized, like goja.
 
+* switch/case (strict-=== matching, fall-through, break, default at
+  any position), do-while, and for...in enumeration (object keys in
+  insertion order, array/string indices as strings, null/undefined
+  no-op) — round-4 session 2, batch 2.
+
 Out of scope (raises JsCompileError/JsRuntimeError with a message):
 generators, labels, computed method names, prototype mutation. None
 appear in any shipped reference script.
@@ -682,6 +687,22 @@ class _P:
         if self.at("ident", "async") and self.at("kw", "function", 1):
             self.next()
             return self.function_decl(is_async=True)
+        # `do` / `switch` are reserved words in JS, so treating them
+        # as statement heads here cannot shadow a user identifier
+        if self.at("ident", "do"):
+            self.next()
+            body = self.statement()
+            if not (self.at("kw", "while") or self.at("ident", "while")):
+                raise JsCompileError("expected 'while' after do-body",
+                                     t.line, t.col)
+            self.next()
+            self.expect("punct", "(")
+            cond = self.expression()
+            self.expect("punct", ")")
+            self.semi()
+            return ("dowhile", body, cond, t.line)
+        if self.at("ident", "switch"):
+            return self.switch_stmt()
         if t.kind == "kw":
             if t.value == "import" and top:
                 return self.import_decl()
@@ -952,6 +973,37 @@ class _P:
         self.expect("punct", "}")
         return ("class", name, parent, members, t.line)
 
+    def switch_stmt(self):
+        """switch (disc) { case e: stmts... default: stmts... } ->
+        ("switch", disc, cases) with cases a list of
+        (test_expr | None, [stmts]); None marks default."""
+        t = self.next()  # 'switch' ident
+        self.expect("punct", "(")
+        disc = self.expression()
+        self.expect("punct", ")")
+        self.expect("punct", "{")
+        cases = []
+        while not self.at("punct", "}"):
+            if self.at("ident", "case"):
+                self.next()
+                test = self.expression()
+                self.expect("punct", ":")
+            elif self.at("kw", "default"):
+                self.next()
+                self.expect("punct", ":")
+                test = None
+            else:
+                bad = self.peek()
+                raise JsCompileError("expected 'case' or 'default'",
+                                     bad.line, bad.col)
+            stmts = []
+            while not (self.at("punct", "}") or self.at("ident", "case")
+                       or self.at("kw", "default")):
+                stmts.append(self.statement())
+            cases.append((test, stmts))
+        self.expect("punct", "}")
+        return ("switch", disc, cases, t.line)
+
     def if_stmt(self):
         t = self.expect("kw", "if")
         self.expect("punct", "(")
@@ -975,6 +1027,11 @@ class _P:
                 seq = self.expression()
                 self.expect("punct", ")")
                 return ("forof", kw.value, target, seq, self.statement(), t.line)
+            if self.eat("kw", "in"):
+                obj = self.expression()
+                self.expect("punct", ")")
+                return ("forin", kw.value, target, obj, self.statement(),
+                        t.line)
             inits = []
             iv = None
             if self.eat("punct", "="):
@@ -2097,6 +2154,62 @@ class Interpreter:
             while js_truthy(self.eval(s[1], env)):
                 try:
                     self.exec_stmt_scoped(s[2], env)
+                except _Break:
+                    break
+                except _Continue:
+                    continue
+        elif kind == "dowhile":
+            _, body, cond, _line = s
+            while True:
+                try:
+                    self.exec_stmt_scoped(body, env)
+                except _Break:
+                    break
+                except _Continue:
+                    pass
+                if not js_truthy(self.eval(cond, env)):
+                    break
+        elif kind == "switch":
+            _, disc_e, cases, _line = s
+            d = self.eval(disc_e, env)
+            sw_env = _Env(env)   # one scope for the whole body, like JS
+            try:
+                matched = False
+                for test, stmts in cases:
+                    if not matched and test is not None \
+                            and _strict_eq(d, self.eval(test, sw_env)):
+                        matched = True
+                    if matched:
+                        for st in stmts:
+                            self.exec_stmt(st, sw_env)
+                if not matched:
+                    # fall-through from default to later cases too
+                    hit_default = False
+                    for test, stmts in cases:
+                        if test is None:
+                            hit_default = True
+                        if hit_default:
+                            for st in stmts:
+                                self.exec_stmt(st, sw_env)
+            except _Break:
+                pass
+        elif kind == "forin":
+            _, _kw, target, obj_e, body, _line = s
+            obj = self.eval(obj_e, env)
+            if isinstance(obj, dict):
+                keys = [js_string(k) for k, v in list(obj.items())
+                        if not isinstance(v, JSAccessor) or v.getter]
+            elif isinstance(obj, JSInstance):
+                keys = [js_string(k) for k in list(obj.props)]
+            elif isinstance(obj, (list, str)):
+                keys = [str(i) for i in range(len(obj))]
+            else:
+                keys = []   # for-in over null/undefined: no-op, like JS
+            for k in keys:
+                it_env = _Env(env)
+                self.bind(target, k, it_env, declare=True)
+                try:
+                    self.exec_stmt_scoped(body, it_env)
                 except _Break:
                     break
                 except _Continue:
