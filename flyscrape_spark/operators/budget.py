@@ -175,14 +175,25 @@ def cycle_plan(
     )
     caps = delays.select(
         F.col(host_col).alias("host"),
-        F.floor(F.lit(float(cycle_s)) / F.col(delay_col).cast("double"))
-        .cast("long")
-        .alias("cap"),
+        F.col(delay_col).cast("double").alias("delay_s"),
     )
+    # cap semantics: delay > 0 -> floor(cycle_s/delay) fetches fit;
+    # delay == 0 (or negative) -> NO pacing constraint, so the cycle
+    # cap is the host's own demand (waterfill never allocates more
+    # than demand anyway) — a raw division here would NULL-out (or
+    # ANSI-error) and zero the LEAST-constrained host; delay NULL or
+    # host absent from the delay table -> cap 0 (no politeness
+    # verdict yet means don't fetch, same as before).
     hosts = demand.join(F.broadcast(caps), "host", "left").select(
         "host",
         "demand",
-        F.coalesce("cap", F.lit(0).cast("long")).alias("cap"),
+        F.when(
+            F.col("delay_s") > 0,
+            F.floor(F.lit(float(cycle_s)) / F.col("delay_s")).cast("long"),
+        )
+        .when(F.col("delay_s").isNotNull(), F.col("demand"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("cap"),
     )
     plan = waterfill(hosts, budget=budget)
     return plan.withColumn(

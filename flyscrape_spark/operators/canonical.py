@@ -11,8 +11,8 @@ frontier (variants need not be fetched once the canonical is seen)
 and group fetched duplicates for the dedup stage.
 
 Scale shape:
-- extraction is two JVM regexes per page (attribute order varies in
-  the wild, so rel-then-href and href-then-rel are both tried) plus
+- extraction is one JVM tag scan per page with attribute-order-free
+  attribute pulls (functions/tags.py — any emission order) plus
   a scheme-relative/root-relative resolve as pure string exprs — no
   Python, fuses into the page scan. Full RFC 3986 reference
   resolution lives in the engine's link UDF (parse/udfs.py); the
@@ -29,20 +29,21 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-_REL_HREF = (
-    r'<link[^>]*rel=["\']canonical["\'][^>]*href=["\']([^"\']+)["\']'
-)
-_HREF_REL = (
-    r'<link[^>]*href=["\']([^"\']+)["\'][^>]*rel=["\']canonical["\']'
-)
+from flyscrape_spark.functions.tags import tag_attr, tags_where
 
 
 def canonical_href(html_col: str | Column = "html") -> Column:
-    """The raw declared canonical href ('' when none declared)."""
-    h = F.col(html_col) if isinstance(html_col, str) else html_col
-    a = F.regexp_extract(h, _REL_HREF, 1)
-    b = F.regexp_extract(h, _HREF_REL, 1)
-    return F.when(a != "", a).otherwise(b)
+    """The raw declared canonical href ('' when none declared).
+    Attribute-order-free (functions/tags.py); first declared
+    canonical wins when a page emits several."""
+    hrefs = F.filter(
+        F.transform(
+            tags_where(html_col, "link", "rel", "canonical"),
+            lambda t: tag_attr(t, "href"),
+        ),
+        lambda v: v != "",
+    )
+    return F.coalesce(F.get(hrefs, 0), F.lit(""))
 
 
 def canonical_url(

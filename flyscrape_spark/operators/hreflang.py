@@ -11,37 +11,43 @@ language-targeted corpus mixing — sample whole clusters to keep
 parallel text aligned; (c) frontier budgeting — a 40-language site
 multiplies every URL by 40.
 
-Extraction is two JVM ``regexp_extract_all`` passes over the SAME tag
-pattern (one capturing hreflang, one capturing href) zipped
-positionally — both scans see the identical match sequence, so the
-zip is exact. Cluster key = lexicographic min href across the
-declared alternate set (every member page declares the full set, so
-all members agree on the min without any graph iteration).
+Extraction is attribute-order-FREE (functions/tags.py): one regex
+scan pulls every ``<link ...>`` tag, a filter keeps rel=alternate
+tags carrying both hreflang and href, and each attribute is read out
+of the matched tag text independently — so ``<link href=.. hreflang=..
+rel=alternate>`` (a real-CMS emission order) clusters identically to
+the canonical ordering. Cluster key = lexicographic min href across
+the declared alternate set (every member page declares the full set,
+so all members agree on the min without any graph iteration).
 
 Scale shape: extract + explode are pure codegen; one combinable
-groupBy on the cluster key. No Python, no joins.
+groupBy on the cluster key. No Python, no joins. The set-valued
+``langs`` rollup is serialized to a comma-joined string (exactly as
+operators/anchors.py does) so the output schema is atomic-only.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-_TAG = (
-    r'<link[^>]*rel=["\']alternate["\'][^>]*hreflang=["\']([^"\']*)["\']'
-    r'[^>]*href=["\']([^"\']*)["\']'
-)
+from flyscrape_spark.functions.tags import tag_attr, tags_where
 
 
 def hreflang_pairs(html_col: str | Column = "html") -> Column:
     """array<struct<lang,href>> of every declared alternate, in
-    document order (rel -> hreflang -> href attribute order; the
-    common emission order of i18n CMSes — additional attribute
-    permutations would add sibling patterns exactly like
-    operators/metarobots.py does)."""
-    h = F.col(html_col) if isinstance(html_col, str) else html_col
-    langs = F.regexp_extract_all(h, F.lit(_TAG), 1)
-    hrefs = F.regexp_extract_all(h, F.lit(_TAG), 2)
-    return F.arrays_zip(langs.alias("lang"), hrefs.alias("href"))
+    document order, regardless of attribute order within the tag.
+    Tags missing either hreflang or href are dropped (malformed)."""
+    alt = F.filter(
+        tags_where(html_col, "link", "rel", "alternate"),
+        lambda t: (tag_attr(t, "hreflang") != "") & (tag_attr(t, "href") != ""),
+    )
+    return F.transform(
+        alt,
+        lambda t: F.struct(
+            tag_attr(t, "hreflang").alias("lang"),
+            tag_attr(t, "href").alias("href"),
+        ),
+    )
 
 
 def hreflang_clusters(
@@ -51,10 +57,12 @@ def hreflang_clusters(
 ) -> DataFrame:
     """(cluster_id, n_pages, langs) — one row per alternate-set.
 
-    cluster_id = min href of the declared set; langs = sorted distinct
-    declared language tags; n_pages = member pages actually fetched
-    (pages with no hreflang markup are skipped — they are their own
-    singleton logical documents and would only bloat the output)."""
+    cluster_id = min href of the declared set; langs = comma-joined
+    sorted distinct declared language tags (serialized to a string so
+    the output schema stays atomic); n_pages = member pages actually
+    fetched (pages with no hreflang markup are skipped — they are
+    their own singleton logical documents and would only bloat the
+    output)."""
     pairs = hreflang_pairs(html_col)
     with_set = pages.select(
         F.col(url_col).alias("url"),
@@ -73,8 +81,11 @@ def hreflang_clusters(
         member.groupBy("cluster_id")
         .agg(
             F.count("*").alias("n_pages"),
-            F.array_sort(
-                F.array_distinct(F.flatten(F.collect_list("page_langs")))
+            F.array_join(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("page_langs")))
+                ),
+                ",",
             ).alias("langs"),
         )
     )

@@ -10,23 +10,18 @@ honoring nofollow prunes the frontier at the source, both standard
 crawler behavior (Google's robots meta spec; REP's page-level
 companion).
 
-Scale shape: two JVM regexes per page (attribute order varies:
-name-then-content and content-then-name), token membership on the
-split directive list — pure column expressions, no Python, fuses
-into the page scan. ``none`` expands to noindex+nofollow per the
-spec.
+Scale shape: one JVM tag scan per page with attribute-order-FREE
+extraction (functions/tags.py — any of the 2 attribute orders, plus
+extra attributes between them), token membership on the split
+directive list — pure column expressions, no Python, fuses into the
+page scan. ``none`` expands to noindex+nofollow per the spec.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-_NAME_CONTENT = (
-    r'<meta[^>]*name=["\']robots["\'][^>]*content=["\']([^"\']*)["\']'
-)
-_CONTENT_NAME = (
-    r'<meta[^>]*content=["\']([^"\']*)["\'][^>]*name=["\']robots["\']'
-)
+from flyscrape_spark.functions.tags import tag_attr, tags_where
 
 
 def robots_content(html_col: str | Column = "html") -> Column:
@@ -36,10 +31,10 @@ def robots_content(html_col: str | Column = "html") -> Column:
     ``<meta name=robots content=noindex>`` followed by
     ``<meta name=robots content=nofollow>`` must yield both tokens —
     extracting only the first tag would drop the later directives."""
-    h = F.col(html_col) if isinstance(html_col, str) else html_col
-    a = F.regexp_extract_all(h, F.lit(_NAME_CONTENT), 1)
-    b = F.regexp_extract_all(h, F.lit(_CONTENT_NAME), 1)
-    return F.array_join(F.concat(a, b), ",")
+    tags = tags_where(html_col, "meta", "name", "robots")
+    return F.array_join(
+        F.transform(tags, lambda t: tag_attr(t, "content")), ","
+    )
 
 
 def _directives(html_col: str | Column) -> Column:

@@ -321,21 +321,28 @@ def crawl_diff(
     bucket both snapshot tables by url, sources/seen_store.py style,
     and the exchanges vanish) + one combinable host rollup.
     """
+    # presence flags, not hash nullability: a URL present in BOTH
+    # snapshots with a NULL content_hash on one side (fetch error,
+    # skipped body) is still present — classifying by h_old IS NULL
+    # would miscount it as new/gone. Hash comparison is null-safe:
+    # NULL vs non-NULL counts as changed, NULL vs NULL as unchanged.
     o = old.select(
         F.col(host_col).alias("host"),
         F.col(url_col).alias("url"),
         F.col(hash_col).alias("h_old"),
+        F.lit(True).alias("in_old"),
     )
     n = new.select(
         F.col(host_col).alias("host"),
         F.col(url_col).alias("url"),
         F.col(hash_col).alias("h_new"),
+        F.lit(True).alias("in_new"),
     )
     j = o.join(n, ["host", "url"], "full_outer")
     status = (
-        F.when(F.col("h_old").isNull(), F.lit("new"))
-        .when(F.col("h_new").isNull(), F.lit("gone"))
-        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+        F.when(F.col("in_old").isNull(), F.lit("new"))
+        .when(F.col("in_new").isNull(), F.lit("gone"))
+        .when(~F.col("h_old").eqNullSafe(F.col("h_new")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     per_host = j.withColumn("status", status).groupBy("host").agg(

@@ -2043,21 +2043,34 @@ class Interpreter:
             "PI": math.pi,
             "E": math.e,
         })
-        def _own(o) -> dict:
-            """Enumerable own props: dicts as-is, class instances via
-            their props map."""
+        def _own_raw(o) -> dict:
+            """Enumerable own prop STORAGE: dicts as-is, class
+            instances via their props map (Object.assign's write
+            target)."""
             if isinstance(o, dict):
                 return o
             if isinstance(o, JSInstance):
                 return o.props
             return {}
 
+        def _own(o) -> dict:
+            """Enumerable own props with [[Get]] semantics: accessor
+            getters are invoked (setter-only props read as undefined)
+            so Object.values/entries never leak a raw JSAccessor."""
+            out = {}
+            for k, v in list(_own_raw(o).items()):
+                if isinstance(v, JSAccessor):
+                    v = (UNDEFINED if v.getter is None
+                         else self.call(v.getter, [], this_val=o))
+                out[k] = v
+            return out
+
         g.declare("Object", {
-            "keys": lambda o: list(_own(o).keys()),
+            "keys": lambda o: list(_own_raw(o).keys()),
             "values": lambda o: list(_own(o).values()),
             "entries": lambda o: [[k, v] for k, v in _own(o).items()],
             "assign": lambda target, *srcs: (
-                [_own(target).update(_own(s)) for s in srcs],
+                [_own_raw(target).update(_own(s)) for s in srcs],
                 target)[1],
             "fromEntries": lambda pairs: {js_string(k): v for k, v in pairs},
         })
@@ -2197,8 +2210,10 @@ class Interpreter:
             _, _kw, target, obj_e, body, _line = s
             obj = self.eval(obj_e, env)
             if isinstance(obj, dict):
-                keys = [js_string(k) for k, v in list(obj.items())
-                        if not isinstance(v, JSAccessor) or v.getter]
+                # accessor properties (even setter-only ones) are
+                # enumerable own properties in JS — only READS depend
+                # on getter presence, enumeration never does
+                keys = [js_string(k) for k in list(obj)]
             elif isinstance(obj, JSInstance):
                 keys = [js_string(k) for k in list(obj.props)]
             elif isinstance(obj, (list, str)):
@@ -2486,30 +2501,42 @@ class Interpreter:
             return self.eval(e[1], env)
         raise JsRuntimeError(f"unsupported expression {kind!r}")
 
+    def _set_prop(self, obj, name: str, value):
+        """Named-property write with accessor dispatch — shared by the
+        member and computed-index assignment paths (o.x = v and
+        o["x"] = v are the SAME operation in JS, so both must invoke a
+        setter when one is defined instead of clobbering it)."""
+        if isinstance(obj, dict):
+            cur = obj.get(name)
+            if isinstance(cur, JSAccessor):
+                if cur.setter is not None:
+                    self.call(cur.setter, [value], this_val=obj)
+                return  # setterless accessor: silent no-op (sloppy JS)
+            obj[name] = value
+        elif isinstance(obj, JSInstance):
+            acc = obj.cls.find_accessor(name)
+            if acc is not None:
+                if acc.setter is not None:
+                    self.call(acc.setter, [value], this_val=obj)
+                return
+            obj.props[name] = value
+        elif isinstance(obj, JSClass):
+            acc = obj.find_static(name)
+            if isinstance(acc, JSAccessor):
+                if acc.setter is not None:
+                    self.call(acc.setter, [value], this_val=obj)
+                return  # setterless static accessor: no-op, not clobber
+            obj.statics[name] = value
+        else:
+            raise JsRuntimeError("cannot set property on non-object")
+
     def assign_to(self, target, value, env: _Env):
         kind = target[0]
         if kind == "ident":
             env.set(target[1], value)
         elif kind == "member":
             obj = self.eval(target[1], env)
-            if isinstance(obj, dict):
-                cur = obj.get(target[2])
-                if isinstance(cur, JSAccessor):
-                    if cur.setter is not None:
-                        self.call(cur.setter, [value], this_val=obj)
-                    return  # setterless accessor: silent no-op (sloppy JS)
-                obj[target[2]] = value
-            elif isinstance(obj, JSInstance):
-                acc = obj.cls.find_accessor(target[2])
-                if acc is not None:
-                    if acc.setter is not None:
-                        self.call(acc.setter, [value], this_val=obj)
-                    return
-                obj.props[target[2]] = value
-            elif isinstance(obj, JSClass):
-                obj.statics[target[2]] = value
-            else:
-                raise JsRuntimeError("cannot set property on non-object")
+            self._set_prop(obj, target[2], value)
         elif kind == "index":
             obj = self.eval(target[1], env)
             idx = self.eval(target[2], env)
@@ -2518,12 +2545,8 @@ class Interpreter:
                 while len(obj) <= i:
                     obj.append(UNDEFINED)
                 obj[i] = value
-            elif isinstance(obj, dict):
-                obj[js_string(idx)] = value
-            elif isinstance(obj, JSInstance):
-                obj.props[js_string(idx)] = value
             else:
-                raise JsRuntimeError("cannot index-assign this value")
+                self._set_prop(obj, js_string(idx), value)
         else:
             raise JsRuntimeError("invalid assignment target")
 
@@ -2714,8 +2737,9 @@ class Interpreter:
                 i = int(idx)
                 return obj[i] if 0 <= i < len(obj) else UNDEFINED
             return self.get_prop(obj, js_string(idx))
-        if isinstance(obj, dict):
-            return obj.get(js_string(idx), UNDEFINED)
+        # dict (and everything else) routes through get_prop so that
+        # o["x"] sees the same accessor dispatch as o.x — a raw
+        # .get() would leak the internal JSAccessor into script space
         return self.get_prop(obj, js_string(idx))
 
     # -- calls ----------------------------------------------------------------

@@ -5539,9 +5539,9 @@ keyed AS (
          CASE L WHEN 2 THEN least({u0}, {u1})
                 WHEN 3 THEN least({u0}, {u1}, {u2})
                 ELSE least({u0}, {u1}, {u2}, {u3}) END AS cluster_id,
-         CASE L WHEN 2 THEN ['en', 'fr']
-                WHEN 3 THEN ['de', 'en', 'fr']
-                ELSE ['de', 'en', 'es', 'fr'] END AS langs
+         CASE L WHEN 2 THEN 'en,fr'
+                WHEN 3 THEN 'de,en,fr'
+                ELSE 'de,en,es,fr' END AS langs
   FROM members
 )
 SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_pages, langs

@@ -33,6 +33,26 @@ def test_crawl_diff_statuses(spark):
     assert r["churn_rate"] == 0.75
 
 
+def test_crawl_diff_null_hash_presence(spark):
+    """A URL present in BOTH snapshots with a NULL hash on one side is
+    CHANGED (not new/gone); NULL-vs-NULL is unchanged; presence still
+    decides new/gone."""
+    old = _snap(spark, [
+        ("h", "u1", None),    # present both, hash appeared -> changed
+        ("h", "u2", None),    # present both, NULL both -> unchanged
+        ("h", "u3", "c"),     # present both, hash vanished -> changed
+    ])
+    new = _snap(spark, [
+        ("h", "u1", "a"),
+        ("h", "u2", None),
+        ("h", "u3", None),
+        ("h", "u4", None),    # only in new (NULL hash) -> new
+    ])
+    r = crawl_diff(old, new).collect()[0]
+    assert (r["n_urls"], r["n_new"], r["n_gone"], r["n_changed"],
+            r["n_unchanged"]) == (4, 1, 0, 2, 1)
+
+
 def test_crawl_diff_host_isolation(spark):
     old = _snap(spark, [("h1", "u1", "a")])
     new = _snap(spark, [("h2", "u2", "b")])

@@ -37,6 +37,31 @@ def test_cycle_plan_composition(spark):
     assert sum(r["alloc"] for r in out.values()) == 20.0
 
 
+def test_cycle_plan_zero_delay_is_unconstrained(spark):
+    """A host whose adjusted delay is 0 has NO pacing constraint —
+    its cap must be its demand (not NULL-coalesced to 0, which gave
+    the LEAST-constrained host zero budget), and NULL delay stays
+    cap-0 like an absent row."""
+    frontier = spark.createDataFrame(
+        [("fast", f"u{i}") for i in range(8)]
+        + [("slow", f"v{i}") for i in range(8)]
+        + [("nul", f"w{i}") for i in range(4)],
+        "host string, url string",
+    )
+    delays = spark.createDataFrame(
+        [("fast", 0.0), ("slow", 2.0), ("nul", None)],
+        "host string, adjusted_delay_s double",
+    )
+    out = {
+        r["host"]: r
+        for r in cycle_plan(frontier, delays, budget=100, cycle_s=60).collect()
+    }
+    assert out["fast"]["cap"] == 8          # demand-bounded, not 0
+    assert out["fast"]["alloc"] == 8.0      # fully funded under big budget
+    assert out["slow"]["cap"] == 30
+    assert (out["nul"]["cap"], out["nul"]["alloc"]) == (0, 0.0)
+
+
 def test_shard_assignment_balance(spark):
     hosts = spark.createDataFrame(
         [(f"h{i}.example", 10) for i in range(64)],

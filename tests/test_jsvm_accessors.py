@@ -148,3 +148,119 @@ export default function ({ doc, url }) {
         "url": "https://shop.test/", "count": 2,
         "items": [{"name": "A", "price": 3}, {"name": "B", "price": 5}],
     }
+
+
+# ---- round-5 advice fixes: computed-index + static-setter + ----------
+# ---- enumeration parity with the member paths ------------------------
+
+def test_computed_index_read_invokes_getter():
+    """o["x"] and o.x are the SAME operation in JS — the computed
+    path must invoke the getter, not leak the internal accessor."""
+    src = """
+export default function() {
+  const o = {get x() { return 42; }};
+  const k = "x";
+  return [o["x"], o[k], o.x];
+}
+"""
+    assert run1(src) == [42, 42, 42]
+
+
+def test_computed_index_write_invokes_setter():
+    src = """
+export default function() {
+  const o = {_v: 0, set x(v) { this._v = v + 1; },
+             get x() { return this._v; }};
+  o["x"] = 10;
+  const k = "x";
+  o[k] = o[k] + 100;
+  return o.x;
+}
+"""
+    assert run1(src) == 112
+
+
+def test_computed_index_setterless_is_noop():
+    src = """
+export default function() {
+  const o = {get x() { return 7; }};
+  o["x"] = 99;
+  return o["x"];
+}
+"""
+    assert run1(src) == 7
+
+
+def test_class_instance_computed_accessor():
+    src = """
+export default function() {
+  class C { constructor() { this._v = 1; }
+            get x() { return this._v * 10; }
+            set x(v) { this._v = v; } }
+  const c = new C();
+  c["x"] = 5;
+  return c["x"];
+}
+"""
+    assert run1(src) == 50
+
+
+def test_static_accessor_setter_not_clobbered():
+    """C.x = v with `static set x(v)` must invoke the setter, not
+    overwrite the accessor slot."""
+    src = """
+export default function() {
+  class C { static get x() { return 42; }
+            static set x(v) { C.stored = v * 2; } }
+  C.x = 5;
+  return [C.x, C.stored];
+}
+"""
+    assert run1(src) == [42, 10]
+
+
+def test_static_setterless_write_is_noop():
+    src = """
+export default function() {
+  class C { static get x() { return 3; } }
+  C.x = 99;
+  return C.x;
+}
+"""
+    assert run1(src) == 3
+
+
+def test_forin_enumerates_setter_only_props():
+    """Accessor properties are enumerable own properties regardless
+    of getter presence."""
+    src = """
+export default function() {
+  const o = {a: 1, set x(v) {}, get y() { return 2; }};
+  const ks = [];
+  for (const k in o) ks.push(k);
+  return ks.sort();
+}
+"""
+    assert run1(src) == ["a", "x", "y"]
+
+
+def test_object_values_entries_invoke_getters():
+    src = """
+export default function() {
+  const o = {a: 1, get b() { return 5; }};
+  return [Object.keys(o), Object.values(o),
+          Object.entries(o).map(e => e[0] + "=" + e[1])];
+}
+"""
+    assert run1(src) == [["a", "b"], [1, 5], ["a=1", "b=5"]]
+
+
+def test_object_assign_resolves_source_getters():
+    src = """
+export default function() {
+  const src = {get v() { return 9; }};
+  const t = Object.assign({}, src);
+  return t.v;
+}
+"""
+    assert run1(src) == 9

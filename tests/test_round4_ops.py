@@ -127,7 +127,7 @@ def test_hreflang_cluster_rollup(spark):
     row = out[0]
     assert row["cluster_id"] == "http://x/en"  # lexicographic min href
     assert row["n_pages"] == 2
-    assert row["langs"] == ["en", "fr"]
+    assert row["langs"] == "en,fr"  # serialized atomic output
 
 
 def test_hreflang_pair_extraction_positional_zip(spark):
@@ -148,10 +148,47 @@ def test_hreflang_fixture_group_sizes(spark):
     from flyscrape_spark.queries import q_hreflang_clusters
 
     rows = q_hreflang_clusters(spark, SF).collect()
-    sizes = {len(r["langs"]) for r in rows}
+    sizes = {len(r["langs"].split(",")) for r in rows}
     assert sizes == {2, 3, 4}
     for r in rows:
-        assert r["n_pages"] <= len(r["langs"])
+        assert r["n_pages"] <= len(r["langs"].split(","))
+
+
+def test_hreflang_attribute_order_free(spark):
+    """href-before-hreflang and rel-last emission orders (both common
+    in real CMSes) must cluster identically to the canonical order —
+    the round-4 extractor matched only rel->hreflang->href."""
+    from flyscrape_spark.operators.hreflang import hreflang_clusters
+
+    canonical = '<link rel="alternate" hreflang="en" href="http://z/en"/>'
+    href_first = '<link href="http://z/en" hreflang="fr" rel="alternate"/>'
+    rel_mid = "<link hreflang='de' rel='alternate' href='http://z/en'/>"
+    pages = spark.createDataFrame(
+        [(f"http://z/{k}", f"<html><head>{t}</head><body/></html>")
+         for k, t in [("a", canonical), ("b", href_first), ("c", rel_mid)]],
+        "url string, html string",
+    )
+    out = hreflang_clusters(pages).collect()
+    assert len(out) == 1
+    assert out[0]["cluster_id"] == "http://z/en"
+    assert out[0]["n_pages"] == 3
+    assert out[0]["langs"] == "de,en,fr"
+
+
+def test_hreflang_ignores_suffix_attrs_and_other_rel(spark):
+    """data-href must not satisfy the href pull; rel=stylesheet links
+    and tags missing hreflang are dropped."""
+    from flyscrape_spark.operators.hreflang import hreflang_pairs
+
+    html = (
+        '<link rel="alternate" hreflang="en" data-href="http://bad" '
+        'href="http://good"/>'
+        '<link rel="stylesheet" href="http://css"/>'
+        '<link rel="alternate" href="http://nolang"/>'
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    pairs = df.select(hreflang_pairs("html").alias("p")).collect()[0]["p"]
+    assert [(p["lang"], p["href"]) for p in pairs] == [("en", "http://good")]
 
 
 # ----------------------------------------------------- revalidate_plan

@@ -60,6 +60,26 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             cols = sdf.columns
+            # Driver-gate contract: the canonicalizer (pandas
+            # sort_values over every column) crashes on list/dict
+            # cells, so EVERY query output must be atomic-only.
+            # Set/array-valued results must serialize (array_join),
+            # exactly as operators/anchors.py does.
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            bad_cols = [
+                f.name
+                for f in sdf.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            if bad_cols:
+                print(
+                    f"FAIL  {name}: non-atomic output columns {bad_cols} "
+                    "(driver canonicalizer crashes on list cells — "
+                    "serialize with array_join)"
+                )
+                failures.append(name)
+                continue
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
