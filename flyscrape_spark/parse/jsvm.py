@@ -81,9 +81,15 @@ beyond the shipped set, per the round-3 verdict):
   insertion order, array/string indices as strings, null/undefined
   no-op) — round-4 session 2, batch 2.
 
+* labeled statements (``outer: for ... break outer / continue
+  outer``, labeled blocks, chained labels, ASI on `break\\nlabel`)
+  and computed member names in classes (``[expr]() {}``, computed
+  getters/setters) — round 5.
+
 Out of scope (raises JsCompileError/JsRuntimeError with a message):
-generators, labels, computed method names, prototype mutation. None
-appear in any shipped reference script.
+generators, prototype mutation. Neither appears in any shipped
+reference script (the interpreter cost of generators is real and
+nothing exercises them).
 """
 
 from __future__ import annotations
@@ -684,6 +690,12 @@ class _P:
 
     def statement(self, top: bool = False):
         t = self.peek()
+        # labeled statement: `name: stmt` at statement position is
+        # always a label in JS (object literals here parse as blocks)
+        if t.kind == "ident" and self.at("punct", ":", 1):
+            self.next()
+            self.next()
+            return ("label", t.value, self.statement(), t.line)
         if self.at("ident", "async") and self.at("kw", "function", 1):
             self.next()
             return self.function_decl(is_async=True)
@@ -736,12 +748,19 @@ class _P:
                 return self.for_stmt()
             if t.value == "break":
                 self.next()
+                label = None
+                # ASI: a label must sit on the SAME line as the break
+                if self.at("ident") and self.peek().line == t.line:
+                    label = self.next().value
                 self.semi()
-                return ("break", t.line)
+                return ("break", t.line, label)
             if t.value == "continue":
                 self.next()
+                label = None
+                if self.at("ident") and self.peek().line == t.line:
+                    label = self.next().value
                 self.semi()
-                return ("continue", t.line)
+                return ("continue", t.line, label)
             if t.value == "throw":
                 self.next()
                 e = self.expression()
@@ -908,9 +927,10 @@ class _P:
 
     def class_decl(self, expr: bool = False):
         """``class Name [extends Expr] { ... }`` — methods (incl.
-        ``static``), ``constructor``, and plain field initializers
-        (``x = 1;`` / ``static x = 1;``). Getters/setters and computed
-        member names stay out of scope."""
+        ``static``, ``async``, computed ``[expr]()`` names),
+        getters/setters (incl. computed names), ``constructor``, and
+        plain field initializers (``x = 1;`` / ``static x = 1;``).
+        Generators stay out of scope."""
         t = self.expect("kw", "class")
         name = None
         if self.at("ident"):
@@ -941,7 +961,17 @@ class _P:
                     and not self.at("punct", "(", ahead=1) \
                     and not self.at("punct", "=", ahead=1):
                 # class accessor: get name() {...} / set name(v) {...}
+                # / get [expr]() {...} (computed accessor name)
                 kind_t = self.next()
+                if self.at("punct", "["):
+                    lb = self.next()
+                    key_e = self.assignment()
+                    self.expect("punct", "]")
+                    params = self.param_list()
+                    body = self.block()
+                    members.append(("accessor_c", static, kind_t.value,
+                                    key_e, params, body, lb.line))
+                    continue
                 kt = self.next()
                 if kt.kind not in ("ident", "kw", "str"):
                     raise JsCompileError("bad accessor name",
@@ -950,6 +980,17 @@ class _P:
                 body = self.block()
                 members.append(("accessor", static, kind_t.value,
                                 str(kt.value), params, body, kt.line))
+                continue
+            if self.at("punct", "["):
+                # computed method name: [expr]() {...} — the key is
+                # evaluated once, when the class is built, like JS
+                lb = self.next()
+                key_e = self.assignment()
+                self.expect("punct", "]")
+                params = self.param_list()
+                body = self.block()
+                members.append(("method_c", static, key_e, params, body,
+                                lb.line, is_async))
                 continue
             kt = self.next()
             if kt.kind not in ("ident", "kw", "str"):
@@ -968,7 +1009,7 @@ class _P:
             else:
                 raise JsCompileError(
                     f"unsupported class member {key!r} "
-                    "(computed names / generators are out of scope)",
+                    "(generators are out of scope)",
                     kt.line, kt.col)
         self.expect("punct", "}")
         return ("class", name, parent, members, t.line)
@@ -1523,11 +1564,17 @@ class _Return(Exception):
 
 
 class _Break(Exception):
-    pass
+    """``break [label]`` in flight; label None = nearest loop/switch."""
+
+    def __init__(self, label: str | None = None):
+        self.label = label
 
 
 class _Continue(Exception):
-    pass
+    """``continue [label]`` in flight; label None = nearest loop."""
+
+    def __init__(self, label: str | None = None):
+        self.label = label
 
 
 class _Throw(Exception):
@@ -1983,7 +2030,18 @@ class Interpreter:
 
     def __init__(self):
         self.globals = _Env()
+        # labels pending for the next loop/switch statement executed
+        # (chained labels `a: b: while...` all bind the same loop)
+        self._pending_labels: list[str] = []
         self._install_globals()
+
+    def _take_labels(self) -> list[str]:
+        """Claim the labels declared immediately around the
+        loop/switch now starting; nested statements must not
+        inherit them."""
+        lbls = self._pending_labels
+        self._pending_labels = []
+        return lbls
 
     # -- global objects -----------------------------------------------------
 
@@ -2164,26 +2222,36 @@ class Interpreter:
             elif s[3] is not None:
                 self.exec_stmt_scoped(s[3], env)
         elif kind == "while":
+            lbls = self._take_labels()
             while js_truthy(self.eval(s[1], env)):
                 try:
                     self.exec_stmt_scoped(s[2], env)
-                except _Break:
-                    break
-                except _Continue:
-                    continue
+                except _Break as b:
+                    if b.label is None or b.label in lbls:
+                        break
+                    raise
+                except _Continue as c:
+                    if c.label is None or c.label in lbls:
+                        continue
+                    raise
         elif kind == "dowhile":
             _, body, cond, _line = s
+            lbls = self._take_labels()
             while True:
                 try:
                     self.exec_stmt_scoped(body, env)
-                except _Break:
-                    break
-                except _Continue:
-                    pass
+                except _Break as b:
+                    if b.label is None or b.label in lbls:
+                        break
+                    raise
+                except _Continue as c:
+                    if c.label is not None and c.label not in lbls:
+                        raise
                 if not js_truthy(self.eval(cond, env)):
                     break
         elif kind == "switch":
             _, disc_e, cases, _line = s
+            lbls = self._take_labels()
             d = self.eval(disc_e, env)
             sw_env = _Env(env)   # one scope for the whole body, like JS
             try:
@@ -2204,10 +2272,12 @@ class Interpreter:
                         if hit_default:
                             for st in stmts:
                                 self.exec_stmt(st, sw_env)
-            except _Break:
-                pass
+            except _Break as b:
+                if b.label is not None and b.label not in lbls:
+                    raise
         elif kind == "forin":
             _, _kw, target, obj_e, body, _line = s
+            lbls = self._take_labels()
             obj = self.eval(obj_e, env)
             if isinstance(obj, dict):
                 # accessor properties (even setter-only ones) are
@@ -2225,26 +2295,35 @@ class Interpreter:
                 self.bind(target, k, it_env, declare=True)
                 try:
                     self.exec_stmt_scoped(body, it_env)
-                except _Break:
-                    break
-                except _Continue:
-                    continue
+                except _Break as b:
+                    if b.label is None or b.label in lbls:
+                        break
+                    raise
+                except _Continue as c:
+                    if c.label is None or c.label in lbls:
+                        continue
+                    raise
         elif kind == "for":
             _, init, cond, step, body, _line = s
+            lbls = self._take_labels()
             loop_env = _Env(env)
             if init is not None:
                 self.exec_stmt(init, loop_env)
             while cond is None or js_truthy(self.eval(cond, loop_env)):
                 try:
                     self.exec_stmt_scoped(body, loop_env)
-                except _Break:
-                    break
-                except _Continue:
-                    pass
+                except _Break as b:
+                    if b.label is None or b.label in lbls:
+                        break
+                    raise
+                except _Continue as c:
+                    if c.label is not None and c.label not in lbls:
+                        raise
                 if step is not None:
                     self.eval(step, loop_env)
         elif kind == "forof":
             _, _kw, target, seq_e, body, _line = s
+            lbls = self._take_labels()
             seq = self.eval(seq_e, env)
             if isinstance(seq, dict):
                 raise JsRuntimeError("object is not iterable "
@@ -2255,16 +2334,45 @@ class Interpreter:
                 self.bind(target, item, it_env, declare=True)
                 try:
                     self.exec_stmt_scoped(body, it_env)
-                except _Break:
-                    break
-                except _Continue:
-                    continue
+                except _Break as b:
+                    if b.label is None or b.label in lbls:
+                        break
+                    raise
+                except _Continue as c:
+                    if c.label is None or c.label in lbls:
+                        continue
+                    raise
+        elif kind == "label":
+            _, name, inner, _line = s
+            if inner[0] in ("while", "dowhile", "for", "forin", "forof",
+                            "switch", "label"):
+                # the loop/switch itself claims the label (chained
+                # labels accumulate) and consumes matching breaks
+                self._pending_labels.append(name)
+                try:
+                    self.exec_stmt(inner, env)
+                finally:
+                    if name in self._pending_labels:
+                        self._pending_labels.remove(name)
+            else:
+                # labeled plain statement/block: break label exits it
+                try:
+                    self.exec_stmt_scoped(inner, env)
+                except _Break as b:
+                    if b.label != name:
+                        raise
+                except _Continue as c:
+                    if c.label == name:
+                        raise JsRuntimeError(
+                            f"continue label {name!r} does not label "
+                            "a loop")
+                    raise
         elif kind == "block":
             self.exec_block(s[1], _Env(env))
         elif kind == "break":
-            raise _Break()
+            raise _Break(s[2] if len(s) > 2 else None)
         elif kind == "continue":
-            raise _Continue()
+            raise _Continue(s[2] if len(s) > 2 else None)
         elif kind == "throw":
             raise _Throw(self.eval(s[1], env))
         elif kind == "try":
@@ -2863,6 +2971,14 @@ class Interpreter:
                     f"class {name or ''} can only extend another class")
         cls = JSClass(name, parent, env)
         for m in members:
+            # computed names: evaluate the key expression once, now
+            # (class-build time), then treat as the literal variant
+            if m[0] == "method_c":
+                m = ("method", m[1], js_string(self.eval(m[2], env)),
+                     m[3], m[4], m[5], m[6])
+            elif m[0] == "accessor_c":
+                m = ("accessor", m[1], m[2],
+                     js_string(self.eval(m[3], env)), m[4], m[5], m[6])
             if m[0] == "method":
                 _, static, key, params, body, _ln, is_async = m
                 fn = JSFunction(key, params, ("body_block", body), env,

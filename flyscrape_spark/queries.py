@@ -5345,6 +5345,80 @@ FROM counts
 """
 
 
+BPE_MERGES_K = 12
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge LOOP end-to-end (operators/bpe.py bpe_train): learn
+    the first K merges over the corpus — distributed word counting,
+    driver-side merge loop over the bounded collected vocabulary (the
+    standard trainer split; the collect is the vocab, never the
+    corpus). Output (merge_rank, left_sym, right_sym) is the learned
+    merge table, deterministic via (count desc, left, right) ties."""
+    from flyscrape_spark.operators.bpe import bpe_train
+
+    merges = bpe_train(
+        load(spark, sf_dir, "documents"), num_merges=BPE_MERGES_K
+    )
+    return spark.createDataFrame(
+        [(i + 1, l, r) for i, (l, r) in enumerate(merges)],
+        "merge_rank long, left_sym string, right_sym string",
+    )
+
+
+def sql_bpe_merges(k: int = BPE_MERGES_K) -> str:
+    """The same merge loop UNROLLED in SQL: step i recomputes pair
+    counts over the step-(i-1) vocabulary, argmaxes (count desc, left,
+    right), and applies the merge via non-overlapping left-to-right
+    string replace over '|'-delimited symbol strings ('|a||b||c|'),
+    exactly Sennrich's re.sub semantics. '|' and '<'/'>' cannot occur
+    in the normalized corpus (lowercase letters only), so the
+    delimiting is unambiguous."""
+    steps = []
+    for i in range(1, k + 1):
+        steps.append(f"""
+c{i} AS (
+  SELECT unnest(list_transform(range(1, len(ss)), j -> ss[j])) AS l,
+         unnest(list_transform(range(1, len(ss)), j -> ss[j + 1])) AS r,
+         freq
+  FROM (SELECT string_split(trim(w, '|'), '||') AS ss, freq FROM w{i - 1})
+),
+b{i} AS (
+  SELECT l, r FROM c{i} GROUP BY l, r
+  ORDER BY sum(freq) DESC, l, r LIMIT 1
+),
+w{i} AS (
+  SELECT replace(w, '|' || b.l || '||' || b.r || '|',
+                 '|' || b.l || b.r || '|') AS w, freq
+  FROM w{i - 1}, b{i} b
+)""")
+        # why replace() is exact here: DuckDB replace scans left to
+        # right and resumes AFTER each replacement — the same
+        # non-overlapping greedy pass _merge_word implements
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank, l AS left_sym, "
+        f"r AS right_sym FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split({_NORM_SQL}, ' '),
+                            t -> t <> '')) AS word
+  FROM documents
+),
+words AS (SELECT word, count(*) AS freq FROM toks GROUP BY 1),
+w0 AS (
+  SELECT '|' || array_to_string(
+           list_transform(range(1, length(word) + 1),
+                          i -> substr(word, i, 1)) || ['</w>'],
+           '||') || '|' AS w,
+         freq
+  FROM words
+),{",".join(steps)}
+{union}
+"""
+
+
 # ------------------------------------------- round-4 batch-2 operators
 
 def _soft404_pages(spark: SparkSession, sf_dir: str) -> DataFrame:

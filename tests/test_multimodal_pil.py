@@ -164,3 +164,31 @@ def test_stub_pin_survives_pil_presence(spark, fake_pil):
     row = extract_features(media, use_pil=False).collect()[0]
     k, w, h = _fake_decode(img)
     assert (row["kind_guess"], row["width"], row["height"]) == (k, w, h)
+
+
+def test_report_real_codec_path_availability():
+    """Honesty ratchet (round-4 verdict item #8): SKIPS loudly when
+    Pillow is absent, so every pytest run's ``-ra`` summary states in
+    plain text which codec path this environment's media evidence
+    used. In a real-codec environment this test instead asserts the
+    PIL route is live."""
+    import subprocess
+    import sys
+
+    # fresh interpreter: the fake PIL zip the tests above addPyFile'd
+    # onto THIS process's sys.path must not masquerade as a real codec
+    probe = subprocess.run(
+        [sys.executable, "-c",
+         "from flyscrape_spark.operators.multimodal import _load_pil; "
+         "import sys; sys.exit(0 if _load_pil() is None else 7)"],
+        cwd="/root/repo", capture_output=True, timeout=60,
+    )
+    if probe.returncode == 0:
+        pytest.skip(
+            "CODEC PATH = STUB: Pillow is not installed in this "
+            "container, so ALL media decode evidence this round "
+            "(media_features/media_resize/media_frames/media_dedup) "
+            "ran the deterministic stub; the PIL route is exercised "
+            "only via the shipped fake (tests above)"
+        )
+    assert probe.returncode == 7  # real Pillow: auto-routing is live
