@@ -89,21 +89,60 @@ def assign_global_order(
     parts: int | None = None,
 ) -> DataFrame:
     """Scalable total ordering: global row numbers by ``sort_cols``
-    without a single-partition window sort.
+    without a single-partition window sort. See
+    :func:`assign_global_order_counted` (this is the thin wrapper
+    that discards the row count)."""
+    return assign_global_order_counted(df, sort_cols, out_col, start,
+                                       parts)[0]
 
-    Two-phase enumeration: range-repartition on the sort key and sort
-    within partitions (each task sorts its slice — parallel), count
-    rows per partition (tiny collect: one row per partition), then a
-    mapInPandas pass adds each partition's offset. Requires unique
-    sort keys (the generation's (parent_order, pos) are unique), which
-    makes the result independent of the sampled range bounds. The
-    input is localCheckpoint-pinned so the count job and the numbering
-    job see the same partitioning."""
+
+def assign_global_order_counted(
+    df: DataFrame, sort_cols: list[str], out_col: str, start: int = 0,
+    parts: int | None = None,
+    bounds: tuple[int, int] | None = None,
+) -> tuple[DataFrame, int]:
+    """Scalable total ordering: global row numbers by ``sort_cols``
+    without a single-partition window sort. Returns (numbered_df,
+    total_rows) — the total falls out of the per-bucket counts, so
+    callers need NO separate count() job over the result.
+
+    Two modes, same exact result:
+
+    ``bounds=(lo, hi)`` — DETERMINISTIC bucketing (the frontier hot
+    path): the caller knows the first sort column's value range (a
+    generation's parent_order values are exactly the previous
+    generation's discovery_order slice), so bucket ids come from a
+    monotonic clamped affine map — NO range-bound sampling job and no
+    input pin; the whole ordering is ONE shuffle job + one tiny
+    counts collect per generation. Rows hash-shuffle on the bucket
+    id (a bucket lives in exactly one partition; one partition may
+    hold several buckets, sorted contiguously), per-BUCKET counts
+    give offsets, and the numbering pass keeps a per-bucket running
+    counter. Correct for ANY monotonic bucketing — bad bounds only
+    cost balance, never order. 64x more buckets than partitions keep
+    hash-placement imbalance small (~1/sqrt(64) = ±12%; with only a
+    few buckets per partition, murmur placement of consecutive ints
+    is lumpy — measured 2.3x skew + empty partitions at 8x).
+
+    ``bounds=None`` — SAMPLED range partitioning (generic fallback,
+    exact balance): PIN the input first (one eager localCheckpoint —
+    without it ``repartitionByRange``'s sampling pass and the shuffle
+    itself would each execute the full upstream plan), then
+    range-repartition, count per partition, number with offsets.
+
+    Requires unique sort keys (the generation's (parent_order, pos)
+    are unique), which makes the result independent of bucket/range
+    boundaries. The shuffled output is localCheckpoint-pinned so the
+    counts job and the numbering job see the same partitioning."""
     spark = df.sparkSession
     if parts is None:
         parts = spark.sparkContext.defaultParallelism
+    if bounds is not None:
+        return _assign_order_bucketed(
+            df, sort_cols, out_col, start, parts, bounds)
+    pinned = df.localCheckpoint(eager=True)
     ranged = (
-        df.repartitionByRange(parts, *[F.col(c) for c in sort_cols])
+        pinned.repartitionByRange(parts, *[F.col(c) for c in sort_cols])
         .sortWithinPartitions(*sort_cols)
         .localCheckpoint(eager=True)
     )
@@ -131,7 +170,68 @@ def assign_global_order(
             emitted += len(pdf)
             yield pdf
 
-    return ranged.mapInPandas(number, schema=schema)
+    return ranged.mapInPandas(number, schema=schema), acc - start
+
+
+def _assign_order_bucketed(
+    df: DataFrame, sort_cols: list[str], out_col: str, start: int,
+    parts: int, bounds: tuple[int, int],
+) -> tuple[DataFrame, int]:
+    """Deterministic-bucket enumeration (see
+    :func:`assign_global_order_counted` ``bounds`` mode). One shuffle
+    job (which also materializes the upstream exactly once) + one
+    O(buckets) collect."""
+    lo, hi = bounds
+    n_buckets = parts * 64
+    span = max(int(hi) - int(lo), 1)
+    head = F.col(sort_cols[0]).cast("double")
+    gid = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((head - F.lit(float(lo))) * n_buckets / span),
+        ),
+    ).cast("int")
+    ranged = (
+        df.withColumn("__gid", gid)
+        .repartition(parts, "__gid")
+        .sortWithinPartitions("__gid", *sort_cols)
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["__gid"]: r["n"]
+        for r in ranged.groupBy("__gid")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    offsets = {}
+    acc = start
+    for g in sorted(counts):
+        offsets[g] = acc
+        acc += counts[g]
+    schema = StructType(
+        [f for f in ranged.schema.fields if f.name != "__gid"]
+        + [StructField(out_col, LongType())]
+    )
+
+    def number(iterator):
+        # rows arrive bucket-contiguous and sorted (partition-level
+        # sort survives Arrow batching); a bucket lives in exactly one
+        # partition, so per-bucket running counters are exact
+        emitted: dict[int, int] = {}
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            base = {
+                g: offsets[g] + emitted.get(g, 0)
+                for g in pdf["__gid"].unique()
+            }
+            cum = pdf.groupby("__gid", sort=False).cumcount()
+            pdf[out_col] = pdf["__gid"].map(base).astype("int64") + cum
+            for g, c in pdf["__gid"].value_counts().items():
+                emitted[int(g)] = emitted.get(int(g), 0) + int(c)
+            yield pdf.drop(columns=["__gid"])
+
+    return ranged.mapInPandas(number, schema=schema), acc - start
 
 
 @dataclass
@@ -419,10 +519,27 @@ class CrawlEngine:
             # Latency mode: one-partition window sort (fine for small
             # generations). Throughput mode: two-phase range-partition
             # enumeration — no single-task global sort at scale.
+            n_enqueued = None
             if self.assign_order and not self._latency_mode:
-                enqueued = assign_global_order(
+                # counted variant: the generation's row count falls
+                # out of the two-phase enumeration's per-bucket
+                # counts, saving the separate count() job (and its
+                # 32-task schedule/barrier) every generation. The
+                # parent_order bounds are KNOWN (a generation's
+                # parents are exactly the previous generation's
+                # discovery_order slice; gen 0 = seed indices), so
+                # the deterministic-bucket mode applies: no range
+                # sampling job, upstream computed once
+                if gen == start_gen:
+                    order_bounds = (0, max(next_order, len(seed_rows), 1))
+                else:
+                    order_bounds = (
+                        max(next_order - prev_enqueued, 0),
+                        max(next_order, 1),
+                    )
+                enqueued, n_enqueued = assign_global_order_counted(
                     enqueued, ["parent_order", "pos"], "discovery_order",
-                    start=next_order,
+                    start=next_order, bounds=order_bounds,
                 )
             elif self.assign_order:
                 w = Window.orderBy("parent_order", "pos")
@@ -440,7 +557,8 @@ class CrawlEngine:
             enqueued = self._materialize(
                 enqueued.select(*seen_cols), "frontier", gen,
             )
-            n_enqueued = enqueued.count()
+            if n_enqueued is None:
+                n_enqueued = enqueued.count()
             if n_enqueued == 0:
                 break
             next_order += n_enqueued

@@ -70,3 +70,46 @@ def test_deep_crawl_compacts_seen(spark):
     assert [s[0] for s in seen] == list(range(22))
     assert [s[1] for s in seen] == list(range(22))
     assert r.results.filter("status = 200").count() == 21
+
+
+def test_bucketed_order_matches_window_any_bounds(spark):
+    """Deterministic-bucket mode (round-5): exact order for GOOD
+    bounds, and for BAD bounds too — bounds only steer balance, the
+    clamped monotonic bucketing can never reorder."""
+    from flyscrape_spark.plans.frontier import assign_global_order_counted
+
+    df = spark.range(5_000).select(
+        (F.col("id") * 2654435761 % 9973 * 10).alias("parent_order"),
+        (F.col("id") % 7).cast("int").alias("pos"),
+        F.col("id").alias("payload"),
+    ).withColumn("parent_order", F.col("parent_order") + F.col("pos"))
+    w = Window.orderBy("parent_order", "pos")
+    want = {
+        (r["payload"], r["n"])
+        for r in df.withColumn(
+            "n", F.row_number().over(w) - 1 + F.lit(7)
+        ).collect()
+    }
+    n_rows = df.count()
+    for bounds in [(0, 99730), (50, 60), (-1000, -5), (99999, 999999)]:
+        got_df, total = assign_global_order_counted(
+            df, ["parent_order", "pos"], "n", start=7, parts=8,
+            bounds=bounds,
+        )
+        got = {(r["payload"], r["n"]) for r in got_df.collect()}
+        assert got == want, f"order mismatch for bounds={bounds}"
+        assert total == n_rows
+
+
+def test_counted_total_matches_rows(spark):
+    from flyscrape_spark.plans.frontier import assign_global_order_counted
+
+    df = spark.range(999).select(
+        F.col("id").alias("parent_order"),
+        F.lit(0).cast("int").alias("pos"),
+    )
+    out, total = assign_global_order_counted(
+        df, ["parent_order", "pos"], "ord", start=0, parts=4
+    )
+    assert total == 999
+    assert out.count() == 999
