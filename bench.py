@@ -128,7 +128,8 @@ def frontier_kernel(spark, n_urls: int, mode: str = "fp128") -> dict:
 
 
 def engine_kernel(spark, n_pages: int, seeds: int = 2000, depth: int = 2,
-                  fingerprint: bool = False) -> dict:
+                  fingerprint: bool = False,
+                  table_seeds: bool = False) -> dict:
     """FULL-ENGINE throughput: seeds -> fetch-by-join (shuffle join,
     non-broadcast) -> parse-once span+link UDF -> canonical ordering
     (two-phase at this size) -> seen anti-join, for ``depth``
@@ -153,10 +154,26 @@ def engine_kernel(spark, n_pages: int, seeds: int = 2000, depth: int = 2,
         spark, config, SyntheticWebTransport(n_pages),
         collect_metrics=False, small_generation_rows=20_000,
     )
-    seed_urls = [f"http://w{(i * 37) % 1009}.example/d/{i * 37}"
-                 for i in range(seeds)]
+    if table_seeds:
+        # the 10^10 design point: the seed list IS a table (a prior
+        # frontier, a sitemap scan) — generated distributed, zero
+        # driver-side row serialization. Same seed set as list mode.
+        from pyspark.sql import functions as F
+
+        seed_urls = spark.range(seeds).select(
+            F.concat(
+                F.lit("http://w"), ((F.col("id") * 37) % 1009).cast("string"),
+                F.lit(".example/d/"), (F.col("id") * 37).cast("string"),
+            ).alias("url"),
+            F.col("id").alias("parent_order"),
+        )
+        run_kwargs = {"n_seeds": seeds}
+    else:
+        seed_urls = [f"http://w{(i * 37) % 1009}.example/d/{i * 37}"
+                     for i in range(seeds)]
+        run_kwargs = {}
     t0 = time.time()
-    result = engine.run(seed_urls)
+    result = engine.run(seed_urls, **run_kwargs)
     n_seen = result.seen.count()
     n_fetched = result.results.count()
     dt = time.time() - t0
@@ -346,9 +363,9 @@ def main():
             n_pages = int(os.environ.get("BENCH_SCALING_ENGINE_PAGES", "10000000"))
             fp = os.environ.get("BENCH_ENGINE_FP", "1") == "1"
             engine_kernel(spark, n_pages, seeds=500_000, depth=1,
-                          fingerprint=fp)  # warm
+                          fingerprint=fp, table_seeds=True)  # warm
             runs = [engine_kernel(spark, n_pages, seeds=500_000, depth=1,
-                                  fingerprint=fp)
+                                  fingerprint=fp, table_seeds=True)
                     for _ in range(2)]
             result = max(runs, key=lambda r: r["urls_per_sec"])
             result["fingerprint"] = fp

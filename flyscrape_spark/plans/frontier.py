@@ -54,6 +54,7 @@ from flyscrape_spark.config import CrawlConfig
 from flyscrape_spark.functions.urls import canonicalize, host_of
 from flyscrape_spark.operators.robots import allowed_filter, robots_table
 from flyscrape_spark.parse.udfs import make_page_udf
+from flyscrape_spark.plans import filters as filter_mod
 from flyscrape_spark.plans.filters import validators
 from flyscrape_spark.plans.priority import prioritize_frontier
 from flyscrape_spark.sources.transport import Transport
@@ -380,33 +381,74 @@ class CrawlEngine:
 
     # -- the loop ----------------------------------------------------------
 
-    def run(self, seeds: list[str]) -> CrawlResult:
+    def run(self, seeds, n_seeds: int | None = None) -> CrawlResult:
+        """``seeds``: list[str], or a DataFrame with a ``url`` column
+        and a ``parent_order`` column (the seed index — it defines
+        canonical seed order). At the 10^10 design point the seed list
+        IS a table (a prior crawl's frontier, a sitemap scan); feeding
+        it through the driver as a Python list would serialize
+        O(seeds) rows through Py4J before the first job. ``n_seeds``
+        (DataFrame mode) is the seed-count hint used for the ordering
+        bounds; bad hints only cost shuffle balance, never order."""
         self._base_aqe = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
         self._base_parts = self.spark.conf.get("spark.sql.shuffle.partitions", "32")
         try:
-            return self._run(seeds)
+            return self._run(seeds, n_seeds)
         finally:
             self.spark.conf.set("spark.sql.adaptive.enabled", self._base_aqe)
             self.spark.conf.set("spark.sql.shuffle.partitions", self._base_parts)
 
-    def _run(self, seeds: list[str]) -> CrawlResult:
+    def _seed_frame(self, seeds, n_seeds: int | None):
+        """Normalize seeds to (candidates, n_seeds, valid) — see run()."""
         spark = self.spark
         config = self.config
-
+        if isinstance(seeds, DataFrame):
+            if "parent_order" not in seeds.columns:
+                raise ValueError(
+                    "DataFrame seeds must carry parent_order (seed index)")
+            cand = seeds
+            if "depth" not in cand.columns:
+                cand = cand.withColumn("depth", F.lit(0).cast("int"))
+            if "pos" not in cand.columns:
+                cand = cand.withColumn("pos", F.lit(0).cast("int"))
+            cand = cand.select("url", "depth", "parent_order", "pos")
+            if n_seeds is None:
+                n_seeds = cand.count()
+            seed_hosts: list[str] = []
+            if config.domain_filter:
+                seed_hosts = [
+                    r["h"]
+                    for r in cand.select(host_of("url").alias("h"))
+                    .distinct().collect()
+                    if r["h"]
+                ]
+            # urlfilter's seeds-always-pass exemption
+            # (urlfilter.go:57-100): seeds are exactly the depth-0
+            # candidates, so the exemption is a depth predicate — no
+            # O(seeds) url list on the driver
+            valid = filter_mod.domain_filter(config, seed_hosts) & (
+                filter_mod.url_filter(config, []) | (F.col("depth") == 0)
+            )
+            return cand, n_seeds, valid
         seed_rows = []
         for i, raw in enumerate(seeds):
             url = raw.strip()
             if url:
                 seed_rows.append((url, 0, int(i), 0))
         candidates = spark.createDataFrame(seed_rows, CAND_SCHEMA)
-
         seed_urls = [r[0] for r in seed_rows]
         seed_hosts = []
         for u in seed_urls:
             h = urlparse(u).netloc.lower()
             if h:
                 seed_hosts.append(h)
-        valid = validators(config, seed_urls, seed_hosts)
+        return candidates, len(seed_rows), validators(config, seed_urls, seed_hosts)
+
+    def _run(self, seeds, n_seeds: int | None = None) -> CrawlResult:
+        spark = self.spark
+        config = self.config
+
+        candidates, n_seed_rows, valid = self._seed_frame(seeds, n_seeds)
 
         start_gen = 0
         n_robots_hosts = 0
@@ -452,7 +494,7 @@ class CrawlEngine:
             return out
 
         gen = start_gen
-        prev_enqueued = len(seed_rows)
+        prev_enqueued = n_seed_rows
         while gen < self.max_generations:
             gen_t0 = time.time()
             # candidate estimate = last generation's frontier x a
@@ -531,7 +573,7 @@ class CrawlEngine:
                 # the deterministic-bucket mode applies: no range
                 # sampling job, upstream computed once
                 if gen == start_gen:
-                    order_bounds = (0, max(next_order, len(seed_rows), 1))
+                    order_bounds = (0, max(next_order, n_seed_rows, 1))
                 else:
                     order_bounds = (
                         max(next_order - prev_enqueued, 0),
@@ -727,6 +769,22 @@ class CrawlEngine:
                         self.extract_udf(F.col("body"), F.col("url")),
                     ),
                 )
+            # body slimming: once the parse-once struct (spans+links)
+            # and the script payload are computed, the raw HTML body is
+            # dead weight in the generation checkpoint — roughly half
+            # the pinned bytes per generation (block-manager memory,
+            # GC pressure, and on Iceberg the snapshot size). Drop it
+            # before materializing unless a downstream consumer needs
+            # it: keep_body callers, and the meta-robots noindex filter
+            # which re-reads the body at results assembly.
+            slim_body = not self.keep_body and not config.respect_meta_robots
+            if slim_body:
+                fetched = fetched.withColumn(
+                    "has_body", F.col("body").isNotNull()
+                ).drop("body")
+                body_flag = F.col("has_body")
+            else:
+                body_flag = F.col("body").isNotNull()
             fetched = self._materialize(fetched, "fetched", gen)
             result_frames.append(fetched)
 
@@ -762,7 +820,7 @@ class CrawlEngine:
                     F.coalesce(F.col("follow_urls"), empty),
                     F.coalesce(link_arr, empty),
                 )
-            link_src = fetched.filter(F.col("body").isNotNull())
+            link_src = fetched.filter(body_flag)
             if config.respect_meta_robots:
                 # nofollow pages contribute no outlinks (page-level
                 # REP; operators/metarobots.py — pure JVM exprs, so
@@ -804,7 +862,8 @@ class CrawlEngine:
         for frame in result_frames:
             if "parsed" in frame.columns:
                 frame = frame.withColumn("spans", F.col("parsed.spans")).drop("parsed")
-            frame = frame.drop("follow_urls")  # frontier plumbing, not a result
+            # follow_urls/has_body are frontier plumbing, not results
+            frame = frame.drop("follow_urls", "has_body")
             if config.respect_meta_robots:
                 # noindex pages are crawled (seen/order intact, links
                 # already fanned out above) but kept out of the corpus
